@@ -1,0 +1,117 @@
+"""Exact dense top-k retrieval as tiled XLA ops (the differential oracle).
+
+TPU-first replacement for the reference's exact search paths (FAISS
+``IndexFlatIP``, ``FAISSEmbeddingRetriever.py:93-94``, and the torch
+brute-force matmul, ``bruteforce.py:58-83``): the corpus is streamed in
+fixed-size blocks through one fused matmul + running-top-k merge under
+``lax.scan``, so the full [Q, N] score matrix is never materialised and the
+working set stays HBM-bandwidth friendly at any corpus size.
+
+All queries are scored in one batch (the reference searches one query at a
+time through a batch API — SURVEY §3.1 flags this as the inefficiency to
+remove).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .distances import pairwise_scores
+
+NEG_INF = jnp.float32(-3.4e38)
+
+
+def _pad_corpus(corpus: jax.Array, block_size: int):
+    """Pad corpus rows to a block multiple; returns (padded, n_valid)."""
+    n = corpus.shape[0]
+    pad = (-n) % block_size
+    if pad:
+        corpus = jnp.pad(corpus, ((0, pad), (0, 0)))
+    return corpus, n
+
+
+@partial(jax.jit, static_argnames=("k", "metric", "block_size"))
+def exact_topk(
+    queries: jax.Array,
+    corpus: jax.Array,
+    k: int,
+    metric: str = "cosine",
+    block_size: int = 8192,
+) -> tuple[jax.Array, jax.Array]:
+    """Top-k over the full corpus. Returns (scores [Q,k], indices [Q,k]).
+
+    Inputs must already be prepared for ``metric`` (see
+    ``distances.prepare_for_metric``). ``k`` is static; indices refer to
+    original corpus rows; padded rows can never win (scores forced to -inf).
+    """
+    q = queries
+    n_total = corpus.shape[0]
+    k = min(k, n_total) if n_total else k
+    if n_total <= block_size:
+        scores = pairwise_scores(q, corpus, metric)
+        top_s, top_i = jax.lax.top_k(scores, k)
+        return top_s, top_i
+
+    corpus_p, n_valid = _pad_corpus(corpus, block_size)
+    n_blocks = corpus_p.shape[0] // block_size
+    blocks = corpus_p.reshape(n_blocks, block_size, corpus.shape[1])
+    nq = q.shape[0]
+
+    init = (
+        jnp.full((nq, k), NEG_INF, dtype=jnp.float32),
+        jnp.zeros((nq, k), dtype=jnp.int32),
+    )
+
+    def body(carry, inp):
+        run_s, run_i = carry
+        block, b_idx = inp
+        scores = pairwise_scores(q, block, metric)  # [Q, B] fp32
+        base = b_idx * block_size
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + base
+        scores = jnp.where(col < n_valid, scores, NEG_INF)
+        blk_s, blk_local = jax.lax.top_k(scores, k)
+        blk_i = jnp.take_along_axis(col, blk_local, axis=1)
+        cat_s = jnp.concatenate([run_s, blk_s], axis=1)
+        cat_i = jnp.concatenate([run_i, blk_i], axis=1)
+        new_s, sel = jax.lax.top_k(cat_s, k)
+        new_i = jnp.take_along_axis(cat_i, sel, axis=1)
+        return (new_s, new_i), None
+
+    (top_s, top_i), _ = jax.lax.scan(
+        body, init, (blocks, jnp.arange(n_blocks, dtype=jnp.int32))
+    )
+    return top_s, top_i
+
+
+@partial(jax.jit, static_argnames=("k",))
+def maxsim_aggregate(
+    chunk_scores: jax.Array,
+    chunk_doc_ids: jax.Array,
+    k: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Doc-level MaxSim over retrieved chunk candidates, as array ops.
+
+    Replaces the reference's per-query Python dict loop (``main.py:274-281``):
+    given per-query candidate chunk scores [Q, C] and their doc ids [Q, C],
+    each doc's score is the max over its chunks; duplicate docs are masked to
+    -inf so a doc appears once; returns top-k (doc_scores, doc_ids) [Q, k].
+
+    O(C²) per query on the VPU — C is the candidate count (tens), so this is
+    far cheaper than a scatter over the global doc space.
+    """
+    same = chunk_doc_ids[:, :, None] == chunk_doc_ids[:, None, :]  # [Q,C,C]
+    s = chunk_scores.astype(jnp.float32)
+    agg = jnp.max(
+        jnp.where(same, s[:, None, :], NEG_INF), axis=-1
+    )  # [Q, C]: per-candidate doc max
+    c = chunk_scores.shape[1]
+    earlier = jnp.tril(jnp.ones((c, c), dtype=bool), k=-1)[None]  # j < i
+    is_dup = jnp.any(same & earlier, axis=-1)  # [Q, C]
+    agg = jnp.where(is_dup, NEG_INF, agg)
+    kk = min(k, c)
+    top_s, sel = jax.lax.top_k(agg, kk)
+    top_ids = jnp.take_along_axis(chunk_doc_ids, sel, axis=1)
+    return top_s, top_ids

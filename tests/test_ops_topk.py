@@ -1,0 +1,133 @@
+"""Differential tests: tiled exact_topk vs a naive numpy oracle.
+
+Mirrors the reference's key oracle pattern — FAISS-vs-bruteforce equivalence
+(``test/test_retrieval.py:61-83``) — but with numpy as the ground truth and
+the tiled scan kernel as the implementation under test.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from latentrag_tpu.ops import (
+    estimate_covariance,
+    exact_topk,
+    l2_normalize,
+    maxsim_aggregate,
+    pairwise_scores,
+    prepare_for_metric,
+    whitening_factor,
+)
+
+
+def np_scores(q, c, metric):
+    if metric == "cosine":
+        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        cn = c / np.linalg.norm(c, axis=1, keepdims=True)
+        return qn @ cn.T
+    if metric == "euclidean":
+        d2 = ((q[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+        return -d2
+    raise ValueError(metric)
+
+
+@pytest.mark.parametrize("n", [7, 64, 300, 1000])
+@pytest.mark.parametrize("metric", ["cosine", "euclidean"])
+def test_exact_topk_matches_numpy(rng, n, metric):
+    d, nq, k = 32, 9, 5
+    q = rng.standard_normal((nq, d)).astype(np.float32)
+    c = rng.standard_normal((n, d)).astype(np.float32)
+    ref = np_scores(q, c, metric)
+    ref_idx = np.argsort(-ref, axis=1)[:, :k]
+    ref_s = np.take_along_axis(ref, ref_idx, axis=1)
+
+    qj = prepare_for_metric(jnp.asarray(q), metric)
+    cj = prepare_for_metric(jnp.asarray(c), metric)
+    s, i = exact_topk(qj, cj, k=k, metric=metric, block_size=128)
+    np.testing.assert_allclose(np.asarray(s), ref_s, rtol=1e-4, atol=1e-4)
+    # indices must match wherever scores are not tied
+    ties = np.abs(np.diff(ref_s, axis=1)) < 1e-6
+    mask = np.ones_like(ref_idx, dtype=bool)
+    mask[:, 1:] &= ~ties
+    mask[:, :-1] &= ~ties
+    assert (np.asarray(i) == ref_idx)[mask].all()
+
+
+def test_exact_topk_single_block_path(rng):
+    q = rng.standard_normal((4, 16)).astype(np.float32)
+    c = rng.standard_normal((50, 16)).astype(np.float32)
+    s_small, i_small = exact_topk(
+        l2_normalize(jnp.asarray(q)), l2_normalize(jnp.asarray(c)), k=3,
+        metric="cosine", block_size=4096,
+    )
+    s_tiled, i_tiled = exact_topk(
+        l2_normalize(jnp.asarray(q)), l2_normalize(jnp.asarray(c)), k=3,
+        metric="cosine", block_size=16,
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_small), np.asarray(s_tiled), rtol=1e-5, atol=1e-6
+    )
+    assert (np.asarray(i_small) == np.asarray(i_tiled)).all()
+
+
+def test_k_larger_than_corpus(rng):
+    q = rng.standard_normal((2, 8)).astype(np.float32)
+    c = rng.standard_normal((3, 8)).astype(np.float32)
+    s, i = exact_topk(jnp.asarray(q), jnp.asarray(c), k=10, metric="euclidean")
+    assert s.shape == (2, 3) and i.shape == (2, 3)
+
+
+def test_mahalanobis_equals_whitened_euclidean(rng):
+    d = 16
+    x = rng.standard_normal((500, d)).astype(np.float32) @ (
+        rng.standard_normal((d, d)).astype(np.float32) * 0.3
+    )
+    q = x[:5]
+    c = x[5:105]
+    cov = estimate_covariance(jnp.asarray(x), shrinkage=1e-3)
+    w = whitening_factor(cov)
+    # numpy oracle: (q-c) Σ⁻¹ (q-c)ᵀ
+    cov_np = np.asarray(cov, dtype=np.float64)
+    inv = np.linalg.inv(cov_np)
+    diff = q[:, None, :] - c[None, :, :]
+    ref = -np.einsum("qcd,de,qce->qc", diff, inv, diff)
+
+    qw = prepare_for_metric(jnp.asarray(q), "mahalanobis", w)
+    cw = prepare_for_metric(jnp.asarray(c), "mahalanobis", w)
+    got = np.asarray(pairwise_scores(qw, cw, "mahalanobis"))
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_maxsim_aggregate_matches_python_loop(rng):
+    nq, c, k = 6, 12, 4
+    scores = rng.standard_normal((nq, c)).astype(np.float32)
+    doc_ids = rng.integers(0, 5, size=(nq, c)).astype(np.int32)
+    top_s, top_ids = maxsim_aggregate(
+        jnp.asarray(scores), jnp.asarray(doc_ids), k=k
+    )
+    for qi in range(nq):
+        best: dict[int, float] = {}
+        for ci in range(c):
+            d = int(doc_ids[qi, ci])
+            best[d] = max(best.get(d, -1e30), float(scores[qi, ci]))
+        expect = sorted(best.items(), key=lambda kv: -kv[1])[:k]
+        got = list(
+            zip(np.asarray(top_ids)[qi].tolist(), np.asarray(top_s)[qi].tolist())
+        )
+        for (ed, es), (gd, gs) in zip(expect, got):
+            assert abs(es - gs) < 1e-5
+            # doc id must match unless scores tie
+            if abs(es - gs) < 1e-5 and all(
+                abs(es - os) > 1e-6 for od, os in expect if od != ed
+            ):
+                assert ed == gd
+
+
+def test_maxsim_pads_with_neg_inf_when_fewer_docs(rng):
+    scores = jnp.asarray([[1.0, 0.9, 0.8]])
+    doc_ids = jnp.asarray([[7, 7, 7]], dtype=jnp.int32)
+    s, ids = maxsim_aggregate(scores, doc_ids, k=3)
+    assert float(s[0, 0]) == pytest.approx(1.0)
+    assert int(ids[0, 0]) == 7
+    assert float(s[0, 1]) < -1e30  # duplicates masked out
