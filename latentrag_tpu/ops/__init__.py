@@ -7,7 +7,8 @@ from .distances import (
     whiten,
     whitening_factor,
 )
-from .topk import exact_topk, maxsim_aggregate
+from .pallas_topk import pallas_topk, pallas_topk_raw
+from .topk import approx_topk, exact_topk, maxsim_aggregate
 
 __all__ = [
     "METRICS",
@@ -17,6 +18,9 @@ __all__ = [
     "prepare_for_metric",
     "whiten",
     "whitening_factor",
+    "approx_topk",
     "exact_topk",
     "maxsim_aggregate",
+    "pallas_topk",
+    "pallas_topk_raw",
 ]

@@ -1,0 +1,77 @@
+"""Differential tests for the Pallas fused top-k kernel (interpret mode on
+CPU; the same kernel compiles for TPU) and the approx_topk production path.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from latentrag_tpu.ops import (
+    approx_topk,
+    exact_topk,
+    l2_normalize,
+    pallas_topk,
+)
+
+
+@pytest.mark.parametrize("metric", ["cosine", "euclidean"])
+@pytest.mark.parametrize("n", [300, 2000])
+def test_pallas_exact_mode_matches_oracle(rng, metric, n):
+    q = rng.standard_normal((12, 32)).astype(np.float32)
+    c = rng.standard_normal((n, 32)).astype(np.float32)
+    if metric == "cosine":
+        qj, cj = l2_normalize(jnp.asarray(q)), l2_normalize(jnp.asarray(c))
+    else:
+        qj, cj = jnp.asarray(q), jnp.asarray(c)
+    s0, i0 = exact_topk(qj, cj, k=5, metric=metric)
+    s1, i1 = pallas_topk(
+        qj, cj, k=5, metric=metric, mode="exact", block_q=8, block_n=256,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), rtol=1e-4, atol=1e-4)
+    assert (np.asarray(i0) == np.asarray(i1)).mean() > 0.99
+
+
+def test_pallas_fold_mode_high_recall(rng):
+    q = rng.standard_normal((16, 32)).astype(np.float32)
+    c = rng.standard_normal((20000, 32)).astype(np.float32)
+    qj, cj = l2_normalize(jnp.asarray(q)), l2_normalize(jnp.asarray(c))
+    s0, i0 = exact_topk(qj, cj, k=10, metric="cosine")
+    s1, i1 = pallas_topk(
+        qj, cj, k=10, metric="cosine", mode="fold", block_q=8, block_n=2048,
+        interpret=True,
+    )
+    i0, i1 = np.asarray(i0), np.asarray(i1)
+    recall = np.mean(
+        [len(set(i0[r]) & set(i1[r])) / 10 for r in range(i0.shape[0])]
+    )
+    assert recall >= 0.95
+    # rescored scores of agreeing candidates are exact
+    match = i0 == i1
+    np.testing.assert_allclose(
+        np.asarray(s0)[match], np.asarray(s1)[match], rtol=1e-5, atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("metric", ["cosine", "euclidean"])
+def test_approx_topk_matches_oracle_blocked(rng, metric):
+    q = rng.standard_normal((9, 24)).astype(np.float32)
+    c = rng.standard_normal((5000, 24)).astype(np.float32)
+    if metric == "cosine":
+        qj, cj = l2_normalize(jnp.asarray(q)), l2_normalize(jnp.asarray(c))
+    else:
+        qj, cj = jnp.asarray(q), jnp.asarray(c)
+    s0, i0 = exact_topk(qj, cj, k=10, metric=metric)
+    s1, i1 = approx_topk(
+        qj, cj, k=10, metric=metric, block_size=1024, recall_target=0.99
+    )
+    i0s = [set(r) for r in np.asarray(i0)]
+    i1s = [set(r) for r in np.asarray(i1)]
+    recall = np.mean([len(a & b) / 10 for a, b in zip(i0s, i1s)])
+    assert recall >= 0.9
+    # where the top-1 agrees, scores must be exact (approx_max_k keeps values)
+    top1 = np.asarray(i0)[:, 0] == np.asarray(i1)[:, 0]
+    np.testing.assert_allclose(
+        np.asarray(s0)[top1, 0], np.asarray(s1)[top1, 0], rtol=1e-4, atol=1e-4
+    )
