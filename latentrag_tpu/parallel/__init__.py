@@ -1,0 +1,17 @@
+from .mesh import (
+    DATA_AXIS,
+    make_mesh,
+    replicated,
+    row_sharded,
+    shard_rows,
+)
+from .sharded_topk import make_sharded_topk
+
+__all__ = [
+    "DATA_AXIS",
+    "make_mesh",
+    "replicated",
+    "row_sharded",
+    "shard_rows",
+    "make_sharded_topk",
+]

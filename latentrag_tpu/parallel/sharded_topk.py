@@ -1,0 +1,74 @@
+"""Distributed exact/approx top-k: corpus sharded over the mesh, local top-k
+per device, all-gather + merge.
+
+This is the framework's distributed-communication deliverable (SURVEY §2.3 /
+§7 step 5c): the reference has no multi-device story at all; here corpus rows
+live sharded across the ``data`` axis, every device scores its shard against
+the (replicated) query batch with the single-device kernels, and the [P, Q, k]
+partial results are merged with one ``all_gather`` over ICI — k·Q·P numbers,
+thousands of times smaller than the corpus, so scaling is essentially linear
+in mesh size.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops.topk import approx_topk, exact_topk
+
+NEG_INF = jnp.float32(-3.4e38)
+
+
+def make_sharded_topk(
+    mesh: Mesh,
+    *,
+    k: int,
+    metric: str = "cosine",
+    backend: str = "approx",
+    block_size: int = 262144,
+    axis: str = "data",
+):
+    """Build a jitted ``(queries, corpus_sharded, n_valid) -> (scores, idx)``.
+
+    ``corpus_sharded`` is row-sharded over ``axis`` (see
+    ``mesh.shard_rows``); queries and results are replicated. ``n_valid`` is
+    the true (pre-padding) corpus row count — padded rows are masked in the
+    merge. Indices returned are global corpus rows.
+    """
+    local_search = {
+        "approx": functools.partial(
+            approx_topk, k=k, metric=metric, block_size=block_size
+        ),
+        "exact": functools.partial(
+            exact_topk, k=k, metric=metric, block_size=min(block_size, 8192)
+        ),
+    }[backend]
+
+    def _search(q, c_shard, n_valid):
+        shard_rows_n = c_shard.shape[0]
+        s, i = local_search(q, c_shard)  # [Q, k] local
+        offset = jax.lax.axis_index(axis) * shard_rows_n
+        gi = i + offset
+        s = jnp.where(gi < n_valid, s, NEG_INF)
+        all_s = jax.lax.all_gather(s, axis, axis=0)  # [P, Q, k]
+        all_i = jax.lax.all_gather(gi, axis, axis=0)
+        p, nq, kk = all_s.shape
+        cat_s = jnp.moveaxis(all_s, 0, 1).reshape(nq, p * kk)
+        cat_i = jnp.moveaxis(all_i, 0, 1).reshape(nq, p * kk)
+        top_s, sel = jax.lax.top_k(cat_s, kk)
+        top_i = jnp.take_along_axis(cat_i, sel, axis=1)
+        return top_s, top_i
+
+    sharded = shard_map(
+        _search,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P()),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    return jax.jit(sharded)
