@@ -69,6 +69,5 @@ def make_sharded_topk(
         mesh=mesh,
         in_specs=(P(), P(axis), P()),
         out_specs=(P(), P()),
-        check_rep=False,
     )
     return jax.jit(sharded)
