@@ -69,5 +69,6 @@ def make_sharded_topk(
         mesh=mesh,
         in_specs=(P(), P(axis), P()),
         out_specs=(P(), P()),
+        check_vma=False,
     )
     return jax.jit(sharded)
