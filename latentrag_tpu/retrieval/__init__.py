@@ -1,0 +1,16 @@
+from .base import BaseRetriever, DenseSearchAPI
+from .bm25 import BM25Retriever, tokenize
+from .dense import DenseRetriever, make_fingerprint
+from .embedder import EmbeddingCompressor
+from .factory import build_retriever
+
+__all__ = [
+    "BaseRetriever",
+    "DenseSearchAPI",
+    "BM25Retriever",
+    "tokenize",
+    "DenseRetriever",
+    "make_fingerprint",
+    "EmbeddingCompressor",
+    "build_retriever",
+]

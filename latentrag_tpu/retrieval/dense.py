@@ -1,0 +1,354 @@
+"""Dense latent-index retriever: the TPU-native FAISS replacement.
+
+Capability parity with ``retrieval/FAISSEmbeddingRetriever.py:20-345`` and
+``retrieval/bruteforce.py:17-95``, redesigned device-first:
+
+* exact / quasi-exact search over cosine, euclidean and Mahalanobis metrics
+  (Mahalanobis — advertised but unimplemented in the reference, SURVEY §2.2 —
+  is realised by one-time whitening so the hot path stays a matmul);
+* batch-first ``search(queries, k)`` (the reference pushes one query at a
+  time through its batch API — SURVEY §3.1); single-query ``retrieve``
+  wraps it;
+* scoring backends: ``xla`` (tiled matmul + ``approx_max_k``, production),
+  ``xla_exact`` (tiled matmul + exact ``top_k``, oracle), ``pallas`` /
+  ``pallas_exact`` (the fused kernel); ``auto`` picks ``xla`` on TPU and
+  ``xla_exact`` elsewhere;
+* optional mesh sharding: corpus rows sharded over the ``data`` axis with
+  all-gather merge (``parallel.make_sharded_topk``);
+* persistence: directory with ``corpus.npy`` (mmap-loadable) + sidecar
+  ``meta.json`` carrying texts/doc_ids and a config **fingerprint** with the
+  same keys as the reference ({d, embedding_model, ae_type, latent_dim,
+  chunking, metric, normalize, version}); incompatible or corrupted stores
+  auto-rebuild (``FAISSEmbeddingRetriever.py:169-179, 223-251``);
+* post-build self-search sanity check with rebuild-on-failure
+  (``FAISSEmbeddingRetriever.py:259-292``);
+* ``StatsTracker`` accounting with device-sync-correct timing.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.distances import (
+    estimate_covariance,
+    prepare_for_metric,
+    whitening_factor,
+)
+from ..ops.pallas_topk import pallas_topk
+from ..ops.topk import approx_topk, exact_topk
+from ..utils.timing import StatsTracker
+
+log = logging.getLogger("latentrag.retrieval")
+
+FINGERPRINT_VERSION = 1
+BACKENDS = ("auto", "xla", "xla_exact", "pallas", "pallas_exact")
+
+
+def make_fingerprint(
+    *,
+    d: int,
+    embedding_model: str | None = None,
+    ae_type: str | None = None,
+    latent_dim: int | None = None,
+    chunking: dict | None = None,
+    metric: str = "cosine",
+    normalize: bool = True,
+) -> dict:
+    return {
+        "d": d,
+        "embedding_model": embedding_model,
+        "ae_type": ae_type,
+        "latent_dim": latent_dim,
+        "chunking": chunking
+        or {
+            "enabled": False,
+            "mode": "sliding",
+            "max_tokens": None,
+            "stride": None,
+            "min_tokens": None,
+        },
+        "metric": metric,
+        "normalize": normalize,
+        "version": FINGERPRINT_VERSION,
+    }
+
+
+@dataclass
+class DenseRetriever:
+    """Exact/quasi-exact dense retriever over a latent corpus matrix."""
+
+    metric: str = "cosine"
+    backend: str = "auto"
+    block_size: int = 262144
+    store_dtype: str = "bfloat16"  # device dtype of the prepared corpus
+    index_path: str | None = None
+    fingerprint: dict | None = None
+    mesh: Any = None  # jax.sharding.Mesh -> shard corpus rows over "data"
+
+    texts: list = field(default_factory=list)
+    doc_ids: list = field(default_factory=list)
+    stats: StatsTracker = field(default_factory=StatsTracker)
+
+    _corpus_dev: Any = None  # prepared, device-resident [N, D]
+    _corpus_n: int = 0
+    _whitener: Any = None
+    _loaded_fingerprint: Any = None
+    _sharded_cache: dict = field(default_factory=dict)
+    _make_sharded: Any = None
+
+    # ------------------------------------------------------------ lifecycle
+
+    def __post_init__(self):
+        if self.backend not in BACKENDS:
+            raise ValueError(f"backend {self.backend!r} not in {BACKENDS}")
+        if self.index_path and os.path.exists(
+            os.path.join(self.index_path, "meta.json")
+        ):
+            try:
+                self._load(self.index_path)
+            except Exception as e:  # corrupted store -> start clean
+                log.warning(
+                    "index at %s unreadable (%s); starting clean",
+                    self.index_path,
+                    e,
+                )
+
+    @property
+    def is_built(self) -> bool:
+        return self._corpus_dev is not None
+
+    @property
+    def dim(self) -> int:
+        return int(self._corpus_dev.shape[1]) if self.is_built else 0
+
+    def _resolve_backend(self) -> str:
+        if self.backend != "auto":
+            return self.backend
+        return "xla" if jax.default_backend() == "tpu" else "xla_exact"
+
+    # ---------------------------------------------------------------- build
+
+    def build(
+        self,
+        embeddings: np.ndarray,
+        texts: Sequence[str],
+        doc_ids: Sequence | None = None,
+        fingerprint: dict | None = None,
+        sanity_check: bool = True,
+    ) -> None:
+        """Prepare + load the corpus onto device; persist if index_path set.
+
+        If a compatible index is already loaded (matching fingerprint and
+        row count), this is a no-op; an incompatible one is rebuilt.
+        """
+        if fingerprint is not None:
+            self.fingerprint = fingerprint
+        if self.fingerprint is None:
+            self.fingerprint = make_fingerprint(
+                d=int(embeddings.shape[1]), metric=self.metric
+            )
+        if (
+            self.is_built
+            and self._corpus_n == len(texts)
+            and self._loaded_fingerprint == self.fingerprint
+        ):
+            log.info("index compatible; skipping rebuild")
+            return
+
+        t0 = time.perf_counter()
+        emb = np.ascontiguousarray(np.asarray(embeddings), dtype=np.float32)
+        self.texts = list(texts)
+        self.doc_ids = (
+            list(doc_ids) if doc_ids is not None else list(range(len(texts)))
+        )
+        if len(self.texts) != emb.shape[0]:
+            raise ValueError("texts and embeddings row count mismatch")
+
+        x = jnp.asarray(emb)
+        if self.metric == "mahalanobis":
+            cov = estimate_covariance(x)
+            self._whitener = whitening_factor(cov)
+        prepared = prepare_for_metric(x, self.metric, self._whitener)
+        dtype = jnp.bfloat16 if self.store_dtype == "bfloat16" else jnp.float32
+        prepared = prepared.astype(dtype)
+        self._corpus_n = emb.shape[0]
+        if self.mesh is not None:
+            from ..parallel import make_sharded_topk, shard_rows
+
+            self._corpus_dev = shard_rows(prepared, self.mesh)
+            self._sharded_cache = {}
+            self._make_sharded = make_sharded_topk
+        else:
+            self._corpus_dev = jax.device_put(prepared)
+        self._loaded_fingerprint = dict(self.fingerprint)
+        jax.block_until_ready(self._corpus_dev)
+        self.stats.add_build(time.perf_counter() - t0)
+
+        if self.index_path:
+            self._save(self.index_path)
+
+        if sanity_check and self._corpus_n > 0:
+            ok = self._self_check()
+            if not ok:
+                log.warning("post-build self-check failed; rebuilding once")
+                self._corpus_dev = None
+                self.build(
+                    emb, texts, doc_ids, self.fingerprint, sanity_check=False
+                )
+
+    def _self_check(self) -> bool:
+        """Search the first corpus vector; it must retrieve itself top-1
+        (mirrors ``FAISSEmbeddingRetriever.py:259-292``)."""
+        try:
+            probe = np.asarray(self._corpus_row(0), dtype=np.float32)[None, :]
+            _, idx = self._device_search_prepared(
+                jnp.asarray(probe), min(4, self._corpus_n)
+            )
+            return int(np.asarray(idx)[0, 0]) == 0
+        except Exception as e:
+            log.warning("self-check raised: %s", e)
+            return False
+
+    def _corpus_row(self, i: int):
+        return np.asarray(self._corpus_dev[i], dtype=np.float32)
+
+    # --------------------------------------------------------------- search
+
+    def _device_search_prepared(self, q_prepared: jax.Array, k: int):
+        """Top-k given queries ALREADY in the prepared (normalized/whitened)
+        space. Returns device arrays (scores, indices)."""
+        backend = self._resolve_backend()
+        if self.mesh is not None:
+            key = (k, backend)
+            fn = self._sharded_cache.get(key)
+            if fn is None:
+                fn = self._make_sharded(
+                    self.mesh,
+                    k=k,
+                    metric=self.metric,
+                    backend="approx" if backend == "xla" else "exact",
+                    block_size=self.block_size,
+                )
+                self._sharded_cache[key] = fn
+            return fn(
+                q_prepared.astype(self._corpus_dev.dtype),
+                self._corpus_dev,
+                jnp.int32(self._corpus_n),
+            )
+        q = q_prepared.astype(self._corpus_dev.dtype)
+        if backend == "xla":
+            return approx_topk(
+                q, self._corpus_dev, k=k, metric=self.metric,
+                block_size=self.block_size,
+            )
+        if backend == "xla_exact":
+            return exact_topk(
+                q, self._corpus_dev, k=k, metric=self.metric,
+                block_size=min(self.block_size, 8192),
+            )
+        if backend == "pallas":
+            return pallas_topk(
+                q, self._corpus_dev, k=k, metric=self.metric, mode="fold"
+            )
+        return pallas_topk(
+            q, self._corpus_dev, k=k, metric=self.metric, mode="exact"
+        )
+
+    def search(
+        self, queries: np.ndarray, k: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Batched top-k. queries: [Q, D] raw embedding space. Returns
+        (scores [Q, k], indices [Q, k]) as numpy."""
+        if not self.is_built:
+            raise RuntimeError("index not built")
+        t0 = time.perf_counter()
+        q = jnp.asarray(np.asarray(queries, dtype=np.float32))
+        q = prepare_for_metric(q, self.metric, self._whitener)
+        s_dev, i_dev = self._device_search_prepared(q, k)
+        s = np.asarray(s_dev)
+        i = np.asarray(i_dev)
+        self.stats.add_search_batch(time.perf_counter() - t0, q.shape[0])
+        return s, i
+
+    def retrieve(self, query_emb: np.ndarray, top_k: int = 5):
+        """Single query -> (texts, scores, doc_ids)."""
+        q = np.asarray(query_emb, dtype=np.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        scores, idx = self.search(q, top_k)
+        sel = idx[0]
+        return (
+            [self.texts[j] for j in sel],
+            scores[0].tolist(),
+            [self.doc_ids[j] for j in sel],
+        )
+
+    def get_stats(self, reset: bool = False) -> dict:
+        return self.stats.get(reset)
+
+    # ---------------------------------------------------------- persistence
+
+    def _save(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        corpus = np.asarray(self._corpus_dev, dtype=np.float32)
+        if self.mesh is not None:
+            corpus = corpus[: self._corpus_n]
+        np.save(os.path.join(path, "corpus.npy"), corpus[: self._corpus_n])
+        if self._whitener is not None:
+            np.save(
+                os.path.join(path, "whitener.npy"),
+                np.asarray(self._whitener, dtype=np.float32),
+            )
+        meta = {
+            "texts": self.texts,
+            "doc_ids": self.doc_ids,
+            "fingerprint": self.fingerprint,
+            "metric": self.metric,
+            "n": self._corpus_n,
+        }
+        tmp = os.path.join(path, "meta.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(path, "meta.json"))
+        log.info("index persisted to %s (n=%d)", path, self._corpus_n)
+
+    def _load(self, path: str) -> None:
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        # corpus.npy holds PREPARED vectors — mmap for lazy host residency
+        corpus = np.load(os.path.join(path, "corpus.npy"), mmap_mode="r")
+        if corpus.shape[0] != meta["n"]:
+            raise ValueError("meta/corpus row mismatch")
+        wpath = os.path.join(path, "whitener.npy")
+        self._whitener = (
+            jnp.asarray(np.load(wpath)) if os.path.exists(wpath) else None
+        )
+        self.texts = meta["texts"]
+        self.doc_ids = meta["doc_ids"]
+        self.metric = meta.get("metric", self.metric)
+        self.fingerprint = meta.get("fingerprint")
+        self._loaded_fingerprint = self.fingerprint
+        dtype = jnp.bfloat16 if self.store_dtype == "bfloat16" else jnp.float32
+        prepared = jnp.asarray(np.ascontiguousarray(corpus)).astype(dtype)
+        self._corpus_n = int(meta["n"])
+        if self.mesh is not None:
+            from ..parallel import make_sharded_topk, shard_rows
+
+            self._corpus_dev = shard_rows(prepared, self.mesh)
+            self._sharded_cache = {}
+            self._make_sharded = make_sharded_topk
+        else:
+            self._corpus_dev = jax.device_put(prepared)
+        log.info("index loaded from %s (n=%d)", path, self._corpus_n)
+
+    def compatible_with(self, fingerprint: dict) -> bool:
+        return self.fingerprint == fingerprint

@@ -1,0 +1,66 @@
+"""EmbeddingCompressor: sentence encoder + optional latent autoencoder.
+
+Parity with ``retrieval/embedder.py:7-48``: encode text batches with the
+sentence encoder (normalized), then optionally compress through an AE's
+deterministic latent path (VAE → posterior mean, ``embedder.py:44-45``).
+Returns float32 numpy [N, D]. Fixes the reference's missing ``input_dim``
+(the bug behind its wrong CSV compression ratio, SURVEY §2.2).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.autoencoders import encode_latents
+
+log = logging.getLogger("latentrag.retrieval")
+
+
+class EmbeddingCompressor:
+    """Text -> (optionally compressed) embedding matrix.
+
+    ``encoder`` must expose ``encode_batch(list[str]) -> np.ndarray [B, D]``
+    and ``dim`` (see ``models.encoder``); ``autoencoder`` is a
+    ``(flax_module, params)`` pair or ``None``.
+    """
+
+    def __init__(self, encoder, autoencoder=None, ae_type: str | None = None,
+                 batch_size: int = 64):
+        self.encoder = encoder
+        self.autoencoder = autoencoder
+        self.ae_type = ae_type
+        self.batch_size = batch_size
+
+    @property
+    def input_dim(self) -> int:
+        return int(self.encoder.dim)
+
+    @property
+    def output_dim(self) -> int:
+        if self.autoencoder is None:
+            return self.input_dim
+        model, _ = self.autoencoder
+        return int(model.latent_dim)
+
+    def encode_text(self, texts: Sequence[str]) -> np.ndarray:
+        """Batched encode (+compress). Float32 [N, output_dim]."""
+        texts = list(texts)
+        outs = []
+        for start in range(0, len(texts), self.batch_size):
+            chunk = texts[start : start + self.batch_size]
+            emb = np.asarray(self.encoder.encode_batch(chunk), dtype=np.float32)
+            outs.append(emb)
+        emb = (
+            np.concatenate(outs, axis=0)
+            if outs
+            else np.zeros((0, self.input_dim), np.float32)
+        )
+        if self.autoencoder is not None:
+            model, params = self.autoencoder
+            z = encode_latents(model, params, jnp.asarray(emb))
+            emb = np.asarray(z, dtype=np.float32)
+        return emb

@@ -1,0 +1,173 @@
+"""Retrieval-layer tests: oracle equivalence, persistence round-trip,
+fingerprint rebuild semantics, BM25 behaviour — the reference's key test
+patterns (``test/test_retrieval.py``) plus the drift fixes.
+"""
+
+import numpy as np
+import pytest
+
+from latentrag_tpu.retrieval import (
+    BM25Retriever,
+    DenseRetriever,
+    build_retriever,
+    make_fingerprint,
+)
+from latentrag_tpu.utils.config import RetrievalConfig
+
+
+def _normed(rng, n, d):
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+@pytest.mark.parametrize("n", [37, 500])
+@pytest.mark.parametrize("metric", ["cosine", "euclidean", "mahalanobis"])
+def test_dense_matches_numpy_oracle(rng, n, metric):
+    d, nq, k = 24, 8, 5
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((nq, d)).astype(np.float32)
+    r = DenseRetriever(metric=metric, backend="xla_exact", store_dtype="float32")
+    r.build(corpus, [f"t{i}" for i in range(n)])
+    scores, idx = r.search(queries, k)
+
+    if metric == "cosine":
+        cn = corpus / np.linalg.norm(corpus, axis=1, keepdims=True)
+        qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+        ref = qn @ cn.T
+    elif metric == "euclidean":
+        ref = -(((queries[:, None] - corpus[None]) ** 2).sum(-1))
+    else:
+        x = corpus.astype(np.float64)
+        mu = x.mean(0)
+        xc = x - mu
+        cov = xc.T @ xc / (n - 1)
+        cov = 0.999 * cov + 0.001 * np.trace(cov) / d * np.eye(d)
+        inv = np.linalg.inv(cov)
+        diff = queries[:, None, :] - corpus[None, :, :]
+        ref = -np.einsum("qcd,de,qce->qc", diff, inv, diff)
+    ref_idx = np.argsort(-ref, axis=1)[:, :k]
+    agree = (idx == ref_idx).mean()
+    assert agree > 0.95  # ties / fp tolerance
+    assert r.get_stats()["search_calls"] == 1
+
+
+def test_retrieve_single_query_surface(rng):
+    corpus = _normed(rng, 50, 16)
+    r = DenseRetriever(backend="xla_exact", store_dtype="float32")
+    r.build(corpus, [f"text-{i}" for i in range(50)], doc_ids=list(range(50)))
+    texts, scores, doc_ids = r.retrieve(corpus[7], top_k=3)
+    assert texts[0] == "text-7" and doc_ids[0] == 7
+    assert scores[0] == pytest.approx(1.0, abs=1e-3)
+    assert len(texts) == len(scores) == len(doc_ids) == 3
+
+
+def test_persistence_roundtrip(rng, tmp_path):
+    corpus = _normed(rng, 64, 16)
+    path = str(tmp_path / "idx")
+    fp = make_fingerprint(d=16, embedding_model="test-model", ae_type="dae",
+                          latent_dim=16, metric="cosine")
+    r1 = DenseRetriever(backend="xla_exact", index_path=path,
+                        store_dtype="float32")
+    r1.build(corpus, [f"t{i}" for i in range(64)], fingerprint=fp)
+    q = corpus[:5]
+    s1, i1 = r1.search(q, 4)
+
+    r2 = DenseRetriever(backend="xla_exact", index_path=path,
+                        store_dtype="float32")
+    assert r2.is_built
+    assert r2.fingerprint == fp
+    s2, i2 = r2.search(q, 4)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-5, atol=1e-5)
+    assert r2.texts == r1.texts
+
+
+def test_fingerprint_mismatch_triggers_rebuild(rng, tmp_path):
+    corpus = _normed(rng, 32, 8)
+    path = str(tmp_path / "idx")
+    fp_old = make_fingerprint(d=8, ae_type="vae", latent_dim=8)
+    r1 = DenseRetriever(backend="xla_exact", index_path=path,
+                        store_dtype="float32")
+    r1.build(corpus, [f"t{i}" for i in range(32)], fingerprint=fp_old)
+
+    r2 = DenseRetriever(backend="xla_exact", index_path=path,
+                        store_dtype="float32")
+    fp_new = make_fingerprint(d=8, ae_type="dae", latent_dim=8)
+    assert not r2.compatible_with(fp_new)
+    new_corpus = _normed(rng, 40, 8)
+    r2.build(new_corpus, [f"n{i}" for i in range(40)], fingerprint=fp_new)
+    assert r2._corpus_n == 40
+    assert r2.fingerprint == fp_new
+
+
+def test_corrupted_store_starts_clean(rng, tmp_path):
+    path = tmp_path / "idx"
+    path.mkdir()
+    (path / "meta.json").write_text("{not json")
+    r = DenseRetriever(backend="xla_exact", index_path=str(path))
+    assert not r.is_built
+
+
+def test_sharded_dense_matches(rng, eight_devices):
+    from latentrag_tpu.parallel import make_mesh
+
+    corpus = _normed(rng, 333, 16)
+    queries = _normed(rng, 6, 16)
+    r0 = DenseRetriever(backend="xla_exact", store_dtype="float32")
+    r0.build(corpus, [f"t{i}" for i in range(333)])
+    s0, i0 = r0.search(queries, 5)
+
+    r1 = DenseRetriever(backend="xla_exact", store_dtype="float32",
+                        mesh=make_mesh(8))
+    r1.build(corpus, [f"t{i}" for i in range(333)])
+    s1, i1 = r1.search(queries, 5)
+    np.testing.assert_allclose(s0, s1, rtol=1e-4, atol=1e-4)
+    for a, b in zip(i0, i1):
+        assert set(a.tolist()) == set(b.tolist())
+
+
+def test_factory_builds_with_full_fingerprint(rng, tmp_path):
+    cfg = RetrievalConfig(backend="dense", kernel="xla_exact",
+                          index_path=str(tmp_path / "idx"))
+    corpus = _normed(rng, 20, 8)
+    r = build_retriever(corpus, [f"t{i}" for i in range(20)], None, cfg,
+                        embedding_model="mini", ae_type="cae", latent_dim=8)
+    assert r.fingerprint["embedding_model"] == "mini"
+    assert r.fingerprint["ae_type"] == "cae"
+    assert r.is_built
+
+
+class TestBM25:
+    CORPUS = [
+        "the cat sat on the mat",
+        "dogs chase cats in the park",
+        "quantum computing with superconducting qubits",
+        "the stock market fell sharply today",
+        "cats and kittens drink milk",
+    ]
+
+    def test_relevant_doc_ranks_first(self):
+        r = BM25Retriever()
+        r.build_index(self.CORPUS)
+        results = r.retrieve("superconducting qubits", top_k=3)
+        assert results[0][0] == self.CORPUS[2]
+        assert results[0][1] > 0
+
+    def test_term_frequency_matters(self):
+        r = BM25Retriever()
+        r.build_index(self.CORPUS)
+        results = r.retrieve("cats", top_k=5)
+        texts = [t for t, _ in results]
+        assert self.CORPUS[1] in texts[:2] or self.CORPUS[4] in texts[:2]
+
+    def test_batch_search_shapes(self):
+        r = BM25Retriever()
+        r.build_index(self.CORPUS)
+        d, i = r.search(["cat", "market"], k=3)
+        assert d.shape == (2, 3) and i.shape == (2, 3)
+        assert i[1, 0] == 3  # stock market doc
+
+    def test_unknown_terms_score_zero(self):
+        r = BM25Retriever()
+        r.build_index(self.CORPUS)
+        assert r.score_query("xylophone zeppelin").max() == 0.0
