@@ -1,0 +1,29 @@
+from .autoencoder_metrics import (
+    compression_ratio,
+    reconstruction_mse,
+    summarise_sizes,
+)
+from .generation_metrics import (
+    bootstrap_ci,
+    corpus_bleu,
+    evaluate_generation_bootstrap,
+    mean_rouge_l,
+    paired_bootstrap_test,
+    rouge_l_scores,
+)
+from .retrieval_metrics import evaluate_retrieval, hit_matrix, parse_metric
+
+__all__ = [
+    "compression_ratio",
+    "reconstruction_mse",
+    "summarise_sizes",
+    "bootstrap_ci",
+    "corpus_bleu",
+    "evaluate_generation_bootstrap",
+    "mean_rouge_l",
+    "paired_bootstrap_test",
+    "rouge_l_scores",
+    "evaluate_retrieval",
+    "hit_matrix",
+    "parse_metric",
+]
