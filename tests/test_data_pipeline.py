@@ -1,0 +1,126 @@
+"""Data pipeline tests: processing, triples, caches, training arrays, splits
+(mirrors ``test/test_data_processing.py`` patterns with a fake encoder)."""
+
+import numpy as np
+import pytest
+
+from latentrag_tpu.data import (
+    WordPieceTokenizer,
+    add_noise,
+    build_contrastive_triples,
+    build_dae_dataset,
+    clean_text,
+    ensure_embedding_cache,
+    jaccard_similarity,
+    load_evaluation_data,
+    prepare_training_arrays,
+    split_dataset,
+    synthetic_examples,
+    texts_fingerprint,
+)
+
+
+class FakeEncoder:
+    """Deterministic hash-based text encoder standing in for MiniLM."""
+
+    dim = 16
+
+    def __init__(self):
+        self.calls = 0
+
+    def encode_text(self, texts):
+        self.calls += 1
+        out = np.zeros((len(texts), self.dim), np.float32)
+        for i, t in enumerate(texts):
+            rng = np.random.default_rng(abs(hash(t)) % (2**32))
+            v = rng.standard_normal(self.dim)
+            out[i] = v / np.linalg.norm(v)
+        return out
+
+
+def test_clean_text():
+    assert clean_text("  a \n\t b  ") == "a b"
+
+
+def test_add_noise_drops_and_swaps(rng):
+    text = " ".join(f"w{i}" for i in range(50))
+    noisy = add_noise(text, rng, drop_prob=0.3, swap_prob=0.3)
+    assert noisy != text
+    assert set(noisy.split()) <= set(text.split())
+
+
+def test_dae_pairs_clean_target(rng):
+    pairs = build_dae_dataset(["hello  world  foo", "bar baz"], rng)
+    for noisy, clean in pairs:
+        assert clean == clean_text(clean)
+
+
+def test_jaccard():
+    assert jaccard_similarity("a b c", "a b c") == 1.0
+    assert jaccard_similarity("a b", "c d") == 0.0
+
+
+def test_contrastive_triples_negatives_dissimilar(rng):
+    qs = [f"question{i}" for i in range(20)]
+    ps = [f"passage{i} topicword{i} detail{i}" for i in range(20)]
+    triples = build_contrastive_triples(qs, ps, rng, max_jaccard=0.5)
+    assert len(triples) == 20
+    for q, p, n in triples:
+        assert n != p
+        assert jaccard_similarity(p, n) < 0.5
+
+
+def test_embedding_cache_hit(tmp_path):
+    enc = FakeEncoder()
+    texts = ["alpha", "beta"]
+    e1 = ensure_embedding_cache(texts, enc.encode_text, str(tmp_path), "m")
+    e2 = ensure_embedding_cache(texts, enc.encode_text, str(tmp_path), "m")
+    assert enc.calls == 1  # second call served from cache
+    np.testing.assert_array_equal(e1, e2)
+    # different model name -> different key
+    ensure_embedding_cache(texts, enc.encode_text, str(tmp_path), "other")
+    assert enc.calls == 2
+    assert texts_fingerprint(texts, "m") != texts_fingerprint(texts, "other")
+
+
+def test_evaluation_data_dedups_contexts():
+    examples = synthetic_examples(40)
+    # force duplicate contexts
+    examples[1]["context"] = examples[0]["context"]
+    queries, corpus, relevant = load_evaluation_data(examples)
+    assert len(queries) == 40
+    assert len(corpus) == len(set(corpus)) == 39
+    assert relevant[1] == relevant[0]
+    for q, r in zip(queries, relevant):
+        assert 0 <= r < len(corpus)
+
+
+@pytest.mark.parametrize("variant", ["vae", "dae", "cae"])
+def test_prepare_training_arrays(tmp_path, variant):
+    examples = synthetic_examples(30)
+    tok = WordPieceTokenizer.train_from_corpus(
+        [e["context"] for e in examples], vocab_size=600, min_freq=1
+    )
+    enc = FakeEncoder()
+    data = prepare_training_arrays(
+        examples, enc, tok, variant, str(tmp_path), seed=0
+    )
+    if variant == "cae":
+        assert set(data) == {"q", "p", "n"}
+        assert data["q"].shape == data["p"].shape == data["n"].shape
+    else:
+        assert set(data) == {"x", "y"}
+        if variant == "dae":
+            assert not np.allclose(data["x"], data["y"])  # noise applied
+        else:
+            np.testing.assert_array_equal(data["x"], data["y"])
+    assert data[next(iter(data))].shape[1] == enc.dim
+
+
+def test_split_dataset_deterministic():
+    data = {"x": np.arange(100)[:, None].astype(np.float32)}
+    tr1, va1 = split_dataset(data, val_split=0.2, seed=3)
+    tr2, va2 = split_dataset(data, val_split=0.2, seed=3)
+    np.testing.assert_array_equal(va1["x"], va2["x"])
+    assert len(va1["x"]) == 20 and len(tr1["x"]) == 80
+    assert len(np.intersect1d(tr1["x"], va1["x"])) == 0
