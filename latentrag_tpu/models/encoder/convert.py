@@ -1,0 +1,95 @@
+"""HF → Flax weight conversion for the MiniLM sentence encoder.
+
+Ports sentence-transformers/all-MiniLM-L6-v2 (a standard HF BERT checkpoint)
+into the ``MiniLMEncoder`` parameter tree. Runs only where the checkpoint is
+reachable (hub or local path) — the framework itself never requires it
+(SURVEY §7 step 3's "weights converted from HF" with an offline fallback).
+
+Fidelity notes (cf. the reference's alignment test,
+``test/test_alignment_squad_embeddings.py:51-72``): the mapping preserves
+per-tensor values exactly; parity to ~1e-5 then depends only on tokenizer
+equality (use ``WordPieceTokenizer.from_vocab_file`` on the checkpoint's
+vocab.txt) and fp32 activation mode (set ``encoder.dtype="float32"``).
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def convert_hf_bert_to_params(model_name_or_path: str):
+    """Returns (params_pytree, vocab_file_path).
+
+    Requires ``transformers`` + ``torch`` and a resolvable checkpoint.
+    """
+    import numpy as np
+    import torch
+    from transformers import AutoModel, AutoTokenizer
+
+    model = AutoModel.from_pretrained(model_name_or_path)
+    sd = {k: v.detach().cpu().numpy() for k, v in model.state_dict().items()}
+
+    tok = AutoTokenizer.from_pretrained(model_name_or_path)
+    vocab_file = None
+    if hasattr(tok, "vocab_files_names") and hasattr(tok, "name_or_path"):
+        cand = os.path.join(str(tok.name_or_path), "vocab.txt")
+        if os.path.exists(cand):
+            vocab_file = cand
+
+    def dense(prefix):
+        return {
+            "kernel": sd[f"{prefix}.weight"].T.copy(),
+            "bias": sd[f"{prefix}.bias"].copy(),
+        }
+
+    def ln(prefix):
+        return {
+            "scale": sd[f"{prefix}.weight"].copy(),
+            "bias": sd[f"{prefix}.bias"].copy(),
+        }
+
+    params = {
+        "word_embeddings": {
+            "embedding": sd["embeddings.word_embeddings.weight"].copy()
+        },
+        "position_embeddings": {
+            "embedding": sd["embeddings.position_embeddings.weight"].copy()
+        },
+        # single-segment: token_type row 0
+        "token_type_embedding": sd[
+            "embeddings.token_type_embeddings.weight"
+        ][0].copy(),
+        "embed_ln": ln("embeddings.LayerNorm"),
+    }
+    n_layers = len(
+        {k.split(".")[2] for k in sd if k.startswith("encoder.layer.")}
+    )
+    for i in range(n_layers):
+        p = f"encoder.layer.{i}"
+        params[f"layer_{i}"] = {
+            "q": dense(f"{p}.attention.self.query"),
+            "k": dense(f"{p}.attention.self.key"),
+            "v": dense(f"{p}.attention.self.value"),
+            "attn_out": dense(f"{p}.attention.output.dense"),
+            "attn_ln": ln(f"{p}.attention.output.LayerNorm"),
+            "mlp_in": dense(f"{p}.intermediate.dense"),
+            "mlp_out": dense(f"{p}.output.dense"),
+            "mlp_ln": ln(f"{p}.output.LayerNorm"),
+        }
+    return params, vocab_file
+
+
+def save_params(params, path: str) -> None:
+    """Serialize a params pytree to msgpack (flax.serialization)."""
+    from flax import serialization
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(params))
+
+
+def load_params(path: str, template):
+    from flax import serialization
+
+    with open(path, "rb") as f:
+        return serialization.from_bytes(template, f.read())

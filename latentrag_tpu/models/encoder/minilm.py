@@ -1,0 +1,197 @@
+"""MiniLM-class sentence encoder (6-layer BERT, mean-pool + L2 norm) in Flax.
+
+TPU-native replacement for the reference's SentenceTransformer dependency
+(``retrieval/embedder.py:17``, all-MiniLM-L6-v2: vocab 30522, hidden 384,
+12 heads, FFN 1536, max_pos 512 — SURVEY §2.4 item 5). Weights port from the
+HF checkpoint via ``convert.py`` when available; otherwise a deterministic
+random init paired with the corpus-trained WordPiece tokenizer gives a
+self-contained (lower-quality) embedding space for offline operation.
+
+TPU considerations: activations run in bf16 (params + layernorm stats fp32),
+attention is the standard fused-softmax pattern XLA pipelines well, batches
+pad to shape buckets so jit compiles a handful of shapes, not one per batch.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ...utils.config import EncoderConfig
+
+
+class TransformerLayer(nn.Module):
+    hidden_dim: int
+    num_heads: int
+    mlp_dim: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, mask):
+        # x: [B, L, H] in compute dtype; mask: [B, 1, 1, L] additive fp32
+        h = self.hidden_dim
+        head_dim = h // self.num_heads
+
+        q = nn.Dense(h, dtype=self.dtype, name="q")(x)
+        k = nn.Dense(h, dtype=self.dtype, name="k")(x)
+        v = nn.Dense(h, dtype=self.dtype, name="v")(x)
+
+        def split(t):
+            b, l, _ = t.shape
+            return t.reshape(b, l, self.num_heads, head_dim).transpose(
+                0, 2, 1, 3
+            )
+
+        qh, kh, vh = split(q), split(k), split(v)
+        scores = jnp.einsum(
+            "bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32
+        ) / math.sqrt(head_dim)
+        scores = scores + mask  # additive -inf on padding
+        probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, vh)
+        b, _, l, _ = ctx.shape
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, l, h)
+        attn_out = nn.Dense(h, dtype=self.dtype, name="attn_out")(ctx)
+        x = nn.LayerNorm(dtype=jnp.float32, name="attn_ln")(x + attn_out)
+        x = x.astype(self.dtype)
+
+        mlp = nn.Dense(self.mlp_dim, dtype=self.dtype, name="mlp_in")(x)
+        mlp = nn.gelu(mlp, approximate=False)
+        mlp = nn.Dense(h, dtype=self.dtype, name="mlp_out")(mlp)
+        x = nn.LayerNorm(dtype=jnp.float32, name="mlp_ln")(x + mlp)
+        return x.astype(self.dtype)
+
+
+class MiniLMEncoder(nn.Module):
+    """BERT encoder trunk + masked mean pooling + L2 normalization."""
+
+    vocab_size: int = 30522
+    hidden_dim: int = 384
+    num_layers: int = 6
+    num_heads: int = 12
+    mlp_dim: int = 1536
+    max_position_embeddings: int = 512
+    normalize: bool = True
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, input_ids, attention_mask):
+        b, l = input_ids.shape
+        word = nn.Embed(
+            self.vocab_size, self.hidden_dim, dtype=jnp.float32,
+            name="word_embeddings",
+        )(input_ids)
+        pos_ids = jnp.arange(l)[None, :]
+        pos = nn.Embed(
+            self.max_position_embeddings, self.hidden_dim, dtype=jnp.float32,
+            name="position_embeddings",
+        )(pos_ids)
+        tok_type = self.param(
+            "token_type_embedding",
+            nn.initializers.normal(0.02),
+            (self.hidden_dim,),
+            jnp.float32,
+        )  # single segment: one learned vector
+        x = word + pos + tok_type[None, None, :]
+        x = nn.LayerNorm(dtype=jnp.float32, name="embed_ln")(x)
+        x = x.astype(self.dtype)
+
+        additive = jnp.where(
+            attention_mask[:, None, None, :] > 0, 0.0, -1e9
+        ).astype(jnp.float32)
+        for i in range(self.num_layers):
+            x = TransformerLayer(
+                self.hidden_dim, self.num_heads, self.mlp_dim, self.dtype,
+                name=f"layer_{i}",
+            )(x, additive)
+
+        # masked mean pooling (fp32 accumulation)
+        m = attention_mask[:, :, None].astype(jnp.float32)
+        summed = jnp.sum(x.astype(jnp.float32) * m, axis=1)
+        counts = jnp.maximum(jnp.sum(m, axis=1), 1e-9)
+        pooled = summed / counts
+        if self.normalize:
+            norm = jnp.linalg.norm(pooled, axis=-1, keepdims=True)
+            pooled = pooled / jnp.maximum(norm, 1e-12)
+        return pooled  # [B, H] fp32
+
+
+def _bucket_length(n: int, max_length: int) -> int:
+    """Pad sequence length to the next power-of-two bucket (min 16)."""
+    b = 16
+    while b < n and b < max_length:
+        b *= 2
+    return min(b, max_length)
+
+
+class SentenceEncoder:
+    """Tokenizer + MiniLM module + params; the text→embedding surface.
+
+    ``encode_batch(texts) -> np.ndarray [B, dim]`` is the contract consumed
+    by ``EmbeddingCompressor`` (parity with SentenceTransformer.encode).
+    """
+
+    def __init__(
+        self,
+        tokenizer,
+        cfg: EncoderConfig | None = None,
+        params=None,
+        seed: int = 0,
+    ):
+        self.cfg = cfg or EncoderConfig()
+        self.tokenizer = tokenizer
+        dtype = jnp.bfloat16 if self.cfg.dtype == "bfloat16" else jnp.float32
+        self.module = MiniLMEncoder(
+            vocab_size=max(self.cfg.vocab_size, tokenizer.vocab_size),
+            hidden_dim=self.cfg.hidden_dim,
+            num_layers=self.cfg.num_layers,
+            num_heads=self.cfg.num_heads,
+            mlp_dim=self.cfg.mlp_dim,
+            max_position_embeddings=self.cfg.max_position_embeddings,
+            normalize=self.cfg.normalize,
+            dtype=dtype,
+        )
+        if params is None:
+            dummy = jnp.zeros((1, 8), jnp.int32)
+            params = self.module.init(
+                jax.random.PRNGKey(seed), dummy, jnp.ones((1, 8), jnp.int32)
+            )["params"]
+        self.params = params
+        self._apply = jax.jit(
+            lambda p, ids, mask: self.module.apply(
+                {"params": p}, ids, mask
+            )
+        )
+
+    @property
+    def dim(self) -> int:
+        return self.cfg.hidden_dim
+
+    @property
+    def name(self) -> str:
+        return self.cfg.name
+
+    def encode_batch(self, texts) -> np.ndarray:
+        if not texts:
+            return np.zeros((0, self.dim), np.float32)
+        ids, mask = self.tokenizer.encode_batch(
+            list(texts), max_length=self.cfg.max_length
+        )
+        bucket = _bucket_length(ids.shape[1], self.cfg.max_length)
+        if ids.shape[1] < bucket:
+            pad = bucket - ids.shape[1]
+            ids = np.pad(ids, ((0, 0), (0, pad)),
+                         constant_values=self.tokenizer.pad_id)
+            mask = np.pad(mask, ((0, 0), (0, pad)))
+        out = self._apply(self.params, jnp.asarray(ids), jnp.asarray(mask))
+        return np.asarray(out, dtype=np.float32)
+
+    def encode_ids(self, input_ids: jax.Array, attention_mask: jax.Array):
+        """Device-side batched encode for pipelines already tokenized."""
+        return self._apply(self.params, input_ids, attention_mask)

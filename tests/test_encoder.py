@@ -1,0 +1,126 @@
+"""Sentence encoder tests: shapes, normalization, masking invariances,
+determinism, bucketing, and (torch-differential) parity of the BERT math.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from latentrag_tpu.data import WordPieceTokenizer
+from latentrag_tpu.models.encoder import SentenceEncoder
+from latentrag_tpu.utils.config import EncoderConfig
+
+SMALL_CFG = EncoderConfig(
+    vocab_size=0,  # raised to tokenizer size
+    hidden_dim=32,
+    num_layers=2,
+    num_heads=4,
+    mlp_dim=64,
+    max_length=64,
+    dtype="float32",
+)
+
+
+@pytest.fixture(scope="module")
+def encoder():
+    corpus = [
+        "the quick brown fox jumps over the lazy dog.",
+        "sentence encoders map text to vectors.",
+        "vectors live on the unit sphere after normalization.",
+    ] * 4
+    tok = WordPieceTokenizer.train_from_corpus(corpus, vocab_size=400,
+                                               min_freq=1)
+    return SentenceEncoder(tok, SMALL_CFG, seed=0)
+
+
+def test_encode_shapes_and_norm(encoder):
+    out = encoder.encode_batch(["the quick fox", "vectors on the sphere"])
+    assert out.shape == (2, 32)
+    np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, rtol=1e-5)
+
+
+def test_deterministic(encoder):
+    a = encoder.encode_batch(["the quick fox"])
+    b = encoder.encode_batch(["the quick fox"])
+    np.testing.assert_array_equal(a, b)
+
+
+def test_padding_invariance(encoder):
+    """A short text's embedding must not depend on batch padding length."""
+    alone = encoder.encode_batch(["fox"])
+    with_long = encoder.encode_batch(
+        ["fox", "the quick brown fox jumps over the lazy dog " * 3]
+    )
+    np.testing.assert_allclose(alone[0], with_long[0], atol=2e-5)
+
+
+def test_different_texts_differ(encoder):
+    out = encoder.encode_batch(["the quick fox", "normalization sphere"])
+    assert not np.allclose(out[0], out[1])
+
+
+def test_empty_batch(encoder):
+    assert encoder.encode_batch([]).shape == (0, 32)
+
+
+def test_long_input_truncated(encoder):
+    long_text = "fox " * 500
+    out = encoder.encode_batch([long_text])
+    assert out.shape == (1, 32)
+    assert np.isfinite(out).all()
+
+
+def test_bert_layer_matches_torch(rng):
+    """Differential check of the transformer math against torch on random
+    weights — the oracle pattern guarding the HF conversion mapping."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    from latentrag_tpu.models.encoder.minilm import TransformerLayer
+
+    B, L, H, NH = 2, 5, 16, 4
+    x = rng.standard_normal((B, L, H)).astype(np.float32)
+    mask = np.ones((B, L), np.float32)
+    mask[1, 3:] = 0
+
+    layer = TransformerLayer(H, NH, 32, dtype=jnp.float32)
+    import jax
+
+    params = layer.init(
+        jax.random.PRNGKey(0), jnp.asarray(x),
+        jnp.where(jnp.asarray(mask)[:, None, None, :] > 0, 0.0, -1e9),
+    )["params"]
+
+    additive = jnp.where(jnp.asarray(mask)[:, None, None, :] > 0, 0.0, -1e9)
+    out_jax = np.asarray(
+        layer.apply({"params": params}, jnp.asarray(x), additive)
+    )
+
+    def t(a):
+        return torch.tensor(np.asarray(a))
+
+    # torch reference implementing the same computation
+    def dense(p, v):
+        return v @ t(p["kernel"]) + t(p["bias"])
+
+    xt = t(x)
+    q = dense(params["q"], xt).reshape(B, L, NH, H // NH).permute(0, 2, 1, 3)
+    k = dense(params["k"], xt).reshape(B, L, NH, H // NH).permute(0, 2, 1, 3)
+    v = dense(params["v"], xt).reshape(B, L, NH, H // NH).permute(0, 2, 1, 3)
+    scores = q @ k.transpose(-1, -2) / np.sqrt(H // NH) + t(
+        np.asarray(additive)
+    )
+    probs = F.softmax(scores, dim=-1)
+    ctx = (probs @ v).permute(0, 2, 1, 3).reshape(B, L, H)
+    attn = dense(params["attn_out"], ctx)
+    h1 = F.layer_norm(
+        xt + attn, (H,), t(params["attn_ln"]["scale"]),
+        t(params["attn_ln"]["bias"]),
+    )
+    mlp = dense(params["mlp_out"], F.gelu(dense(params["mlp_in"], h1)))
+    out_t = F.layer_norm(
+        h1 + mlp, (H,), t(params["mlp_ln"]["scale"]),
+        t(params["mlp_ln"]["bias"]),
+    )
+    np.testing.assert_allclose(out_jax, out_t.numpy(), atol=2e-5)
