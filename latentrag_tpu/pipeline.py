@@ -1,0 +1,300 @@
+"""End-to-end RAG pipeline: encode → (chunk) → index → retrieve → aggregate →
+(generate) → evaluate.
+
+Parity with the reference orchestrator (``main.py`` ``PipelineRunner``
+163-361), redesigned around batch-first device execution:
+
+* all queries are scored in ONE batched search (the reference loops one
+  query at a time through its batch API — SURVEY §3.1);
+* doc-level MaxSim aggregation is an array op (``ops.maxsim_aggregate``)
+  instead of a per-query Python dict loop (``main.py:274-281``);
+* ``candidate_k = top_k * 3`` when chunking is enabled, else ``top_k``
+  (``main.py:64,265``);
+* compression ratio reports the TRUE input dim (fixes the reference's
+  dim_in fallback defect, SURVEY §2.2);
+* autoencoder checkpoints load from the Orbax store written by
+  ``training.train`` (parity with ``main.py:106-144``'s factory).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Any, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from .data import WordPieceTokenizer, build_inference_corpus
+from .evaluation import evaluate_retrieval
+from .generation import GeneratorSettings, LLMSettings, RAGGenerator
+from .models import build_autoencoder
+from .models.encoder import SentenceEncoder
+from .ops import maxsim_aggregate
+from .retrieval import EmbeddingCompressor, build_retriever
+from .training import load_checkpoint
+from .utils import Config, canonical_ae_type
+
+log = logging.getLogger("latentrag.main")
+
+
+def load_autoencoder(cfg: Config, ae_type: str):
+    """(model, params) from the Orbax checkpoint directory; canonicalises
+    naming (the reference's cae/contrastive/coe split, SURVEY §2.2)."""
+    ae_type = canonical_ae_type(ae_type)
+    if ae_type == "none":
+        return None
+    acfg = cfg.models.for_type(ae_type)
+    model = build_autoencoder(ae_type, acfg)
+    ckpt_name = acfg.checkpoint or ae_type
+    path = os.path.join(cfg.paths.checkpoints_dir, ckpt_name)
+    if not os.path.isdir(path):
+        raise FileNotFoundError(
+            f"no checkpoint for ae_type={ae_type!r} at {path}; train it with "
+            f"`python -m latentrag_tpu.training.train --ae_type {ae_type}`"
+        )
+    restored = load_checkpoint(path)
+    return model, restored["params"]
+
+
+def default_encoder(cfg: Config, corpus: Sequence[str]) -> SentenceEncoder:
+    """Build the sentence encoder: converted weights + checkpoint vocab when
+    present, otherwise a corpus-trained tokenizer + deterministic init."""
+    tok_path = os.path.join(cfg.paths.data_dir, "tokenizer.json")
+    vocab_path = os.path.join(cfg.paths.data_dir, "vocab.txt")
+    if os.path.exists(vocab_path):
+        tokenizer = WordPieceTokenizer.from_vocab_file(vocab_path)
+    elif os.path.exists(tok_path):
+        tokenizer = WordPieceTokenizer.load(tok_path)
+    else:
+        log.info("training tokenizer from corpus (%d docs)", len(corpus))
+        tokenizer = WordPieceTokenizer.train_from_corpus(
+            corpus, vocab_size=cfg.encoder.vocab_size
+        )
+        os.makedirs(cfg.paths.data_dir, exist_ok=True)
+        tokenizer.save(tok_path)
+    params = None
+    if cfg.encoder.weights_path and os.path.exists(cfg.encoder.weights_path):
+        from .models.encoder import load_params
+
+        probe = SentenceEncoder(tokenizer, cfg.encoder)
+        params = load_params(cfg.encoder.weights_path, probe.params)
+        log.info("loaded converted encoder weights: %s",
+                 cfg.encoder.weights_path)
+    return SentenceEncoder(tokenizer, cfg.encoder, params=params)
+
+
+class PipelineRunner:
+    def __init__(
+        self,
+        cfg: Config,
+        ae_type: str = "none",
+        generate: bool = False,
+        compressor: EmbeddingCompressor | None = None,
+        generator: RAGGenerator | None = None,
+        mesh=None,
+    ):
+        self.cfg = cfg
+        self.ae_type = canonical_ae_type(ae_type)
+        self.generate = generate
+        self.mesh = mesh
+        self._compressor = compressor
+        self._generator = generator
+        self._autoencoder = (
+            load_autoencoder(cfg, self.ae_type)
+            if self.ae_type != "none"
+            else None
+        )
+
+    def _ensure_compressor(self, corpus: Sequence[str]) -> EmbeddingCompressor:
+        if self._compressor is None:
+            encoder = default_encoder(self.cfg, corpus)
+            self._compressor = EmbeddingCompressor(
+                encoder,
+                autoencoder=self._autoencoder,
+                ae_type=self.ae_type if self.ae_type != "none" else None,
+                batch_size=self.cfg.encoder.batch_size,
+            )
+        elif self._compressor.autoencoder is None and self._autoencoder:
+            self._compressor.autoencoder = self._autoencoder
+            self._compressor.ae_type = self.ae_type
+        return self._compressor
+
+    def _ensure_generator(self) -> RAGGenerator:
+        if self._generator is None:
+            g = self.cfg.generation
+            self._generator = RAGGenerator(
+                GeneratorSettings(
+                    llm=LLMSettings(
+                        provider=g.provider,
+                        model=g.model,
+                        temperature=g.temperature,
+                        max_tokens=g.max_tokens,
+                    ),
+                    system_prompt_path=g.system_prompt_path,
+                    max_context_tokens=g.max_context_tokens,
+                )
+            )
+        return self._generator
+
+    # -------------------------------------------------------------- process
+
+    def process(
+        self,
+        queries: Sequence[str],
+        corpus: Sequence[str],
+        relevant_ids: Sequence[int],
+    ) -> dict[str, Any]:
+        cfg = self.cfg
+        compressor = self._ensure_compressor(corpus)
+        timings: dict[str, float] = {}
+
+        # 1. chunking (host stage)
+        if cfg.chunking.enabled:
+            t0 = time.perf_counter()
+            records = build_inference_corpus(
+                corpus,
+                list(range(len(corpus))),
+                compressor.encoder.tokenizer,
+                mode=cfg.chunking.mode,
+                max_tokens=cfg.chunking.max_tokens,
+                stride=cfg.chunking.stride,
+                min_tokens=cfg.chunking.min_tokens,
+            )
+            texts = [r.text for r in records]
+            doc_ids = [r.doc_id for r in records]
+            timings["chunking_s"] = time.perf_counter() - t0
+        else:
+            texts = list(corpus)
+            doc_ids = list(range(len(corpus)))
+
+        # 2. encode corpus + queries (batched on device)
+        t0 = time.perf_counter()
+        corpus_emb = compressor.encode_text(texts)
+        timings["encode_corpus_s"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        query_emb = compressor.encode_text(queries)
+        timings["encode_queries_s"] = time.perf_counter() - t0
+
+        # 3. build index
+        retriever = build_retriever(
+            corpus_emb,
+            texts,
+            doc_ids,
+            cfg.retrieval,
+            mesh=self.mesh,
+            embedding_model=cfg.encoder.name,
+            ae_type=self.ae_type if self.ae_type != "none" else None,
+            latent_dim=compressor.output_dim,
+            chunking={
+                "enabled": cfg.chunking.enabled,
+                "mode": cfg.chunking.mode,
+                "max_tokens": cfg.chunking.max_tokens
+                if cfg.chunking.enabled
+                else None,
+                "stride": cfg.chunking.stride if cfg.chunking.enabled else None,
+                "min_tokens": cfg.chunking.min_tokens
+                if cfg.chunking.enabled
+                else None,
+            },
+        )
+
+        # 4. batched retrieve + MaxSim doc aggregation
+        top_k = cfg.retrieval.top_k
+        candidate_k = top_k * 3 if cfg.chunking.enabled else top_k
+        candidate_k = min(candidate_k, len(texts))
+        scores, idx = retriever.search(query_emb, candidate_k)
+        chunk_doc = np.asarray(
+            [doc_ids[j] for j in idx.ravel()], dtype=np.int64
+        ).reshape(idx.shape)
+        doc_scores, doc_top = maxsim_aggregate(
+            jnp.asarray(scores), jnp.asarray(chunk_doc.astype(np.int32)),
+            k=min(top_k, candidate_k),
+        )
+        doc_scores = np.asarray(doc_scores)
+        doc_top = np.asarray(doc_top)
+        retrieved_doc_ids = [row.tolist() for row in doc_top]
+
+        # 5. retrieval evaluation
+        metrics = evaluate_retrieval(
+            retrieved_doc_ids,
+            list(relevant_ids),
+            metrics=cfg.evaluation.retrieval_metrics,
+        )
+
+        result: dict[str, Any] = {
+            "ae_type": self.ae_type,
+            "dim_in": compressor.input_dim,
+            "dim_out": compressor.output_dim,
+            "n_corpus": len(corpus),
+            "n_chunks": len(texts),
+            "n_queries": len(queries),
+            "top_k": top_k,
+            "candidate_k": candidate_k,
+            "retrieval_metrics": metrics,
+            "retriever_stats": retriever.get_stats(),
+            "timings": timings,
+            "retrieved_doc_ids": retrieved_doc_ids,
+            "doc_scores": doc_scores,
+        }
+
+        # 6. optional generation + eval
+        if self.generate:
+            result.update(
+                self._run_generation(
+                    queries, texts, doc_ids, idx, doc_top, retriever
+                )
+            )
+        return result
+
+    def _run_generation(
+        self, queries, texts, doc_ids, chunk_idx, doc_top, retriever
+    ) -> dict[str, Any]:
+        gen = self._ensure_generator()
+        max_chunks = self.cfg.retrieval.max_chunks_per_doc
+        answers = []
+        for qi, query in enumerate(queries):
+            per_doc: dict[int, int] = {}
+            chosen: list[str] = []
+            top_docs = set(doc_top[qi].tolist())
+            for j in chunk_idx[qi]:
+                did = doc_ids[j]
+                if did not in top_docs:
+                    continue
+                if per_doc.get(did, 0) >= max_chunks:
+                    continue
+                per_doc[did] = per_doc.get(did, 0) + 1
+                chosen.append(texts[j])
+            answers.append(gen.generate(query, chosen))
+        return {"answers": answers}
+
+    # ------------------------------------------------------------- run card
+
+    def print_run_card(self, result: dict[str, Any]) -> None:
+        try:
+            from rich.console import Console
+            from rich.table import Table
+
+            console = Console()
+            t = Table(title=f"latentrag-tpu run — ae_type={result['ae_type']}")
+            t.add_column("metric")
+            t.add_column("value", justify="right")
+            t.add_row("corpus", str(result["n_corpus"]))
+            t.add_row("chunks", str(result["n_chunks"]))
+            t.add_row("queries", str(result["n_queries"]))
+            t.add_row(
+                "compression",
+                f"{result['dim_in']}→{result['dim_out']} "
+                f"({result['dim_in'] / result['dim_out']:.1f}x)",
+            )
+            for name, stats in result["retrieval_metrics"].items():
+                t.add_row(name, f"{stats['mean']:.4f} ± {stats['std']:.4f}")
+            st = result["retriever_stats"]
+            t.add_row("build time", f"{st['build_time_s'] * 1e3:.2f} ms")
+            t.add_row("search time", f"{st['search_time_s'] * 1e3:.2f} ms")
+            if "p50" in st:
+                t.add_row("query p50/p95", f"{st['p50']:.4f}/{st['p95']:.4f} ms")
+            console.print(t)
+        except ImportError:
+            log.info("run result: %s", result["retrieval_metrics"])

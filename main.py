@@ -1,0 +1,89 @@
+"""latentrag-tpu pipeline CLI.
+
+Parity with the reference driver (``main.py:368-429``): two-phase parse
+(config pre-loaded so ``--ae_type all`` expands against it), per-variant
+pipeline runs, run cards, experiment CSV rows with baseline speedup columns.
+
+Usage:
+  python main.py --config configs/default.yaml --ae_type vae
+  python main.py --ae_type all --set retrieval.top_k=20 data.dataset=synthetic
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from latentrag_tpu.data import get_examples, load_evaluation_data
+from latentrag_tpu.pipeline import PipelineRunner
+from latentrag_tpu.utils import (
+    apply_overrides,
+    canonical_ae_type,
+    init_logger,
+    load_config,
+    set_seed,
+)
+from latentrag_tpu.utils.experiment_log import append_csv_row, build_metrics_row
+
+AE_CHOICES = ("none", "vae", "dae", "cae", "contrastive", "all")
+
+
+def parse_args(argv=None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description="latentrag-tpu RAG pipeline")
+    p.add_argument("--config", default=None, help="YAML config path")
+    p.add_argument("--ae_type", default="none", choices=AE_CHOICES)
+    p.add_argument("--generate", action="store_true",
+                   help="run LLM answer generation")
+    p.add_argument("--tag", default="run", help="experiment CSV tag")
+    p.add_argument("--set", nargs="*", default=[], metavar="a.b=v",
+                   help="config overrides")
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+    cfg = load_config(args.config)
+    cfg = apply_overrides(cfg, args.set)
+    loggers = init_logger(cfg.logging)
+    set_seed(cfg.training.seed, cfg.training.deterministic)
+
+    loggers.main.info("loading dataset %r", cfg.data.dataset)
+    examples = get_examples(cfg, split="validation"
+                            if cfg.data.dataset == "squad" else "train")
+    queries, corpus, relevant = load_evaluation_data(examples)
+    loggers.main.info("|queries|=%d |corpus|=%d", len(queries), len(corpus))
+
+    variants = (
+        ["vae", "dae", "cae"]
+        if args.ae_type == "all"
+        else [canonical_ae_type(args.ae_type)]
+    )
+    for ae in variants:
+        runner = PipelineRunner(cfg, ae_type=ae, generate=args.generate)
+        result = runner.process(queries, corpus, relevant)
+        runner.print_run_card(result)
+        row = build_metrics_row(
+            tag=args.tag,
+            dataset=cfg.data.dataset,
+            embedder=cfg.encoder.name,
+            ae_type=ae,
+            dim_in=result["dim_in"],
+            dim_out=result["dim_out"],
+            retriever=cfg.retrieval.backend,
+            index_type=cfg.retrieval.kernel,
+            metric_space=cfg.retrieval.metric,
+            top_k=result["top_k"],
+            candidate_k=result["candidate_k"],
+            n_corpus=result["n_corpus"],
+            retrieval_metrics=result["retrieval_metrics"],
+            retriever_stats=result["retriever_stats"],
+            logs_dir=cfg.paths.logs_dir,
+        )
+        append_csv_row(
+            row, f"{cfg.paths.logs_dir}/benchmarks/experiments.csv"
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
