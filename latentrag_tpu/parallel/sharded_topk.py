@@ -30,7 +30,7 @@ def make_sharded_topk(
     k: int,
     metric: str = "cosine",
     backend: str = "approx",
-    block_size: int = 262144,
+    block_size: int = 1048576,
     axis: str = "data",
 ):
     """Build a jitted ``(queries, corpus_sharded, n_valid) -> (scores, idx)``.

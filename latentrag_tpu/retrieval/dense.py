@@ -88,7 +88,7 @@ class DenseRetriever:
 
     metric: str = "cosine"
     backend: str = "auto"
-    block_size: int = 262144
+    block_size: int = 1048576
     store_dtype: str = "bfloat16"  # device dtype of the prepared corpus
     index_path: str | None = None
     fingerprint: dict | None = None

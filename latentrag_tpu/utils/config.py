@@ -156,7 +156,7 @@ class RetrievalConfig:
     top_k: int = 10
     max_chunks_per_doc: int = 3
     normalize: bool = True
-    block_size: int = 4096  # corpus tile for streamed scoring
+    block_size: int = 1048576  # corpus block for streamed scoring
     shard_corpus: bool = False  # shard corpus rows over the mesh data axis
     # hnsw/ivfpq (native ANN tier) parameters
     hnsw_m: int = 32
