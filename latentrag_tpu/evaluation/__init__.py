@@ -11,9 +11,19 @@ from .generation_metrics import (
     paired_bootstrap_test,
     rouge_l_scores,
 )
+from .benchmark import run_benchmark
+from .visualization import (
+    plot_positive_vs_negative_distances,
+    positive_ranks,
+    visualize_compressed_vs_original,
+)
 from .retrieval_metrics import evaluate_retrieval, hit_matrix, parse_metric
 
 __all__ = [
+    "run_benchmark",
+    "plot_positive_vs_negative_distances",
+    "positive_ranks",
+    "visualize_compressed_vs_original",
     "compression_ratio",
     "reconstruction_mse",
     "summarise_sizes",

@@ -1,0 +1,93 @@
+"""Multi-system retrieval benchmark harness.
+
+Working replacement for the reference's drifted/vestigial
+``evaluation/benchmark.py:9-41`` (its registry calls a stale
+EmbeddingCompressor API and its ``--benchmark`` flag is parsed but unused —
+SURVEY §2.2): builds each requested system over the same (queries, corpus,
+relevant) triple, evaluates with the shared metric stack, and reports
+pairwise deltas.
+
+Systems: ``bm25`` (sparse baseline), ``sbert`` (dense, no compression),
+``vae``/``dae``/``cae`` (compressed latents), ``dpr`` (dual-encoder).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Sequence
+
+from ..utils import Config
+from .retrieval_metrics import evaluate_retrieval
+
+log = logging.getLogger("latentrag.eval")
+
+DENSE_SYSTEMS = {"sbert": "none", "vae": "vae", "dae": "dae", "cae": "cae"}
+
+
+def run_benchmark(
+    cfg: Config,
+    queries: Sequence[str],
+    corpus: Sequence[str],
+    relevant: Sequence[int],
+    systems: Sequence[str] = ("bm25", "sbert", "vae", "dae", "cae"),
+    dpr_encoders: tuple | None = None,
+) -> dict[str, Any]:
+    """Evaluate each system; returns {system: {metrics, stats}} plus
+    pairwise metric deltas."""
+    # deferred imports: pipeline imports this package's metrics
+    from ..pipeline import PipelineRunner
+    from ..retrieval import BM25Retriever
+
+    results: dict[str, Any] = {}
+    for system in systems:
+        try:
+            if system == "bm25":
+                r = BM25Retriever()
+                r.build_index(corpus)
+                _, idx = r.search(queries, cfg.retrieval.top_k)
+                retrieved = [row.tolist() for row in idx]
+                metrics = evaluate_retrieval(
+                    retrieved, list(relevant),
+                    metrics=cfg.evaluation.retrieval_metrics,
+                )
+                results[system] = {"metrics": metrics, "stats": {}}
+            elif system == "dpr":
+                if dpr_encoders is None:
+                    raise ValueError("dpr needs (q_encoder, c_encoder)")
+                from ..retrieval.dpr import DPRRetriever
+
+                r = DPRRetriever(*dpr_encoders)
+                r.build_index(corpus)
+                _, idx = r.search(queries, cfg.retrieval.top_k)
+                metrics = evaluate_retrieval(
+                    [row.tolist() for row in idx], list(relevant),
+                    metrics=cfg.evaluation.retrieval_metrics,
+                )
+                results[system] = {"metrics": metrics, "stats": r.get_stats()}
+            elif system in DENSE_SYSTEMS:
+                runner = PipelineRunner(cfg, ae_type=DENSE_SYSTEMS[system])
+                out = runner.process(queries, corpus, relevant)
+                results[system] = {
+                    "metrics": out["retrieval_metrics"],
+                    "stats": out["retriever_stats"],
+                }
+            else:
+                raise ValueError(f"unknown system {system!r}")
+        except Exception as e:
+            log.warning("system %s failed: %s", system, e)
+            results[system] = {"error": str(e)}
+
+    # pairwise deltas on the first metric
+    ok = {s: r for s, r in results.items() if "metrics" in r}
+    if ok:
+        first_metric = next(iter(next(iter(ok.values()))["metrics"]))
+        deltas = {}
+        names = list(ok)
+        for i, a in enumerate(names):
+            for b in names[i + 1 :]:
+                deltas[f"{a}-{b}"] = (
+                    ok[a]["metrics"][first_metric]["mean"]
+                    - ok[b]["metrics"][first_metric]["mean"]
+                )
+        results["_deltas"] = {first_metric: deltas}
+    return results

@@ -1,6 +1,7 @@
 from .base import BaseRetriever, DenseSearchAPI
 from .bm25 import BM25Retriever, tokenize
 from .dense import DenseRetriever, make_fingerprint
+from .dpr import DPRRetriever
 from .embedder import EmbeddingCompressor
 from .factory import build_retriever
 
@@ -11,6 +12,7 @@ __all__ = [
     "tokenize",
     "DenseRetriever",
     "make_fingerprint",
+    "DPRRetriever",
     "EmbeddingCompressor",
     "build_retriever",
 ]

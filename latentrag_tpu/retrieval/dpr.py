@@ -1,0 +1,55 @@
+"""DPR-style dual-encoder retrieval baseline.
+
+Parity with ``retrieval/dpr.py:5-32`` (facebook-dpr question/context
+encoders + ANN index): two independent sentence encoders — one for
+questions, one for passages — over a shared dense index. Weights can be
+converted from the HF DPR checkpoints (BERT-base geometry) via
+``models.encoder.convert``; offline, self-initialised encoders keep the
+capability exercisable end-to-end.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+
+from .dense import DenseRetriever, make_fingerprint
+
+
+class DPRRetriever:
+    """Dual-encoder dense retriever with the BaseRetriever text surface."""
+
+    def __init__(
+        self,
+        question_encoder,
+        context_encoder,
+        metric: str = "cosine",
+        backend: str = "auto",
+    ):
+        self.q_encoder = question_encoder
+        self.c_encoder = context_encoder
+        self.dense = DenseRetriever(metric=metric, backend=backend)
+
+    def build_index(self, corpus: Sequence[str]) -> None:
+        emb = np.asarray(self.c_encoder.encode_batch(list(corpus)),
+                         dtype=np.float32)
+        fp = make_fingerprint(
+            d=emb.shape[1],
+            embedding_model=f"dpr:{getattr(self.c_encoder, 'name', 'ctx')}",
+            metric=self.dense.metric,
+        )
+        self.dense.build(emb, corpus, fingerprint=fp)
+
+    def retrieve(self, query: str, top_k: int = 5):
+        q = np.asarray(self.q_encoder.encode_batch([query]), dtype=np.float32)
+        texts, scores, _ = self.dense.retrieve(q[0], top_k)
+        return list(zip(texts, scores))
+
+    def search(self, queries: Sequence[str], k: int):
+        q = np.asarray(self.q_encoder.encode_batch(list(queries)),
+                       dtype=np.float32)
+        return self.dense.search(q, k)
+
+    def get_stats(self, reset: bool = False) -> dict:
+        return self.dense.get_stats(reset)
