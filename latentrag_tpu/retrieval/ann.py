@@ -1,0 +1,207 @@
+"""ctypes bindings for the native ANN library (HNSW + IVF-PQ).
+
+Host-side ANN tiers matching the reference's FAISS index types
+(``FAISSEmbeddingRetriever.py:95-102``): HNSW (M, efConstruction, efSearch)
+and IVF-PQ (nlist × m × nbits with residual encoding and ADC search). The
+C++ source lives in ``native/latentrag_native.cpp``; the shared library is
+built on demand with ``make`` (g++) on first use.
+
+These tiers trade exactness for sublinear/compressed search on the host;
+the TPU exact path (``DenseRetriever``) remains the quality reference.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+from typing import Sequence
+
+import numpy as np
+
+log = logging.getLogger("latentrag.retrieval")
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native",
+)
+_LIB_PATH = os.path.join(_NATIVE_DIR, "liblatentrag_native.so")
+_lib = None
+
+
+def _load_library() -> ctypes.CDLL:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        log.info("building native library in %s", _NATIVE_DIR)
+        subprocess.run(
+            ["make", "-C", _NATIVE_DIR], check=True, capture_output=True
+        )
+    lib = ctypes.CDLL(_LIB_PATH)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    i32p = ctypes.POINTER(ctypes.c_int)
+
+    lib.hnsw_new.restype = ctypes.c_void_p
+    lib.hnsw_new.argtypes = [ctypes.c_int] * 3 + [ctypes.c_uint]
+    lib.hnsw_free.argtypes = [ctypes.c_void_p]
+    lib.hnsw_size.restype = ctypes.c_int
+    lib.hnsw_size.argtypes = [ctypes.c_void_p]
+    lib.hnsw_add_batch.argtypes = [ctypes.c_void_p, ctypes.c_int, f32p]
+    lib.hnsw_search_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, f32p, ctypes.c_int, ctypes.c_int,
+        i32p, f32p,
+    ]
+    lib.hnsw_save.restype = ctypes.c_int
+    lib.hnsw_save.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.hnsw_load.restype = ctypes.c_void_p
+    lib.hnsw_load.argtypes = [ctypes.c_char_p]
+
+    lib.kmeans_train.argtypes = [
+        f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_uint, f32p,
+    ]
+
+    lib.ivfpq_new.restype = ctypes.c_void_p
+    lib.ivfpq_new.argtypes = [ctypes.c_int] * 4
+    lib.ivfpq_free.argtypes = [ctypes.c_void_p]
+    lib.ivfpq_train.argtypes = [
+        ctypes.c_void_p, f32p, ctypes.c_int, ctypes.c_int, ctypes.c_uint,
+    ]
+    lib.ivfpq_add.argtypes = [ctypes.c_void_p, f32p, ctypes.c_int]
+    lib.ivfpq_search.argtypes = [
+        ctypes.c_void_p, f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        i32p, f32p,
+    ]
+    _lib = lib
+    return lib
+
+
+def _as_f32(x: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(x, dtype=np.float32)
+
+
+def _f32p(x: np.ndarray):
+    return x.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def _i32p(x: np.ndarray):
+    return x.ctypes.data_as(ctypes.POINTER(ctypes.c_int))
+
+
+def kmeans_train(
+    data: np.ndarray, k: int, iters: int = 20, seed: int = 0
+) -> np.ndarray:
+    """Native k-means; returns [k, d] centroids."""
+    lib = _load_library()
+    data = _as_f32(data)
+    n, d = data.shape
+    out = np.zeros((k, d), dtype=np.float32)
+    lib.kmeans_train(_f32p(data), n, d, k, iters, seed, _f32p(out))
+    return out
+
+
+class HNSWIndex:
+    """Graph ANN over inner-product scores (pre-normalize for cosine)."""
+
+    def __init__(
+        self,
+        dim: int,
+        M: int = 32,
+        ef_construction: int = 200,
+        ef_search: int = 64,
+        seed: int = 42,
+        _handle=None,
+    ):
+        self._lib = _load_library()
+        self.dim = dim
+        self.ef_search = ef_search
+        self._h = _handle or self._lib.hnsw_new(
+            dim, M, ef_construction, seed
+        )
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.hnsw_free(self._h)
+            self._h = None
+
+    def __len__(self) -> int:
+        return self._lib.hnsw_size(self._h)
+
+    def add(self, vectors: np.ndarray) -> None:
+        v = _as_f32(vectors)
+        assert v.shape[1] == self.dim
+        self._lib.hnsw_add_batch(self._h, v.shape[0], _f32p(v))
+
+    def search(
+        self, queries: np.ndarray, k: int, ef_search: int | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        q = _as_f32(queries)
+        nq = q.shape[0]
+        ids = np.zeros((nq, k), dtype=np.int32)
+        scores = np.zeros((nq, k), dtype=np.float32)
+        self._lib.hnsw_search_batch(
+            self._h, nq, _f32p(q), k, ef_search or self.ef_search,
+            _i32p(ids), _f32p(scores),
+        )
+        return scores, ids
+
+    def save(self, path: str) -> None:
+        rc = self._lib.hnsw_save(self._h, path.encode())
+        if rc != 0:
+            raise IOError(f"hnsw_save failed for {path}")
+
+    @classmethod
+    def load(cls, path: str, ef_search: int = 64) -> "HNSWIndex":
+        lib = _load_library()
+        h = lib.hnsw_load(path.encode())
+        if not h:
+            raise IOError(f"hnsw_load failed for {path}")
+        probe = cls.__new__(cls)
+        probe._lib = lib
+        probe._h = h
+        probe.ef_search = ef_search
+        # dim is embedded in the file; re-derive via a header peek
+        with open(path, "rb") as f:
+            import struct
+
+            probe.dim = struct.unpack("<i", f.read(4))[0]
+        return probe
+
+
+class IVFPQIndex:
+    """Inverted-file product-quantization index (residual encoding + ADC)."""
+
+    def __init__(self, dim: int, nlist: int = 64, m: int = 16, nbits: int = 8):
+        if dim % m != 0:
+            raise ValueError(f"dim {dim} not divisible by m {m}")
+        self._lib = _load_library()
+        self.dim = dim
+        self.nlist = nlist
+        self._h = self._lib.ivfpq_new(dim, nlist, m, nbits)
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.ivfpq_free(self._h)
+            self._h = None
+
+    def train(self, data: np.ndarray, iters: int = 15, seed: int = 0) -> None:
+        d = _as_f32(data)
+        self._lib.ivfpq_train(self._h, _f32p(d), d.shape[0], iters, seed)
+
+    def add(self, data: np.ndarray) -> None:
+        d = _as_f32(data)
+        self._lib.ivfpq_add(self._h, _f32p(d), d.shape[0])
+
+    def search(
+        self, queries: np.ndarray, k: int, nprobe: int = 8
+    ) -> tuple[np.ndarray, np.ndarray]:
+        q = _as_f32(queries)
+        nq = q.shape[0]
+        ids = np.zeros((nq, k), dtype=np.int32)
+        scores = np.zeros((nq, k), dtype=np.float32)
+        self._lib.ivfpq_search(
+            self._h, _f32p(q), nq, k, nprobe, _i32p(ids), _f32p(scores)
+        )
+        return scores, ids

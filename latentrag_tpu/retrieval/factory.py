@@ -31,6 +31,13 @@ def build_retriever(
     ``main.py:248-253`` — SURVEY §2.2), the fingerprint always carries the
     full provenance so on-disk compatibility checks are meaningful.
     """
+    if cfg.backend in ("hnsw", "ivfpq"):
+        from .ann_retriever import ANNRetriever
+
+        ann = ANNRetriever(cfg, cfg.backend)
+        ann.build(embeddings, texts, doc_ids)
+        return ann
+
     backend = {
         "dense": cfg.kernel if cfg.kernel != "auto" else "auto",
         "bruteforce": "xla_exact",

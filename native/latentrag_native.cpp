@@ -1,0 +1,534 @@
+// latentrag-tpu native host library: HNSW graph ANN + IVF-PQ quantization.
+//
+// TPU-native replacement for the FAISS index tiers the reference wraps
+// (retrieval/FAISSEmbeddingRetriever.py:95-102 — IndexHNSWFlat M=32
+// efC=200 efS=64, and IndexIVFPQ 4096x16x8). Exact search runs on the TPU
+// (ops/ + retrieval/dense.py); graph construction and codebook training are
+// irregular, pointer-chasing host workloads — the one place a C++ extension
+// is justified (SURVEY §2.4 item 1) — so they live here behind a C ABI
+// consumed via ctypes (no pybind11 dependency).
+//
+// Conventions: float32 row-major vectors; metric is inner product (callers
+// pre-normalize for cosine); higher score = better. Thread-safety: one
+// index per thread; batch calls are internally sequential (the target
+// container is single-core).
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <limits>
+#include <queue>
+#include <random>
+#include <vector>
+
+namespace {
+
+inline float dot(const float* a, const float* b, int d) {
+    float s0 = 0.f, s1 = 0.f, s2 = 0.f, s3 = 0.f;
+    int i = 0;
+    for (; i + 4 <= d; i += 4) {
+        s0 += a[i] * b[i];
+        s1 += a[i + 1] * b[i + 1];
+        s2 += a[i + 2] * b[i + 2];
+        s3 += a[i + 3] * b[i + 3];
+    }
+    for (; i < d; ++i) s0 += a[i] * b[i];
+    return s0 + s1 + s2 + s3;
+}
+
+inline float l2sq(const float* a, const float* b, int d) {
+    float s = 0.f;
+    for (int i = 0; i < d; ++i) {
+        float t = a[i] - b[i];
+        s += t * t;
+    }
+    return s;
+}
+
+// ------------------------------------------------------------------ HNSW
+
+struct HNSW {
+    int dim;
+    int M;               // max neighbours per node (level > 0)
+    int M0;              // max neighbours at level 0 (2*M)
+    int ef_construction;
+    float level_mult;    // 1/ln(M)
+    std::vector<float> data;            // n * dim
+    std::vector<int> levels;            // per-node top level
+    // links[l][node] = neighbour list; flattened per level
+    std::vector<std::vector<std::vector<int>>> links;
+    int entry = -1;
+    int max_level = -1;
+    std::mt19937 rng{42};
+
+    int size() const { return static_cast<int>(levels.size()); }
+    const float* vec(int i) const { return data.data() + (size_t)i * dim; }
+
+    int random_level() {
+        std::uniform_real_distribution<float> u(0.f, 1.f);
+        float r = u(rng);
+        int lvl = (int)(-std::log(r + 1e-12f) * level_mult);
+        return std::min(lvl, 16);
+    }
+
+    // greedy descent on one level from start toward q; returns local best
+    int greedy(int start, const float* q, int level) const {
+        int cur = start;
+        float cur_score = dot(vec(cur), q, dim);
+        bool improved = true;
+        while (improved) {
+            improved = false;
+            for (int nb : links[level][cur]) {
+                float s = dot(vec(nb), q, dim);
+                if (s > cur_score) {
+                    cur_score = s;
+                    cur = nb;
+                    improved = true;
+                }
+            }
+        }
+        return cur;
+    }
+
+    // best-first search on a level; returns top-ef (score, id) max-heap data
+    std::vector<std::pair<float, int>> search_level(
+        const float* q, int entry_pt, int ef, int level) const {
+        std::priority_queue<std::pair<float, int>> candidates;  // max by score
+        // results: min-heap by score (keep best ef)
+        std::priority_queue<std::pair<float, int>,
+                            std::vector<std::pair<float, int>>,
+                            std::greater<>> results;
+        std::vector<uint8_t> visited(size(), 0);
+        float e_score = dot(vec(entry_pt), q, dim);
+        candidates.emplace(e_score, entry_pt);
+        results.emplace(e_score, entry_pt);
+        visited[entry_pt] = 1;
+        while (!candidates.empty()) {
+            auto [c_score, c] = candidates.top();
+            candidates.pop();
+            if (!results.empty() && c_score < results.top().first &&
+                (int)results.size() >= ef)
+                break;
+            for (int nb : links[level][c]) {
+                if (visited[nb]) continue;
+                visited[nb] = 1;
+                float s = dot(vec(nb), q, dim);
+                if ((int)results.size() < ef || s > results.top().first) {
+                    candidates.emplace(s, nb);
+                    results.emplace(s, nb);
+                    if ((int)results.size() > ef) results.pop();
+                }
+            }
+        }
+        std::vector<std::pair<float, int>> out;
+        out.reserve(results.size());
+        while (!results.empty()) {
+            out.push_back(results.top());
+            results.pop();
+        }
+        return out;  // ascending by score
+    }
+
+    // simple neighbour selection: keep the M highest-scoring candidates
+    void shrink(std::vector<int>& nbrs, int node, int cap) {
+        if ((int)nbrs.size() <= cap) return;
+        std::partial_sort(
+            nbrs.begin(), nbrs.begin() + cap, nbrs.end(),
+            [&](int a, int b) {
+                return dot(vec(a), vec(node), dim) >
+                       dot(vec(b), vec(node), dim);
+            });
+        nbrs.resize(cap);
+    }
+
+    void add(const float* v) {
+        int id = size();
+        data.insert(data.end(), v, v + dim);
+        int lvl = random_level();
+        levels.push_back(lvl);
+        while ((int)links.size() <= lvl) links.emplace_back();
+        for (auto& level_links : links)
+            if ((int)level_links.size() <= id) level_links.resize(id + 1);
+
+        if (entry < 0) {
+            entry = id;
+            max_level = lvl;
+            return;
+        }
+        int cur = entry;
+        for (int l = max_level; l > lvl; --l) cur = greedy(cur, v, l);
+        for (int l = std::min(lvl, max_level); l >= 0; --l) {
+            auto cand = search_level(v, cur, ef_construction, l);
+            int cap = (l == 0) ? M0 : M;
+            std::vector<int> sel;
+            for (auto it = cand.rbegin(); it != cand.rend(); ++it) {
+                sel.push_back(it->second);
+                if ((int)sel.size() >= cap) break;
+            }
+            links[l][id] = sel;
+            for (int nb : sel) {
+                links[l][nb].push_back(id);
+                shrink(links[l][nb], nb, cap);
+            }
+            cur = cand.empty() ? cur : cand.back().second;
+        }
+        if (lvl > max_level) {
+            max_level = lvl;
+            entry = id;
+        }
+    }
+
+    void search(const float* q, int k, int ef, int* out_ids,
+                float* out_scores) const {
+        if (entry < 0) {
+            for (int i = 0; i < k; ++i) {
+                out_ids[i] = -1;
+                out_scores[i] = -std::numeric_limits<float>::infinity();
+            }
+            return;
+        }
+        int cur = entry;
+        for (int l = max_level; l > 0; --l) cur = greedy(cur, q, l);
+        auto res = search_level(q, cur, std::max(ef, k), 0);
+        // res ascending; emit top-k descending
+        int n = (int)res.size();
+        for (int i = 0; i < k; ++i) {
+            int j = n - 1 - i;
+            if (j >= 0) {
+                out_ids[i] = res[j].second;
+                out_scores[i] = res[j].first;
+            } else {
+                out_ids[i] = -1;
+                out_scores[i] = -std::numeric_limits<float>::infinity();
+            }
+        }
+    }
+};
+
+// ---------------------------------------------------------------- k-means
+
+void kmeans(const float* data, int n, int d, int k, int iters,
+            unsigned seed, float* centroids /* k*d out */) {
+    std::mt19937 rng(seed);
+    std::uniform_int_distribution<int> pick(0, n - 1);
+    for (int c = 0; c < k; ++c)
+        std::memcpy(centroids + (size_t)c * d, data + (size_t)pick(rng) * d,
+                    sizeof(float) * d);
+    std::vector<int> assign(n);
+    std::vector<int> counts(k);
+    std::vector<double> sums((size_t)k * d);
+    for (int it = 0; it < iters; ++it) {
+        for (int i = 0; i < n; ++i) {
+            float best = std::numeric_limits<float>::max();
+            int bc = 0;
+            for (int c = 0; c < k; ++c) {
+                float dist =
+                    l2sq(data + (size_t)i * d, centroids + (size_t)c * d, d);
+                if (dist < best) {
+                    best = dist;
+                    bc = c;
+                }
+            }
+            assign[i] = bc;
+        }
+        std::fill(counts.begin(), counts.end(), 0);
+        std::fill(sums.begin(), sums.end(), 0.0);
+        for (int i = 0; i < n; ++i) {
+            int c = assign[i];
+            counts[c]++;
+            for (int j = 0; j < d; ++j)
+                sums[(size_t)c * d + j] += data[(size_t)i * d + j];
+        }
+        for (int c = 0; c < k; ++c) {
+            if (counts[c] == 0) {  // re-seed empty cluster
+                std::memcpy(centroids + (size_t)c * d,
+                            data + (size_t)pick(rng) * d, sizeof(float) * d);
+                continue;
+            }
+            for (int j = 0; j < d; ++j)
+                centroids[(size_t)c * d + j] =
+                    (float)(sums[(size_t)c * d + j] / counts[c]);
+        }
+    }
+}
+
+// ----------------------------------------------------------------- IVF-PQ
+
+struct IVFPQ {
+    int dim, nlist, m, ksub, dsub;
+    std::vector<float> coarse;     // nlist * dim
+    std::vector<float> codebooks;  // m * ksub * dsub
+    std::vector<std::vector<int>> list_ids;           // per list: vector ids
+    std::vector<std::vector<uint8_t>> list_codes;     // per list: m bytes/vec
+    int count = 0;
+
+    int nearest_list(const float* v) const {
+        float best = std::numeric_limits<float>::max();
+        int bc = 0;
+        for (int c = 0; c < nlist; ++c) {
+            float dist = l2sq(v, coarse.data() + (size_t)c * dim, dim);
+            if (dist < best) {
+                best = dist;
+                bc = c;
+            }
+        }
+        return bc;
+    }
+
+    void encode(const float* v, const float* centroid, uint8_t* code) const {
+        // residual encoding: quantize (v - coarse_centroid) per subspace
+        for (int s = 0; s < m; ++s) {
+            float best = std::numeric_limits<float>::max();
+            int bc = 0;
+            const float* cb = codebooks.data() + (size_t)s * ksub * dsub;
+            for (int c = 0; c < ksub; ++c) {
+                float dist = 0.f;
+                for (int j = 0; j < dsub; ++j) {
+                    float r = v[s * dsub + j] - centroid[s * dsub + j];
+                    float t = r - cb[(size_t)c * dsub + j];
+                    dist += t * t;
+                }
+                if (dist < best) {
+                    best = dist;
+                    bc = c;
+                }
+            }
+            code[s] = (uint8_t)bc;
+        }
+    }
+};
+
+}  // namespace
+
+// ------------------------------------------------------------- C ABI layer
+
+extern "C" {
+
+void* hnsw_new(int dim, int M, int ef_construction, unsigned seed) {
+    auto* h = new HNSW();
+    h->dim = dim;
+    h->M = M;
+    h->M0 = 2 * M;
+    h->ef_construction = ef_construction;
+    h->level_mult = 1.0f / std::log((float)M);
+    h->rng.seed(seed);
+    return h;
+}
+
+void hnsw_free(void* p) { delete static_cast<HNSW*>(p); }
+
+int hnsw_size(void* p) { return static_cast<HNSW*>(p)->size(); }
+
+void hnsw_add_batch(void* p, int n, const float* data) {
+    auto* h = static_cast<HNSW*>(p);
+    for (int i = 0; i < n; ++i) h->add(data + (size_t)i * h->dim);
+}
+
+void hnsw_search_batch(void* p, int nq, const float* queries, int k, int ef,
+                       int* out_ids, float* out_scores) {
+    auto* h = static_cast<HNSW*>(p);
+    for (int i = 0; i < nq; ++i)
+        h->search(queries + (size_t)i * h->dim, k, ef,
+                  out_ids + (size_t)i * k, out_scores + (size_t)i * k);
+}
+
+int hnsw_save(void* p, const char* path) {
+    auto* h = static_cast<HNSW*>(p);
+    FILE* f = std::fopen(path, "wb");
+    if (!f) return -1;
+    int n = h->size();
+    int nlevels = (int)h->links.size();
+    std::fwrite(&h->dim, 4, 1, f);
+    std::fwrite(&h->M, 4, 1, f);
+    std::fwrite(&h->ef_construction, 4, 1, f);
+    std::fwrite(&n, 4, 1, f);
+    std::fwrite(&h->entry, 4, 1, f);
+    std::fwrite(&h->max_level, 4, 1, f);
+    std::fwrite(&nlevels, 4, 1, f);
+    std::fwrite(h->data.data(), 4, (size_t)n * h->dim, f);
+    std::fwrite(h->levels.data(), 4, n, f);
+    for (auto& level : h->links)
+        for (int i = 0; i < n; ++i) {
+            int sz = i < (int)level.size() ? (int)level[i].size() : 0;
+            std::fwrite(&sz, 4, 1, f);
+            if (sz) std::fwrite(level[i].data(), 4, sz, f);
+        }
+    std::fclose(f);
+    return 0;
+}
+
+void* hnsw_load(const char* path) {
+    FILE* f = std::fopen(path, "rb");
+    if (!f) return nullptr;
+    auto* h = new HNSW();
+    int n = 0, nlevels = 0;
+    bool ok = std::fread(&h->dim, 4, 1, f) == 1 &&
+              std::fread(&h->M, 4, 1, f) == 1 &&
+              std::fread(&h->ef_construction, 4, 1, f) == 1 &&
+              std::fread(&n, 4, 1, f) == 1 &&
+              std::fread(&h->entry, 4, 1, f) == 1 &&
+              std::fread(&h->max_level, 4, 1, f) == 1 &&
+              std::fread(&nlevels, 4, 1, f) == 1;
+    if (!ok || n < 0 || nlevels < 0 || nlevels > 64) {
+        std::fclose(f);
+        delete h;
+        return nullptr;
+    }
+    h->M0 = 2 * h->M;
+    h->level_mult = 1.0f / std::log((float)h->M);
+    h->data.resize((size_t)n * h->dim);
+    h->levels.resize(n);
+    ok = std::fread(h->data.data(), 4, (size_t)n * h->dim, f) ==
+             (size_t)n * h->dim &&
+         std::fread(h->levels.data(), 4, n, f) == (size_t)n;
+    h->links.resize(nlevels);
+    for (auto& level : h->links) {
+        level.resize(n);
+        for (int i = 0; i < n && ok; ++i) {
+            int sz = 0;
+            ok = std::fread(&sz, 4, 1, f) == 1 && sz >= 0 && sz <= n;
+            if (ok && sz) {
+                level[i].resize(sz);
+                ok = std::fread(level[i].data(), 4, sz, f) == (size_t)sz;
+            }
+        }
+    }
+    std::fclose(f);
+    if (!ok) {
+        delete h;
+        return nullptr;
+    }
+    return h;
+}
+
+void kmeans_train(const float* data, int n, int d, int k, int iters,
+                  unsigned seed, float* out_centroids) {
+    kmeans(data, n, d, k, iters, seed, out_centroids);
+}
+
+void* ivfpq_new(int dim, int nlist, int m, int nbits) {
+    auto* ix = new IVFPQ();
+    ix->dim = dim;
+    ix->nlist = nlist;
+    ix->m = m;
+    ix->ksub = 1 << nbits;
+    ix->dsub = dim / m;
+    ix->coarse.resize((size_t)nlist * dim);
+    ix->codebooks.resize((size_t)m * ix->ksub * ix->dsub);
+    ix->list_ids.resize(nlist);
+    ix->list_codes.resize(nlist);
+    return ix;
+}
+
+void ivfpq_free(void* p) { delete static_cast<IVFPQ*>(p); }
+
+void ivfpq_train(void* p, const float* data, int n, int iters,
+                 unsigned seed) {
+    auto* ix = static_cast<IVFPQ*>(p);
+    kmeans(data, n, ix->dim, ix->nlist, iters, seed, ix->coarse.data());
+    // residuals for PQ training
+    std::vector<float> resid((size_t)n * ix->dim);
+    for (int i = 0; i < n; ++i) {
+        int c = ix->nearest_list(data + (size_t)i * ix->dim);
+        const float* cent = ix->coarse.data() + (size_t)c * ix->dim;
+        for (int j = 0; j < ix->dim; ++j)
+            resid[(size_t)i * ix->dim + j] =
+                data[(size_t)i * ix->dim + j] - cent[j];
+    }
+    // per-subspace codebooks
+    std::vector<float> sub((size_t)n * ix->dsub);
+    for (int s = 0; s < ix->m; ++s) {
+        for (int i = 0; i < n; ++i)
+            std::memcpy(sub.data() + (size_t)i * ix->dsub,
+                        resid.data() + (size_t)i * ix->dim + s * ix->dsub,
+                        sizeof(float) * ix->dsub);
+        kmeans(sub.data(), n, ix->dsub, ix->ksub, iters, seed + s + 1,
+               ix->codebooks.data() + (size_t)s * ix->ksub * ix->dsub);
+    }
+}
+
+void ivfpq_add(void* p, const float* data, int n) {
+    auto* ix = static_cast<IVFPQ*>(p);
+    std::vector<uint8_t> code(ix->m);
+    for (int i = 0; i < n; ++i) {
+        const float* v = data + (size_t)i * ix->dim;
+        int c = ix->nearest_list(v);
+        ix->encode(v, ix->coarse.data() + (size_t)c * ix->dim, code.data());
+        ix->list_ids[c].push_back(ix->count + i);
+        ix->list_codes[c].insert(ix->list_codes[c].end(), code.begin(),
+                                 code.end());
+    }
+    ix->count += n;
+}
+
+void ivfpq_search(void* p, const float* queries, int nq, int k, int nprobe,
+                  int* out_ids, float* out_scores) {
+    auto* ix = static_cast<IVFPQ*>(p);
+    int m = ix->m, dsub = ix->dsub, ksub = ix->ksub;
+    std::vector<std::pair<float, int>> list_order(ix->nlist);
+    std::vector<float> lut((size_t)m * ksub);
+    for (int qi = 0; qi < nq; ++qi) {
+        const float* q = queries + (size_t)qi * ix->dim;
+        for (int c = 0; c < ix->nlist; ++c)
+            list_order[c] = {
+                l2sq(q, ix->coarse.data() + (size_t)c * ix->dim, ix->dim), c};
+        int np = std::min(nprobe, ix->nlist);
+        std::partial_sort(list_order.begin(), list_order.begin() + np,
+                          list_order.end());
+        // min-heap over negative-distance scores, keep k best
+        std::priority_queue<std::pair<float, int>,
+                            std::vector<std::pair<float, int>>,
+                            std::greater<>> best;
+        for (int pi = 0; pi < np; ++pi) {
+            int c = list_order[pi].second;
+            const float* cent = ix->coarse.data() + (size_t)c * ix->dim;
+            // ADC lookup table for residual distances in this list
+            for (int s = 0; s < m; ++s) {
+                const float* cb =
+                    ix->codebooks.data() + (size_t)s * ksub * dsub;
+                for (int cc = 0; cc < ksub; ++cc) {
+                    float dist = 0.f;
+                    for (int j = 0; j < dsub; ++j) {
+                        float r = q[s * dsub + j] - cent[s * dsub + j];
+                        float t = r - cb[(size_t)cc * dsub + j];
+                        dist += t * t;
+                    }
+                    lut[(size_t)s * ksub + cc] = dist;
+                }
+            }
+            const auto& ids = ix->list_ids[c];
+            const auto& codes = ix->list_codes[c];
+            for (size_t i = 0; i < ids.size(); ++i) {
+                float dist = 0.f;
+                const uint8_t* code = codes.data() + i * m;
+                for (int s = 0; s < m; ++s)
+                    dist += lut[(size_t)s * ksub + code[s]];
+                float score = -dist;
+                if ((int)best.size() < k || score > best.top().first) {
+                    best.emplace(score, ids[i]);
+                    if ((int)best.size() > k) best.pop();
+                }
+            }
+        }
+        std::vector<std::pair<float, int>> res;
+        while (!best.empty()) {
+            res.push_back(best.top());
+            best.pop();
+        }
+        for (int i = 0; i < k; ++i) {
+            int j = (int)res.size() - 1 - i;
+            if (j >= 0) {
+                out_ids[(size_t)qi * k + i] = res[j].second;
+                out_scores[(size_t)qi * k + i] = res[j].first;
+            } else {
+                out_ids[(size_t)qi * k + i] = -1;
+                out_scores[(size_t)qi * k + i] =
+                    -std::numeric_limits<float>::infinity();
+            }
+        }
+    }
+}
+
+}  // extern "C"

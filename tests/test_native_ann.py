@@ -1,0 +1,143 @@
+"""Native ANN tier tests: recall vs exact oracle, persistence, k-means.
+
+Builds the C++ library on first run (g++ via make). Differential pattern:
+HNSW/IVF-PQ results must largely agree with numpy exact search — the
+reference's FAISS-vs-bruteforce oracle test (``test/test_retrieval.py``).
+"""
+
+import numpy as np
+import pytest
+
+pytest.importorskip("ctypes")
+
+from latentrag_tpu.retrieval.ann import HNSWIndex, IVFPQIndex, kmeans_train
+
+
+def _normed(rng, n, d):
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.default_rng(0)
+    return _normed(rng, 2000, 32)
+
+
+@pytest.fixture(scope="module")
+def queries():
+    rng = np.random.default_rng(1)
+    return _normed(rng, 50, 32)
+
+
+def exact_topk_np(q, c, k):
+    sims = q @ c.T
+    idx = np.argsort(-sims, axis=1)[:, :k]
+    return np.take_along_axis(sims, idx, axis=1), idx
+
+
+class TestHNSW:
+    def test_recall_vs_exact(self, corpus, queries):
+        ix = HNSWIndex(32, M=16, ef_construction=100, ef_search=64)
+        ix.add(corpus)
+        assert len(ix) == 2000
+        _, ref_idx = exact_topk_np(queries, corpus, 10)
+        _, got_idx = ix.search(queries, 10)
+        recall = np.mean(
+            [
+                len(set(ref_idx[i]) & set(got_idx[i])) / 10
+                for i in range(len(queries))
+            ]
+        )
+        assert recall >= 0.9, recall
+
+    def test_self_retrieval(self, corpus):
+        ix = HNSWIndex(32, M=16, ef_construction=100)
+        ix.add(corpus[:500])
+        scores, ids = ix.search(corpus[:20], 1)
+        assert (ids[:, 0] == np.arange(20)).mean() >= 0.95
+        np.testing.assert_allclose(scores[:, 0].max(), 1.0, rtol=1e-4)
+
+    def test_persistence_roundtrip(self, corpus, queries, tmp_path):
+        ix = HNSWIndex(32, M=16, ef_construction=100)
+        ix.add(corpus[:800])
+        s1, i1 = ix.search(queries, 5)
+        path = str(tmp_path / "g.hnsw")
+        ix.save(path)
+        ix2 = HNSWIndex.load(path)
+        assert ix2.dim == 32 and len(ix2) == 800
+        s2, i2 = ix2.search(queries, 5)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(s1, s2)
+
+    def test_k_larger_than_index(self):
+        ix = HNSWIndex(8, M=8, ef_construction=50)
+        ix.add(np.eye(8, dtype=np.float32)[:3])
+        scores, ids = ix.search(np.eye(8, dtype=np.float32)[:1], 5)
+        assert (ids[0, 3:] == -1).all()
+
+
+class TestKMeans:
+    def test_separated_clusters_recovered(self):
+        rng = np.random.default_rng(0)
+        centers = np.array([[10, 0], [-10, 0], [0, 10]], np.float32)
+        data = np.concatenate(
+            [c + 0.1 * rng.standard_normal((100, 2)).astype(np.float32)
+             for c in centers]
+        )
+        cents = kmeans_train(data, k=3, iters=25, seed=1)
+        # each true center has a learned centroid within 0.5
+        for c in centers:
+            assert np.linalg.norm(cents - c, axis=1).min() < 0.5
+
+
+class TestIVFPQ:
+    def test_recall_vs_exact(self, corpus, queries):
+        ix = IVFPQIndex(32, nlist=16, m=8, nbits=8)
+        ix.train(corpus, iters=10)
+        ix.add(corpus)
+        _, ref_idx = exact_topk_np(queries, corpus, 10)
+        _, got_idx = ix.search(queries, 10, nprobe=8)
+        recall = np.mean(
+            [
+                len(set(ref_idx[i]) & set(got_idx[i])) / 10
+                for i in range(len(queries))
+            ]
+        )
+        # quantized + half the lists probed: lossy but must be far above chance
+        assert recall >= 0.5, recall
+
+    def test_more_probes_help(self, corpus, queries):
+        ix = IVFPQIndex(32, nlist=16, m=8, nbits=8)
+        ix.train(corpus, iters=10)
+        ix.add(corpus)
+        _, ref_idx = exact_topk_np(queries, corpus, 10)
+
+        def recall(nprobe):
+            _, got = ix.search(queries, 10, nprobe=nprobe)
+            return np.mean(
+                [
+                    len(set(ref_idx[i]) & set(got[i])) / 10
+                    for i in range(len(queries))
+                ]
+            )
+
+        assert recall(16) >= recall(2) - 1e-9
+
+    def test_dim_divisibility_enforced(self):
+        with pytest.raises(ValueError):
+            IVFPQIndex(30, nlist=4, m=8)
+
+
+def test_factory_dispatches_ann(corpus):
+    from latentrag_tpu.retrieval import build_retriever
+    from latentrag_tpu.utils.config import RetrievalConfig
+
+    for backend in ("hnsw", "ivfpq"):
+        cfg = RetrievalConfig(backend=backend, index_path="")
+        r = build_retriever(
+            corpus[:300], [f"t{i}" for i in range(300)], None, cfg
+        )
+        texts, scores, doc_ids = r.retrieve(corpus[5], top_k=3)
+        assert texts[0] == "t5"
+        assert r.get_stats()["search_calls"] == 1
