@@ -6,6 +6,7 @@ from .config import (
     load_config,
     to_dict,
 )
+from .dotenv import load_dotenv
 from .logging_utils import init_logger
 from .prng import KeySeq, set_seed
 from .timing import StatsTracker, Stopwatch, device_stopwatch, percentiles, stopwatch

@@ -53,13 +53,21 @@ def main(argv=None) -> int:
     queries, corpus, relevant = load_evaluation_data(examples)
     loggers.main.info("|queries|=%d |corpus|=%d", len(queries), len(corpus))
 
+    mesh = None
+    if cfg.retrieval.shard_corpus:
+        from latentrag_tpu.parallel import make_mesh
+
+        mesh = make_mesh()
+        loggers.main.info("sharding corpus over %d devices", mesh.size)
+
     variants = (
         ["vae", "dae", "cae"]
         if args.ae_type == "all"
         else [canonical_ae_type(args.ae_type)]
     )
     for ae in variants:
-        runner = PipelineRunner(cfg, ae_type=ae, generate=args.generate)
+        runner = PipelineRunner(cfg, ae_type=ae, generate=args.generate,
+                                mesh=mesh)
         result = runner.process(queries, corpus, relevant)
         runner.print_run_card(result)
         row = build_metrics_row(

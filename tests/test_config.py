@@ -58,3 +58,19 @@ def test_models_for_type():
     assert cfg.models.for_type("contrastive") is cfg.models.cae
     with pytest.raises(ValueError):
         cfg.models.for_type("none")
+
+
+def test_load_dotenv(tmp_path, monkeypatch):
+    from latentrag_tpu.utils import load_dotenv
+
+    p = tmp_path / ".env"
+    p.write_text("# comment\nFOO_KEY='abc'\nBAR_KEY=  xyz \nbad line\n")
+    monkeypatch.delenv("FOO_KEY", raising=False)
+    monkeypatch.setenv("BAR_KEY", "keepme")
+    loaded = load_dotenv(str(p))
+    import os
+
+    assert os.environ["FOO_KEY"] == "abc"
+    assert os.environ["BAR_KEY"] == "keepme"  # existing wins
+    assert loaded["BAR_KEY"] == "xyz"
+    assert load_dotenv(str(tmp_path / "missing")) == {}
