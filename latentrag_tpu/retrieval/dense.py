@@ -89,7 +89,9 @@ class DenseRetriever:
     metric: str = "cosine"
     backend: str = "auto"
     block_size: int = 1048576
-    store_dtype: str = "bfloat16"  # device dtype of the prepared corpus
+    # device dtype of the prepared corpus: float32 | bfloat16 | int8 (SQ8 —
+    # halves HBM vs bf16; cosine/dot only; scores carry ~1e-2 quantization)
+    store_dtype: str = "bfloat16"
     index_path: str | None = None
     fingerprint: dict | None = None
     mesh: Any = None  # jax.sharding.Mesh -> shard corpus rows over "data"
@@ -100,6 +102,7 @@ class DenseRetriever:
 
     _corpus_dev: Any = None  # prepared, device-resident [N, D]
     _corpus_n: int = 0
+    _corpus_scale: Any = None  # SQ8 scale (int8 store only)
     _whitener: Any = None
     _loaded_fingerprint: Any = None
     _sharded_cache: dict = field(default_factory=dict)
@@ -178,8 +181,17 @@ class DenseRetriever:
             cov = estimate_covariance(x)
             self._whitener = whitening_factor(cov)
         prepared = prepare_for_metric(x, self.metric, self._whitener)
-        dtype = jnp.bfloat16 if self.store_dtype == "bfloat16" else jnp.float32
-        prepared = prepared.astype(dtype)
+        if self.store_dtype == "int8":
+            if self.metric not in ("cosine", "dot"):
+                raise ValueError("int8 store supports cosine/dot only")
+            from ..ops.quantization import sq8_quantize
+
+            prepared, self._corpus_scale = sq8_quantize(prepared)
+        else:
+            dtype = (
+                jnp.bfloat16 if self.store_dtype == "bfloat16" else jnp.float32
+            )
+            prepared = prepared.astype(dtype)
         self._corpus_n = emb.shape[0]
         if self.mesh is not None:
             from ..parallel import make_sharded_topk, shard_rows
@@ -219,7 +231,10 @@ class DenseRetriever:
             return False
 
     def _corpus_row(self, i: int):
-        return np.asarray(self._corpus_dev[i], dtype=np.float32)
+        row = np.asarray(self._corpus_dev[i], dtype=np.float32)
+        if self._corpus_scale is not None:
+            row = row * float(self._corpus_scale)
+        return row
 
     # --------------------------------------------------------------- search
 
@@ -227,6 +242,20 @@ class DenseRetriever:
         """Top-k given queries ALREADY in the prepared (normalized/whitened)
         space. Returns device arrays (scores, indices)."""
         backend = self._resolve_backend()
+        if self._corpus_scale is not None:  # int8 store
+            if self.mesh is not None:
+                raise NotImplementedError(
+                    "int8 store with mesh sharding not yet supported"
+                )
+            from ..ops.quantization import sq8_topk
+
+            return sq8_topk(
+                q_prepared,
+                self._corpus_dev,
+                self._corpus_scale,
+                k=k,
+                block_size=self.block_size,
+            )
         if self.mesh is not None:
             key = (k, backend)
             fn = self._sharded_cache.get(key)
@@ -300,8 +329,8 @@ class DenseRetriever:
     def _save(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
         corpus = np.asarray(self._corpus_dev, dtype=np.float32)
-        if self.mesh is not None:
-            corpus = corpus[: self._corpus_n]
+        if self._corpus_scale is not None:  # persist dequantized fp32
+            corpus = corpus * float(self._corpus_scale)
         np.save(os.path.join(path, "corpus.npy"), corpus[: self._corpus_n])
         if self._whitener is not None:
             np.save(
@@ -337,8 +366,16 @@ class DenseRetriever:
         self.metric = meta.get("metric", self.metric)
         self.fingerprint = meta.get("fingerprint")
         self._loaded_fingerprint = self.fingerprint
-        dtype = jnp.bfloat16 if self.store_dtype == "bfloat16" else jnp.float32
-        prepared = jnp.asarray(np.ascontiguousarray(corpus)).astype(dtype)
+        prepared = jnp.asarray(np.ascontiguousarray(corpus))
+        if self.store_dtype == "int8":
+            from ..ops.quantization import sq8_quantize
+
+            prepared, self._corpus_scale = sq8_quantize(prepared)
+        else:
+            prepared = prepared.astype(
+                jnp.bfloat16 if self.store_dtype == "bfloat16"
+                else jnp.float32
+            )
         self._corpus_n = int(meta["n"])
         if self.mesh is not None:
             from ..parallel import make_sharded_topk, shard_rows

@@ -171,3 +171,34 @@ class TestBM25:
         r = BM25Retriever()
         r.build_index(self.CORPUS)
         assert r.score_query("xylophone zeppelin").max() == 0.0
+
+
+def test_int8_store_high_recall(rng, tmp_path):
+    from latentrag_tpu.ops.quantization import sq8_quantize
+
+    corpus = _normed(rng, 400, 32)
+    queries = _normed(rng, 12, 32)
+    r_exact = DenseRetriever(backend="xla_exact", store_dtype="float32")
+    r_exact.build(corpus, [f"t{i}" for i in range(400)])
+    _, i0 = r_exact.search(queries, 5)
+
+    path = str(tmp_path / "idx8")
+    r8 = DenseRetriever(backend="xla_exact", store_dtype="int8",
+                        index_path=path)
+    r8.build(corpus, [f"t{i}" for i in range(400)])
+    _, i1 = r8.search(queries, 5)
+    recall = np.mean([len(set(a) & set(b)) / 5 for a, b in zip(i0, i1)])
+    assert recall >= 0.9
+
+    # persistence roundtrip re-quantizes identically
+    r8b = DenseRetriever(backend="xla_exact", store_dtype="int8",
+                         index_path=path)
+    assert r8b.is_built
+    _, i2 = r8b.search(queries, 5)
+    np.testing.assert_array_equal(i1, i2)
+
+
+def test_int8_rejects_euclidean(rng):
+    r = DenseRetriever(metric="euclidean", store_dtype="int8")
+    with pytest.raises(ValueError):
+        r.build(_normed(rng, 10, 8), [f"t{i}" for i in range(10)])
