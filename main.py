@@ -34,6 +34,9 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--ae_type", default="none", choices=AE_CHOICES)
     p.add_argument("--generate", action="store_true",
                    help="run LLM answer generation")
+    p.add_argument("--benchmark", nargs="*", metavar="SYSTEM",
+                   help="run the multi-system benchmark instead of the "
+                        "pipeline (default systems: bm25 sbert)")
     p.add_argument("--tag", default="run", help="experiment CSV tag")
     p.add_argument("--set", nargs="*", default=[], metavar="a.b=v",
                    help="config overrides")
@@ -52,6 +55,24 @@ def main(argv=None) -> int:
                             if cfg.data.dataset == "squad" else "train")
     queries, corpus, relevant = load_evaluation_data(examples)
     loggers.main.info("|queries|=%d |corpus|=%d", len(queries), len(corpus))
+
+    if args.benchmark is not None:
+        # working replacement for the reference's parsed-but-unused
+        # --benchmark flag (SURVEY §2.2)
+        from latentrag_tpu.evaluation import run_benchmark
+
+        systems = tuple(args.benchmark) or ("bm25", "sbert")
+        out = run_benchmark(cfg, queries, corpus, relevant, systems=systems)
+        for system, res in out.items():
+            if system == "_deltas":
+                loggers.main.info("pairwise deltas: %s", res)
+            elif "metrics" in res:
+                loggers.main.info("%s: %s", system, {
+                    m: round(v["mean"], 4) for m, v in res["metrics"].items()
+                })
+            else:
+                loggers.main.info("%s: ERROR %s", system, res.get("error"))
+        return 0
 
     mesh = None
     if cfg.retrieval.shard_corpus:
