@@ -75,13 +75,15 @@ def default_encoder(cfg: Config, corpus: Sequence[str]) -> SentenceEncoder:
         os.makedirs(cfg.paths.data_dir, exist_ok=True)
         tokenizer.save(tok_path)
     params = None
-    if cfg.encoder.weights_path and os.path.exists(cfg.encoder.weights_path):
+    weights = cfg.encoder.weights_path or os.path.join(
+        cfg.paths.checkpoints_dir, "encoder.msgpack"
+    )
+    if os.path.exists(weights):
         from .models.encoder import load_params
 
         probe = SentenceEncoder(tokenizer, cfg.encoder)
-        params = load_params(cfg.encoder.weights_path, probe.params)
-        log.info("loaded converted encoder weights: %s",
-                 cfg.encoder.weights_path)
+        params = load_params(weights, probe.params)
+        log.info("loaded encoder weights: %s", weights)
     return SentenceEncoder(tokenizer, cfg.encoder, params=params)
 
 
