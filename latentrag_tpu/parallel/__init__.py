@@ -5,6 +5,7 @@ from .mesh import (
     row_sharded,
     shard_rows,
 )
+from .checkpoint import load_sharded_index, save_sharded_index
 from .sharded_topk import make_sharded_topk
 
 __all__ = [
@@ -14,4 +15,6 @@ __all__ = [
     "row_sharded",
     "shard_rows",
     "make_sharded_topk",
+    "load_sharded_index",
+    "save_sharded_index",
 ]

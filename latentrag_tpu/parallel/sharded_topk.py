@@ -40,18 +40,30 @@ def make_sharded_topk(
     the true (pre-padding) corpus row count — padded rows are masked in the
     merge. Indices returned are global corpus rows.
     """
-    local_search = {
-        "approx": functools.partial(
-            approx_topk, k=k, metric=metric, block_size=block_size
-        ),
-        "exact": functools.partial(
-            exact_topk, k=k, metric=metric, block_size=min(block_size, 8192)
-        ),
-    }[backend]
+    if backend == "sq8":
+        from ..ops.quantization import sq8_topk
 
-    def _search(q, c_shard, n_valid):
+        def local_search(q, c_shard, scale):
+            return sq8_topk(q, c_shard, scale, k=k, block_size=block_size)
+
+    else:
+        inner = {
+            "approx": functools.partial(
+                approx_topk, k=k, metric=metric, block_size=block_size
+            ),
+            "exact": functools.partial(
+                exact_topk, k=k, metric=metric,
+                block_size=min(block_size, 8192),
+            ),
+        }[backend]
+
+        def local_search(q, c_shard, scale):
+            del scale
+            return inner(q, c_shard)
+
+    def _search(q, c_shard, n_valid, scale):
         shard_rows_n = c_shard.shape[0]
-        s, i = local_search(q, c_shard)  # [Q, k] local
+        s, i = local_search(q, c_shard, scale)  # [Q, k] local
         offset = jax.lax.axis_index(axis) * shard_rows_n
         gi = i + offset
         s = jnp.where(gi < n_valid, s, NEG_INF)
@@ -67,8 +79,15 @@ def make_sharded_topk(
     sharded = shard_map(
         _search,
         mesh=mesh,
-        in_specs=(P(), P(axis), P()),
+        in_specs=(P(), P(axis), P(), P()),
         out_specs=(P(), P()),
         check_vma=False,
     )
-    return jax.jit(sharded)
+    jitted = jax.jit(sharded)
+
+    def call(q, c_shard, n_valid, scale=None):
+        if scale is None:
+            scale = jnp.float32(1.0)
+        return jitted(q, c_shard, n_valid, scale)
+
+    return call

@@ -242,11 +242,7 @@ class DenseRetriever:
         """Top-k given queries ALREADY in the prepared (normalized/whitened)
         space. Returns device arrays (scores, indices)."""
         backend = self._resolve_backend()
-        if self._corpus_scale is not None:  # int8 store
-            if self.mesh is not None:
-                raise NotImplementedError(
-                    "int8 store with mesh sharding not yet supported"
-                )
+        if self._corpus_scale is not None and self.mesh is None:  # int8 store
             from ..ops.quantization import sq8_topk
 
             return sq8_topk(
@@ -257,21 +253,31 @@ class DenseRetriever:
                 block_size=self.block_size,
             )
         if self.mesh is not None:
-            key = (k, backend)
+            if self._corpus_scale is not None:
+                shard_backend = "sq8"
+            else:
+                shard_backend = "approx" if backend == "xla" else "exact"
+            key = (k, shard_backend)
             fn = self._sharded_cache.get(key)
             if fn is None:
                 fn = self._make_sharded(
                     self.mesh,
                     k=k,
                     metric=self.metric,
-                    backend="approx" if backend == "xla" else "exact",
+                    backend=shard_backend,
                     block_size=self.block_size,
                 )
                 self._sharded_cache[key] = fn
+            q_dev = (
+                q_prepared
+                if self._corpus_scale is not None
+                else q_prepared.astype(self._corpus_dev.dtype)
+            )
             return fn(
-                q_prepared.astype(self._corpus_dev.dtype),
+                q_dev,
                 self._corpus_dev,
                 jnp.int32(self._corpus_n),
+                self._corpus_scale,
             )
         q = q_prepared.astype(self._corpus_dev.dtype)
         if backend == "xla":

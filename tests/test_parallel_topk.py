@@ -62,3 +62,58 @@ def test_small_corpus_padding_masked(rng, eight_devices):
     search = make_sharded_topk(mesh, k=5, metric="cosine", backend="exact")
     s1, i1 = search(qj, shard_rows(cj, mesh), jnp.int32(5))
     assert int(np.asarray(i1).max()) < 5
+
+
+def test_sharded_sq8_backend(rng, eight_devices):
+    from latentrag_tpu.ops.quantization import sq8_quantize
+    import jax
+
+    mesh = make_mesh(8)
+    n = 4096
+    c = rng.standard_normal((n, 16)).astype(np.float32)
+    q = rng.standard_normal((6, 16)).astype(np.float32)
+    cj = l2_normalize(jnp.asarray(c))
+    qj = l2_normalize(jnp.asarray(q))
+    s0, i0 = exact_topk(qj, cj, k=5)
+    codes, scale = sq8_quantize(cj)
+    search = make_sharded_topk(mesh, k=5, metric="cosine", backend="sq8")
+    s1, i1 = search(qj, shard_rows(codes, mesh), jnp.int32(n), scale)
+    i0, i1 = np.asarray(i0), np.asarray(i1)
+    recall = np.mean([len(set(i0[r]) & set(i1[r])) / 5 for r in range(6)])
+    assert recall >= 0.8
+
+
+def test_sharded_int8_dense_retriever(rng, eight_devices):
+    from latentrag_tpu.retrieval import DenseRetriever
+
+    mesh = make_mesh(8)
+    c = rng.standard_normal((500, 16)).astype(np.float32)
+    c = c / np.linalg.norm(c, axis=1, keepdims=True)
+    r0 = DenseRetriever(backend="xla_exact", store_dtype="float32")
+    r0.build(c, [f"t{i}" for i in range(500)])
+    _, i0 = r0.search(c[:8], 5)
+
+    r8 = DenseRetriever(backend="xla_exact", store_dtype="int8", mesh=mesh)
+    r8.build(c, [f"t{i}" for i in range(500)])
+    _, i1 = r8.search(c[:8], 5)
+    recall = np.mean([len(set(a) & set(b)) / 5 for a, b in zip(i0, i1)])
+    assert recall >= 0.8
+
+
+def test_sharded_index_checkpoint_roundtrip(rng, eight_devices, tmp_path):
+    from latentrag_tpu.parallel import load_sharded_index, save_sharded_index
+
+    mesh = make_mesh(8)
+    c = l2_normalize(jnp.asarray(
+        rng.standard_normal((128, 16)).astype(np.float32)))
+    c_sharded = shard_rows(c, mesh)
+    path = str(tmp_path / "sharded_idx")
+    save_sharded_index(path, c_sharded, {"n": 128, "metric": "cosine"})
+
+    restored, meta = load_sharded_index(path, mesh)
+    assert meta["n"] == 128
+    np.testing.assert_allclose(
+        np.asarray(restored), np.asarray(c_sharded), rtol=1e-6
+    )
+    # restored array is actually sharded over the mesh
+    assert len(restored.sharding.device_set) == 8
