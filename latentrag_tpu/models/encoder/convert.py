@@ -22,19 +22,25 @@ def convert_hf_bert_to_params(model_name_or_path: str):
 
     Requires ``transformers`` + ``torch`` and a resolvable checkpoint.
     """
-    import numpy as np
-    import torch
-    from transformers import AutoModel, AutoTokenizer
+    from transformers import AutoModel
 
     model = AutoModel.from_pretrained(model_name_or_path)
     sd = {k: v.detach().cpu().numpy() for k, v in model.state_dict().items()}
 
-    tok = AutoTokenizer.from_pretrained(model_name_or_path)
     vocab_file = None
-    if hasattr(tok, "vocab_files_names") and hasattr(tok, "name_or_path"):
-        cand = os.path.join(str(tok.name_or_path), "vocab.txt")
-        if os.path.exists(cand):
-            vocab_file = cand
+    cand = os.path.join(str(model_name_or_path), "vocab.txt")
+    if os.path.exists(cand):
+        vocab_file = cand
+    else:
+        try:  # checkpoints without a local vocab.txt: ask the tokenizer
+            from transformers import AutoTokenizer
+
+            tok = AutoTokenizer.from_pretrained(model_name_or_path)
+            cand = getattr(tok, "vocab_file", None)
+            if cand and os.path.exists(cand):
+                vocab_file = cand
+        except Exception:
+            pass
 
     def dense(prefix):
         return {
