@@ -129,3 +129,15 @@ def test_canonical_naming_in_runner(cfg):
             apply_overrides(cfg, ["paths.checkpoints_dir=/nonexistent"]),
             ae_type="contrastive",
         )
+
+
+@pytest.mark.parametrize("metric", ["euclidean", "mahalanobis"])
+def test_pipeline_alternative_metrics(cfg, eval_data, metric):
+    queries, corpus, relevant = eval_data
+    c2 = apply_overrides(cfg, [f"retrieval.metric={metric}",
+                               "retrieval.index_path="])
+    runner = PipelineRunner(c2, ae_type="none")
+    result = runner.process(queries, corpus, relevant)
+    r = result["retrieval_metrics"]["Recall@10"]["mean"]
+    assert 0.0 <= r <= 1.0
+    assert result["retriever_stats"]["search_calls"] == 1
