@@ -31,6 +31,8 @@ def run_benchmark(
     relevant: Sequence[int],
     systems: Sequence[str] = ("bm25", "sbert", "vae", "dae", "cae"),
     dpr_encoders: tuple | None = None,
+    csv_path: str | None = None,
+    tag: str = "benchmark",
 ) -> dict[str, Any]:
     """Evaluate each system; returns {system: {metrics, stats}} plus
     pairwise metric deltas."""
@@ -76,6 +78,33 @@ def run_benchmark(
         except Exception as e:
             log.warning("system %s failed: %s", system, e)
             results[system] = {"error": str(e)}
+
+    if csv_path:
+        from ..utils.experiment_log import append_csv_row, build_metrics_row
+
+        for system, res in results.items():
+            if "metrics" not in res:
+                continue
+            row = build_metrics_row(
+                tag=f"{tag}:{system}",
+                dataset=cfg.data.dataset,
+                embedder=cfg.encoder.name,
+                ae_type=DENSE_SYSTEMS.get(system, system),
+                dim_in=cfg.encoder.hidden_dim,
+                dim_out=cfg.models.vae.latent_dim
+                if system in ("vae", "dae", "cae")
+                else cfg.encoder.hidden_dim,
+                retriever=system,
+                index_type=cfg.retrieval.kernel,
+                metric_space=cfg.retrieval.metric,
+                top_k=cfg.retrieval.top_k,
+                candidate_k=cfg.retrieval.top_k,
+                n_corpus=len(corpus),
+                retrieval_metrics=res["metrics"],
+                retriever_stats=res.get("stats", {}),
+                logs_dir=cfg.paths.logs_dir,
+            )
+            append_csv_row(row, csv_path)
 
     # pairwise deltas on the first metric
     ok = {s: r for s, r in results.items() if "metrics" in r}

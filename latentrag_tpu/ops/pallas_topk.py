@@ -25,9 +25,19 @@ Two merge strategies (``mode``):
 * ``"exact"`` (oracle-grade): k max-extract passes over the raw [TQ, K+TN]
   concat per tile. Bit-exact against the numpy oracle; ~5-10x more VPU work.
 
-Grid layout: (query_tiles, corpus_tiles); query tiles are independent
-("parallel"), corpus tiles iterate sequentially ("arbitrary") and accumulate
-into output blocks that revisit the same VMEM slot across the corpus axis.
+Grid layout: corpus tiles OUTER (each tile DMA'd from HBM exactly once,
+regardless of query count), query tiles inner; running per-query-tile state
+lives in VMEM scratch that persists across the whole grid.
+
+Measured guidance (v5e, 1M x 64, k=10 — see CLAUDE.md): XLA's fused
+matmul + ``lax.approx_max_k`` (``ops.topk.approx_topk``) is the fastest
+production path (~1.9 ms @256q / ~2.6-4.4 ms @1024q) because its PartialReduce
+fuses into the matmul consumer and the per-element reduction work is already
+near the VPU floor; this kernel's fold mode lands ~2-5x behind it (the
+K max-extract merge dominates on the VPU), and its exact mode is the
+on-device oracle (bit-exact, ~5-10x more VPU work). Keep ``approx_topk`` as
+the default backend; reach for this kernel when fusing extra per-tile work
+into the stream (masking, on-the-fly dequantization) that XLA cannot.
 """
 
 from __future__ import annotations
