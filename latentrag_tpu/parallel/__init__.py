@@ -5,6 +5,7 @@ from .mesh import (
     row_sharded,
     shard_rows,
 )
+from .distributed import global_mesh, initialize_distributed
 from .checkpoint import load_sharded_index, save_sharded_index
 from .sharded_topk import make_sharded_topk
 
@@ -17,4 +18,6 @@ __all__ = [
     "make_sharded_topk",
     "load_sharded_index",
     "save_sharded_index",
+    "global_mesh",
+    "initialize_distributed",
 ]
