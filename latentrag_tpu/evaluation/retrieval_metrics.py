@@ -46,8 +46,10 @@ def hit_matrix(
             rel = {rel}
         else:
             rel = set(rel)
+        seen: set = set()  # duplicate retrieved ids count at most once
         for j, rid in enumerate(row):
-            out[i, j] = rid in rel
+            out[i, j] = rid in rel and rid not in seen
+            seen.add(rid)
     return out
 
 

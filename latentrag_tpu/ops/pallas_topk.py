@@ -235,10 +235,18 @@ def pallas_topk_raw(
         raise ValueError(f"unsupported metric {metric!r}")
     if block_n > (1 << _IDX_BITS):
         raise ValueError(f"block_n must be <= {1 << _IDX_BITS}")
+    if block_n % _LANES != 0:
+        raise ValueError(f"block_n must be a multiple of {_LANES}")
 
     nq, d = queries.shape
     n = corpus.shape[0]
     k_eff = min(k, n)
+    if mode == "fold" and k_eff > _LANES:
+        # the fold keeps one candidate per lane per tile: beyond 128 the
+        # extraction would emit fabricated sentinel candidates
+        raise ValueError(
+            f"fold mode supports k <= {_LANES} (got {k_eff}); use exact mode"
+        )
 
     block_q = min(block_q, max(8, nq))
     pad_q = (-nq) % block_q

@@ -57,6 +57,10 @@ def sq8_topk(
             preferred_element_type=jnp.int32,
         )
         scores = dots.astype(jnp.float32) * factor
+        # mask padded rows BEFORE selection: a zero pad row scores 0, which
+        # beats genuine negative-score candidates otherwise
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + base
+        scores = jnp.where(col < n, scores, jnp.float32(-3.4e38))
         s, local = jax.lax.approx_max_k(scores, k, recall_target=recall_target)
         return s, local + base
 
@@ -73,7 +77,6 @@ def sq8_topk(
             codes_p, b * block_size, block_size, axis=0
         )
         s, i = block_topk(blk, b * block_size)
-        s = jnp.where(i < n, s, jnp.float32(-3.4e38))
         parts_s.append(s)
         parts_i.append(i)
     cat_s = jnp.concatenate(parts_s, axis=1)

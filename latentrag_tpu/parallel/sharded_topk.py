@@ -40,19 +40,28 @@ def make_sharded_topk(
     the true (pre-padding) corpus row count — padded rows are masked in the
     merge. Indices returned are global corpus rows.
     """
+    # shard_rows zero-pads the corpus to a mesh multiple; the <= P-1 pad
+    # rows all land on the LAST shard and can outscore genuine candidates
+    # (a zero row scores 0 for dot, -||q||^2 for euclidean). Request P-1
+    # extra local candidates so masking them afterwards can never displace
+    # a real top-k member.
+    local_k = k + mesh.shape[axis] - 1
+
     if backend == "sq8":
         from ..ops.quantization import sq8_topk
 
         def local_search(q, c_shard, scale):
-            return sq8_topk(q, c_shard, scale, k=k, block_size=block_size)
+            return sq8_topk(
+                q, c_shard, scale, k=local_k, block_size=block_size
+            )
 
     else:
         inner = {
             "approx": functools.partial(
-                approx_topk, k=k, metric=metric, block_size=block_size
+                approx_topk, k=local_k, metric=metric, block_size=block_size
             ),
             "exact": functools.partial(
-                exact_topk, k=k, metric=metric,
+                exact_topk, k=local_k, metric=metric,
                 block_size=min(block_size, 8192),
             ),
         }[backend]
@@ -63,16 +72,17 @@ def make_sharded_topk(
 
     def _search(q, c_shard, n_valid, scale):
         shard_rows_n = c_shard.shape[0]
-        s, i = local_search(q, c_shard, scale)  # [Q, k] local
+        s, i = local_search(q, c_shard, scale)  # [Q, local_k] local
         offset = jax.lax.axis_index(axis) * shard_rows_n
         gi = i + offset
         s = jnp.where(gi < n_valid, s, NEG_INF)
-        all_s = jax.lax.all_gather(s, axis, axis=0)  # [P, Q, k]
+        all_s = jax.lax.all_gather(s, axis, axis=0)  # [P, Q, local_k]
         all_i = jax.lax.all_gather(gi, axis, axis=0)
         p, nq, kk = all_s.shape
         cat_s = jnp.moveaxis(all_s, 0, 1).reshape(nq, p * kk)
         cat_i = jnp.moveaxis(all_i, 0, 1).reshape(nq, p * kk)
-        top_s, sel = jax.lax.top_k(cat_s, kk)
+        k_out = min(k, p * kk)
+        top_s, sel = jax.lax.top_k(cat_s, k_out)
         top_i = jnp.take_along_axis(cat_i, sel, axis=1)
         return top_s, top_i
 

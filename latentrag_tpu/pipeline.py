@@ -207,16 +207,25 @@ class PipelineRunner:
         candidate_k = top_k * 3 if cfg.chunking.enabled else top_k
         candidate_k = min(candidate_k, len(texts))
         scores, idx = retriever.search(query_emb, candidate_k)
+        # ANN backends signal unfilled slots with idx -1 / score -inf; map
+        # them to a sentinel doc and force the score so they can never win
         chunk_doc = np.asarray(
-            [doc_ids[j] for j in idx.ravel()], dtype=np.int64
+            [doc_ids[j] if j >= 0 else -1 for j in idx.ravel()],
+            dtype=np.int64,
         ).reshape(idx.shape)
+        scores = np.where(idx >= 0, scores, -3.4e38).astype(np.float32)
         doc_scores, doc_top = maxsim_aggregate(
             jnp.asarray(scores), jnp.asarray(chunk_doc.astype(np.int32)),
             k=min(top_k, candidate_k),
         )
         doc_scores = np.asarray(doc_scores)
         doc_top = np.asarray(doc_top)
-        retrieved_doc_ids = [row.tolist() for row in doc_top]
+        # drop duplicate-doc sentinels (score NEG_INF) emitted when fewer
+        # unique docs than k exist among the candidates
+        retrieved_doc_ids = [
+            [int(d) for d, s in zip(row, srow) if s > -1e37 and d >= 0]
+            for row, srow in zip(doc_top, doc_scores)
+        ]
 
         # 5. retrieval evaluation
         metrics = evaluate_retrieval(
@@ -261,6 +270,8 @@ class PipelineRunner:
             chosen: list[str] = []
             top_docs = set(doc_top[qi].tolist())
             for j in chunk_idx[qi]:
+                if j < 0:  # ANN 'no result' slot
+                    continue
                 did = doc_ids[j]
                 if did not in top_docs:
                     continue

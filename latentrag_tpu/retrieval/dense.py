@@ -202,7 +202,9 @@ class DenseRetriever:
         else:
             self._corpus_dev = jax.device_put(prepared)
         self._loaded_fingerprint = dict(self.fingerprint)
-        jax.block_until_ready(self._corpus_dev)
+        from ..utils.timing import force_completion
+
+        force_completion(self._corpus_dev)
         self.stats.add_build(time.perf_counter() - t0)
 
         if self.index_path:

@@ -30,10 +30,22 @@ log = logging.getLogger("latentrag.train")
 
 
 def info_nce_loss(
-    z_q: jax.Array, z_p: jax.Array, temperature: float = 0.05
+    z_q: jax.Array,
+    z_p: jax.Array,
+    temperature: float = 0.05,
+    dup_mask: jax.Array | None = None,
 ) -> jax.Array:
-    """Symmetric in-batch InfoNCE over L2-normalized embeddings."""
+    """Symmetric in-batch InfoNCE over L2-normalized embeddings.
+
+    ``dup_mask[i, j]`` true marks off-diagonal pairs whose positives are
+    identical (frequent in SQuAD: ~6 questions share one context); they are
+    excluded from the negatives, otherwise the objective contradicts itself
+    (forcing sim(q_i, p_j) low while p_j == p_i).
+    """
     sims = (z_q @ z_p.T).astype(jnp.float32) / temperature  # [B, B]
+    if dup_mask is not None:
+        eye = jnp.eye(sims.shape[0], dtype=bool)
+        sims = jnp.where(dup_mask & ~eye, -1e9, sims)
     labels = jnp.arange(sims.shape[0])
     loss_qp = optax.softmax_cross_entropy_with_integer_labels(sims, labels)
     loss_pq = optax.softmax_cross_entropy_with_integer_labels(sims.T, labels)
@@ -70,7 +82,11 @@ class EncoderTrainer:
             mask = jnp.concatenate([batch["q_mask"], batch["p_mask"]])
             z = module.apply({"params": params}, ids, mask)
             b = batch["q_ids"].shape[0]
-            return info_nce_loss(z[:b], z[b:], temp)
+            # identical-positive detection by token ids (duplicated contexts
+            # must not be each other's negatives)
+            p = batch["p_ids"]
+            dup = jnp.all(p[:, None, :] == p[None, :, :], axis=-1)
+            return info_nce_loss(z[:b], z[b:], temp, dup_mask=dup)
 
         @jax.jit
         def train_step(params, opt_state, batch):
@@ -109,6 +125,10 @@ class EncoderTrainer:
         val_fraction: float = 0.1,
     ) -> EncoderTrainResult:
         cfg = self.cfg
+        if len(queries) < 8:
+            raise ValueError(
+                f"need at least 8 (query, positive) pairs, got {len(queries)}"
+            )
         data = self._tokenize_pairs(queries, positives)
         n = data["q_ids"].shape[0]
         rng = np.random.default_rng(cfg.seed)

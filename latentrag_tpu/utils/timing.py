@@ -17,6 +17,27 @@ import jax
 import numpy as np
 
 
+def force_completion(x) -> None:
+    """Guarantee a device computation has finished.
+
+    ``jax.block_until_ready`` is not reliable on every backend (the axon
+    relay used in dev acknowledges dispatch, not completion — CLAUDE.md);
+    fetching one element to host is. Cost: one tiny transfer.
+    """
+    try:
+        for leaf in jax.tree_util.tree_leaves(x):
+            data = (
+                leaf.addressable_shards[0].data
+                if hasattr(leaf, "addressable_shards")
+                else leaf
+            )
+            # fetch ONE element (execution is in program order, so this
+            # waits for everything enqueued before it)
+            np.asarray(data[(0,) * getattr(data, "ndim", 0)])
+    except Exception:
+        jax.block_until_ready(x)
+
+
 class Stopwatch:
     """Accumulates seconds per named key across ``span`` context entries."""
 
@@ -53,7 +74,7 @@ def device_stopwatch(store: dict, key: str, outputs: list):
         yield
     finally:
         if outputs:
-            jax.block_until_ready(outputs)
+            force_completion(outputs)
         store[key] = store.get(key, 0.0) + (time.perf_counter() - t0)
 
 

@@ -131,3 +131,13 @@ def test_maxsim_pads_with_neg_inf_when_fewer_docs(rng):
     assert float(s[0, 0]) == pytest.approx(1.0)
     assert int(ids[0, 0]) == 7
     assert float(s[0, 1]) < -1e30  # duplicates masked out
+
+
+def test_maxsim_sentinels_filtered_in_pipeline_logic():
+    """Duplicate-doc sentinels must not inflate recall (regression for the
+    chunked small-corpus case)."""
+    from latentrag_tpu.evaluation import evaluate_retrieval
+
+    # retrieved row contains a duplicate of the relevant doc
+    res = evaluate_retrieval([[3, 3, 1]], [3], ["Recall@3"])
+    assert res["Recall@3"]["mean"] == 1.0  # not 2.0

@@ -117,3 +117,19 @@ def test_sharded_index_checkpoint_roundtrip(rng, eight_devices, tmp_path):
     )
     # restored array is actually sharded over the mesh
     assert len(restored.sharding.device_set) == 8
+
+
+def test_sharded_euclidean_pad_rows_never_displace(rng, eight_devices):
+    """Regression: zero pad rows score -||q||^2 under euclidean and used to
+    crowd out genuine candidates from the last shard."""
+    mesh = make_mesh(8)
+    n = 41  # pads to 48: 7 zero rows on the last shard
+    c = (rng.standard_normal((n, 8)) * 0.1 + 5.0).astype(np.float32)
+    q = c[:4] + 0.01
+    s0, i0 = exact_topk(jnp.asarray(q), jnp.asarray(c), k=6,
+                        metric="euclidean")
+    search = make_sharded_topk(mesh, k=6, metric="euclidean", backend="exact")
+    s1, i1 = search(jnp.asarray(q), shard_rows(jnp.asarray(c), mesh),
+                    jnp.int32(n))
+    for a, b in zip(np.asarray(i0), np.asarray(i1)):
+        assert set(a.tolist()) == set(b.tolist())

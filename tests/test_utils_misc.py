@@ -123,3 +123,19 @@ def test_distributed_noop_single_process():
     assert initialize_distributed() is False  # no coordinator configured
     mesh = global_mesh()
     assert mesh.shape["data"] >= 1
+
+
+def test_sq8_blocked_negative_scores_not_displaced(rng):
+    """Regression: pad rows scored 0 and displaced negative-score candidates
+    in the final partial block before the mask-order fix."""
+    # vectors chosen so ALL true scores are negative
+    base = -np.abs(rng.standard_normal((70, 8)).astype(np.float32)) - 0.5
+    c = l2_normalize(jnp.asarray(base))
+    q = -c[:3]  # queries anti-aligned: all cosine scores negative-ish
+    codes, scale = sq8_quantize(c)
+    s, i = sq8_topk(q, codes, scale, k=5, block_size=64)
+    assert int(np.asarray(i).max()) < 70
+    _, i0 = exact_topk(q, c, k=5)
+    i0, i1 = np.asarray(i0), np.asarray(i)
+    recall = np.mean([len(set(a) & set(b)) / 5 for a, b in zip(i0, i1)])
+    assert recall >= 0.6
