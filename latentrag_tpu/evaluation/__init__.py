@@ -8,6 +8,8 @@ from .generation_metrics import (
     corpus_bleu,
     evaluate_generation_bootstrap,
     mean_rouge_l,
+    meteor_score,
+    meteor_scores,
     paired_bootstrap_test,
     rouge_l_scores,
 )
@@ -31,6 +33,8 @@ __all__ = [
     "corpus_bleu",
     "evaluate_generation_bootstrap",
     "mean_rouge_l",
+    "meteor_score",
+    "meteor_scores",
     "paired_bootstrap_test",
     "rouge_l_scores",
     "evaluate_retrieval",

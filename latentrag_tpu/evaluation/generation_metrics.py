@@ -57,6 +57,51 @@ def mean_rouge_l(hypotheses: Sequence[str], references: Sequence[str]) -> float:
     return float(rouge_l_scores(hypotheses, references).mean())
 
 
+def meteor_score(hypothesis: str, reference: str) -> float:
+    """Self-contained METEOR (exact unigram matching variant) × 100.
+
+    Advertised by the reference README but unimplemented there (like
+    Mahalanobis — SURVEY §2.2 pattern). Standard formulation: harmonic
+    F-mean weighted toward recall (alpha=0.9) with a fragmentation penalty
+    gamma=0.5, beta=3 over contiguous match chunks.
+    """
+    hyp = hypothesis.lower().split()
+    ref = reference.lower().split()
+    if not hyp or not ref:
+        return 0.0
+    # greedy exact alignment preserving order information
+    ref_used = [False] * len(ref)
+    align: list[tuple[int, int]] = []  # (hyp_i, ref_j)
+    for i, tok in enumerate(hyp):
+        for j, rtok in enumerate(ref):
+            if not ref_used[j] and rtok == tok:
+                ref_used[j] = True
+                align.append((i, j))
+                break
+    m = len(align)
+    if m == 0:
+        return 0.0
+    precision = m / len(hyp)
+    recall = m / len(ref)
+    fmean = precision * recall / (0.9 * precision + 0.1 * recall)
+    # chunks: maximal runs contiguous in BOTH hypothesis and reference
+    chunks = 1
+    for (i1, j1), (i2, j2) in zip(align, align[1:]):
+        if not (i2 == i1 + 1 and j2 == j1 + 1):
+            chunks += 1
+    penalty = 0.5 * (chunks / m) ** 3
+    return 100.0 * fmean * (1.0 - penalty)
+
+
+def meteor_scores(
+    hypotheses: Sequence[str], references: Sequence[str]
+) -> np.ndarray:
+    return np.array(
+        [meteor_score(h, r) for h, r in zip(hypotheses, references)],
+        dtype=np.float64,
+    )
+
+
 def bootstrap_ci(
     values: np.ndarray,
     n_resamples: int = 2000,
@@ -95,6 +140,9 @@ def evaluate_generation_bootstrap(
         m = metric.strip().lower()
         if m in ("rouge-l", "rougel"):
             vals = rouge_l_scores(hypotheses, references)
+            mean, lo, hi = bootstrap_ci(vals, n_resamples, alpha, seed)
+        elif m == "meteor":
+            vals = meteor_scores(hypotheses, references)
             mean, lo, hi = bootstrap_ci(vals, n_resamples, alpha, seed)
         elif m == "bleu":
             # BLEU is corpus-level: bootstrap over sentence resamples

@@ -104,3 +104,35 @@ def test_compression_ratio_uses_true_dims():
     assert compression_ratio(384, 64) == pytest.approx(6.0)
     with pytest.raises(ValueError):
         compression_ratio(384, 0)
+
+
+class TestMeteor:
+    def test_perfect_match(self):
+        from latentrag_tpu.evaluation import meteor_score
+
+        # identical: P=R=1, fmean=1, one chunk, penalty=0.5*(1/m)^3
+        s = meteor_score("the cat sat on the mat", "the cat sat on the mat")
+        assert s > 99.0
+
+    def test_no_overlap_zero(self):
+        from latentrag_tpu.evaluation import meteor_score
+
+        assert meteor_score("alpha beta", "gamma delta") == 0.0
+
+    def test_fragmentation_penalized(self):
+        from latentrag_tpu.evaluation import meteor_score
+
+        ref = "a b c d e f"
+        contiguous = meteor_score("a b c", ref)
+        fragmented = meteor_score("a c e", ref)
+        assert contiguous > fragmented
+
+    def test_in_bootstrap_harness(self):
+        from latentrag_tpu.evaluation import evaluate_generation_bootstrap
+
+        out = evaluate_generation_bootstrap(
+            ["the cat sat"] * 20, ["the cat sat"] * 20,
+            metrics=["METEOR"], min_pairs=10, n_resamples=50,
+        )
+        # 3-word identical pair: penalty 0.5*(1/3)^3 leaves ~98.1
+        assert out["METEOR"]["mean"] > 98.0
