@@ -49,7 +49,7 @@ def sq8_topk(
     n = corpus_codes.shape[0]
     k = min(k, n)
 
-    def block_topk(codes, base):
+    def block_topk(codes, base, kk):
         dots = jax.lax.dot_general(
             q_codes,
             codes,
@@ -57,26 +57,30 @@ def sq8_topk(
             preferred_element_type=jnp.int32,
         )
         scores = dots.astype(jnp.float32) * factor
-        # mask padded rows BEFORE selection: a zero pad row scores 0, which
-        # beats genuine negative-score candidates otherwise
-        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + base
-        scores = jnp.where(col < n, scores, jnp.float32(-3.4e38))
-        s, local = jax.lax.approx_max_k(scores, k, recall_target=recall_target)
+        s, local = jax.lax.approx_max_k(
+            scores, kk, recall_target=recall_target
+        )
         return s, local + base
 
     if n <= block_size:
-        return block_topk(corpus_codes, 0)
+        return block_topk(corpus_codes, 0, k)
 
-    pad = (-n) % block_size
-    codes_p = (
-        jnp.pad(corpus_codes, ((0, pad), (0, 0))) if pad else corpus_codes
-    )
+    # full blocks slice the original codes (no padded copy, no mask); the
+    # remainder gets its own smaller block so pad rows never exist
+    n_full = n // block_size
     parts_s, parts_i = [], []
-    for b in range(codes_p.shape[0] // block_size):
-        blk = jax.lax.dynamic_slice_in_dim(
-            codes_p, b * block_size, block_size, axis=0
+    for b in range(n_full):
+        blk = jax.lax.slice_in_dim(
+            corpus_codes, b * block_size, (b + 1) * block_size, axis=0
         )
-        s, i = block_topk(blk, b * block_size)
+        s, i = block_topk(blk, b * block_size, k)
+        parts_s.append(s)
+        parts_i.append(i)
+    rem = n - n_full * block_size
+    if rem:
+        blk = jax.lax.slice_in_dim(corpus_codes, n_full * block_size, n,
+                                   axis=0)
+        s, i = block_topk(blk, n_full * block_size, min(k, rem))
         parts_s.append(s)
         parts_i.append(i)
     cat_s = jnp.concatenate(parts_s, axis=1)

@@ -137,30 +137,40 @@ def approx_topk(
         )
         return finalize(s), i
 
-    corpus_p, n_valid = _pad_corpus(corpus, block_size)
-    n_blocks = corpus_p.shape[0] // block_size
-
     # Few blocks: unroll in the trace — XLA fuses approx_max_k into each
     # block's matmul consumer (a lax.scan body defeats that fusion; measured
-    # ~3x slower on v5e at 1M x 64).
-    if n_blocks <= 16:
+    # ~3x slower on v5e at 1M x 64). Full blocks slice the ORIGINAL corpus
+    # (no padded copy, no validity mask); the remainder gets its own
+    # (smaller) block, so no pad rows ever exist.
+    if n_total <= 16 * block_size:
+        n_full = n_total // block_size
         parts_s, parts_i = [], []
-        for b in range(n_blocks):
-            blk = jax.lax.dynamic_slice_in_dim(
-                corpus_p, b * block_size, block_size, axis=0
+        for b in range(n_full):
+            blk = jax.lax.slice_in_dim(
+                corpus, b * block_size, (b + 1) * block_size, axis=0
             )
             s = block_scores(blk)
-            base = b * block_size
-            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + base
-            s = jnp.where(col < n_valid, s, NEG_INF)
             bs_, bl = jax.lax.approx_max_k(s, k, recall_target=recall_target)
             parts_s.append(bs_)
-            parts_i.append(jnp.take_along_axis(col, bl, axis=1))
+            parts_i.append(bl + b * block_size)
+        rem = n_total - n_full * block_size
+        if rem:
+            blk = jax.lax.slice_in_dim(corpus, n_full * block_size, n_total,
+                                       axis=0)
+            s = block_scores(blk)
+            k_rem = min(k, rem)
+            bs_, bl = jax.lax.approx_max_k(
+                s, k_rem, recall_target=recall_target
+            )
+            parts_s.append(bs_)
+            parts_i.append(bl + n_full * block_size)
         cat_s = jnp.concatenate(parts_s, axis=1)
         cat_i = jnp.concatenate(parts_i, axis=1)
         top_s, sel = jax.lax.top_k(cat_s, k)
         return finalize(top_s), jnp.take_along_axis(cat_i, sel, axis=1)
 
+    corpus_p, n_valid = _pad_corpus(corpus, block_size)
+    n_blocks = corpus_p.shape[0] // block_size
     blocks = corpus_p.reshape(n_blocks, block_size, corpus.shape[1])
     nq = q.shape[0]
     init = (
