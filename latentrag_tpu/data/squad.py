@@ -147,11 +147,38 @@ def synthetic_examples(n: int = 200, seed: int = 0) -> list[dict]:
     return out
 
 
+def load_jsonl_examples(path: str, max_samples: int | None = None) -> list[dict]:
+    """Custom-corpus loader: one JSON object per line with at least
+    {question, context}; optional {answer_text, answer_start, doc_id}."""
+    out = []
+    with open(path) as f:
+        for i, line in enumerate(f):
+            if max_samples is not None and len(out) >= max_samples:
+                break
+            line = line.strip()
+            if not line:
+                continue
+            ex = json.loads(line)
+            out.append(
+                {
+                    "question": ex["question"],
+                    "context": ex["context"],
+                    "answer_text": ex.get("answer_text", ""),
+                    "answer_start": int(ex.get("answer_start", 0)),
+                    "doc_id": ex.get("doc_id", i),
+                }
+            )
+    return out
+
+
 def get_examples(cfg: Config, split: str = "train") -> list[dict]:
-    """Dispatch: 'squad' (HF), 'squad:<path>' (local json), 'synthetic'."""
+    """Dispatch: 'squad' (HF), 'squad:<path>' (local official json),
+    'jsonl:<path>' (custom corpus), 'synthetic'."""
     ds = cfg.data.dataset
     if ds.startswith("synthetic"):
         return synthetic_examples(cfg.data.max_samples or 200)
+    if ds.startswith("jsonl:"):
+        return load_jsonl_examples(ds.split(":", 1)[1], cfg.data.max_samples)
     if ":" in ds:
         _, path = ds.split(":", 1)
         return load_local_squad(path, cfg.data.max_samples)

@@ -113,6 +113,10 @@ class DenseRetriever:
     def __post_init__(self):
         if self.backend not in BACKENDS:
             raise ValueError(f"backend {self.backend!r} not in {BACKENDS}")
+        if self.mesh is not None and self.mesh.size == 1:
+            # a 1-device mesh adds shard_map plumbing for nothing; the
+            # single-device kernels are strictly faster
+            self.mesh = None
         if self.index_path and os.path.exists(
             os.path.join(self.index_path, "meta.json")
         ):

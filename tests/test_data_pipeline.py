@@ -124,3 +124,26 @@ def test_split_dataset_deterministic():
     np.testing.assert_array_equal(va1["x"], va2["x"])
     assert len(va1["x"]) == 20 and len(tr1["x"]) == 80
     assert len(np.intersect1d(tr1["x"], va1["x"])) == 0
+
+
+def test_jsonl_loader(tmp_path):
+    import json
+
+    from latentrag_tpu.data.squad import load_jsonl_examples
+    from latentrag_tpu.data import get_examples
+    from latentrag_tpu.utils import Config, apply_overrides
+
+    p = tmp_path / "c.jsonl"
+    rows = [
+        {"question": "q1?", "context": "ctx one", "answer_text": "one",
+         "answer_start": 4},
+        {"question": "q2?", "context": "ctx two"},
+    ]
+    p.write_text("\n".join(json.dumps(r) for r in rows) + "\n\n")
+    exs = load_jsonl_examples(str(p))
+    assert len(exs) == 2
+    assert exs[0]["answer_start"] == 4
+    assert exs[1]["doc_id"] == 1
+    cfg = apply_overrides(Config(), [f"data.dataset=jsonl:{p}",
+                                     "data.max_samples=1"])
+    assert len(get_examples(cfg)) == 1
