@@ -171,14 +171,65 @@ def load_jsonl_examples(path: str, max_samples: int | None = None) -> list[dict]
     return out
 
 
+def cloze_examples(
+    texts: Sequence[str],
+    max_samples: int | None = None,
+    snippet_words: int = 12,
+    seed: int = 0,
+) -> list[dict]:
+    """Self-supervised eval pairs from a raw text corpus: the query is a
+    sampled snippet of a document, the document is the relevant answer.
+
+    Lets any plain corpus (no QA labels) serve as a real-text retrieval
+    benchmark — retrieval quality = can the snippet find its source doc.
+    """
+    rng = np.random.default_rng(seed)
+    out = []
+    for i, text in enumerate(texts):
+        if max_samples is not None and len(out) >= max_samples:
+            break
+        words = text.split()
+        if len(words) < snippet_words + 2:
+            continue
+        start = int(rng.integers(0, len(words) - snippet_words))
+        snippet = " ".join(words[start : start + snippet_words])
+        out.append(
+            {
+                "question": snippet,
+                "context": text,
+                "answer_text": snippet,
+                "answer_start": text.find(snippet) if snippet in text else 0,
+                "doc_id": i,
+            }
+        )
+    return out
+
+
+def load_text_corpus(path: str) -> list[str]:
+    """One document per line (.txt) or a JSON list of strings (.json)."""
+    if path.endswith(".json"):
+        with open(path) as f:
+            data = json.load(f)
+        if isinstance(data, dict):  # tolerate {"texts": [...]} shapes
+            data = data.get("texts", data)
+        return [str(t) for t in data]
+    with open(path) as f:
+        return [line.strip() for line in f if line.strip()]
+
+
 def get_examples(cfg: Config, split: str = "train") -> list[dict]:
     """Dispatch: 'squad' (HF), 'squad:<path>' (local official json),
-    'jsonl:<path>' (custom corpus), 'synthetic'."""
+    'jsonl:<path>' (custom corpus), 'cloze:<textfile>' (self-supervised
+    snippet->doc pairs from raw text), 'synthetic'."""
     ds = cfg.data.dataset
     if ds.startswith("synthetic"):
         return synthetic_examples(cfg.data.max_samples or 200)
     if ds.startswith("jsonl:"):
         return load_jsonl_examples(ds.split(":", 1)[1], cfg.data.max_samples)
+    if ds.startswith("cloze:"):
+        return cloze_examples(
+            load_text_corpus(ds.split(":", 1)[1]), cfg.data.max_samples
+        )
     if ":" in ds:
         _, path = ds.split(":", 1)
         return load_local_squad(path, cfg.data.max_samples)

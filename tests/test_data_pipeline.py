@@ -147,3 +147,25 @@ def test_jsonl_loader(tmp_path):
     cfg = apply_overrides(Config(), [f"data.dataset=jsonl:{p}",
                                      "data.max_samples=1"])
     assert len(get_examples(cfg)) == 1
+
+
+def test_cloze_examples(tmp_path):
+    from latentrag_tpu.data.squad import cloze_examples, load_text_corpus
+
+    texts = [
+        " ".join(f"doc{i}word{j}" for j in range(30)) for i in range(5)
+    ] + ["too short"]
+    exs = cloze_examples(texts, snippet_words=6, seed=0)
+    assert len(exs) == 5  # short doc skipped
+    for ex in exs:
+        assert ex["question"] in ex["context"]
+        assert ex["context"] == texts[ex["doc_id"]]
+    # loader formats
+    p = tmp_path / "c.txt"
+    p.write_text("\n".join(texts))
+    assert load_text_corpus(str(p)) == texts
+    import json as _json
+
+    pj = tmp_path / "c.json"
+    pj.write_text(_json.dumps(texts))
+    assert load_text_corpus(str(pj)) == texts
