@@ -223,6 +223,68 @@ class DenseRetriever:
                     emb, texts, doc_ids, self.fingerprint, sanity_check=False
                 )
 
+    def add(
+        self,
+        embeddings: np.ndarray,
+        texts: Sequence[str],
+        doc_ids: Sequence | None = None,
+    ) -> None:
+        """Incrementally append documents to a built index.
+
+        Beyond the reference (whose FAISS wrapper only rebuilds wholesale):
+        new rows are prepared with the SAME transform as the base corpus
+        (for Mahalanobis the original whitener is reused — the metric stays
+        defined by the build-time covariance) and concatenated on device.
+        Deletion is by rebuild; persistence picks up the grown corpus on the
+        next ``_save``.
+        """
+        if not self.is_built:
+            raise RuntimeError("build() the index before add()")
+        emb = np.ascontiguousarray(np.asarray(embeddings), dtype=np.float32)
+        if emb.shape[1] != self.dim and self._corpus_scale is None:
+            raise ValueError(
+                f"dim mismatch: index {self.dim}, new rows {emb.shape[1]}"
+            )
+        start = self._corpus_n
+        new_ids = (
+            list(doc_ids)
+            if doc_ids is not None
+            else list(range(start, start + len(texts)))
+        )
+        if len(texts) != emb.shape[0] or len(new_ids) != emb.shape[0]:
+            raise ValueError("texts/doc_ids/embeddings row count mismatch")
+
+        prepared = prepare_for_metric(
+            jnp.asarray(emb), self.metric, self._whitener
+        )
+        if self._corpus_scale is not None:
+            # reuse the existing scale so old and new codes stay comparable
+            scale = self._corpus_scale
+            prepared = jnp.clip(
+                jnp.round(prepared.astype(jnp.float32) / scale), -127, 127
+            ).astype(jnp.int8)
+        else:
+            prepared = prepared.astype(self._corpus_dev.dtype)
+        if self.mesh is not None:
+            from ..parallel import shard_rows
+
+            host = np.concatenate(
+                [
+                    np.asarray(self._corpus_dev)[: self._corpus_n],
+                    np.asarray(prepared),
+                ]
+            )
+            self._corpus_dev = shard_rows(jnp.asarray(host), self.mesh)
+        else:
+            self._corpus_dev = jnp.concatenate(
+                [self._corpus_dev[: self._corpus_n], prepared], axis=0
+            )
+        self._corpus_n += emb.shape[0]
+        self.texts.extend(texts)
+        self.doc_ids.extend(new_ids)
+        if self.index_path:
+            self._save(self.index_path)
+
     def _self_check(self) -> bool:
         """Search the first corpus vector; it must retrieve itself top-1
         (mirrors ``FAISSEmbeddingRetriever.py:259-292``)."""

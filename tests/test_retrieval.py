@@ -202,3 +202,56 @@ def test_int8_rejects_euclidean(rng):
     r = DenseRetriever(metric="euclidean", store_dtype="int8")
     with pytest.raises(ValueError):
         r.build(_normed(rng, 10, 8), [f"t{i}" for i in range(10)])
+
+
+class TestIncrementalAdd:
+    def test_add_then_search(self, rng):
+        c1 = _normed(rng, 40, 16)
+        c2 = _normed(rng, 15, 16)
+        r = DenseRetriever(backend="xla_exact", store_dtype="float32")
+        r.build(c1, [f"a{i}" for i in range(40)])
+        r.add(c2, [f"b{i}" for i in range(15)])
+        assert r._corpus_n == 55
+        texts, scores, doc_ids = r.retrieve(c2[3], top_k=1)
+        assert texts[0] == "b3"
+        assert doc_ids[0] == 43  # auto-assigned continuing ids
+
+    def test_add_matches_fresh_build(self, rng):
+        c = _normed(rng, 60, 8)
+        q = _normed(rng, 5, 8)
+        r_inc = DenseRetriever(backend="xla_exact", store_dtype="float32")
+        r_inc.build(c[:40], [f"t{i}" for i in range(40)])
+        r_inc.add(c[40:], [f"t{i}" for i in range(40, 60)])
+        r_all = DenseRetriever(backend="xla_exact", store_dtype="float32")
+        r_all.build(c, [f"t{i}" for i in range(60)])
+        s1, i1 = r_inc.search(q, 5)
+        s2, i2 = r_all.search(q, 5)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(s1, s2, rtol=1e-5)
+
+    def test_add_int8_reuses_scale(self, rng):
+        c = _normed(rng, 50, 8)
+        r = DenseRetriever(backend="xla_exact", store_dtype="int8")
+        r.build(c[:30], [f"t{i}" for i in range(30)])
+        scale_before = float(r._corpus_scale)
+        r.add(c[30:], [f"t{i}" for i in range(30, 50)])
+        assert float(r._corpus_scale) == scale_before
+        texts, _, _ = r.retrieve(c[45], top_k=1)
+        assert texts[0] == "t45"
+
+    def test_add_before_build_raises(self, rng):
+        r = DenseRetriever()
+        with pytest.raises(RuntimeError):
+            r.add(_normed(rng, 3, 8), ["x", "y", "z"])
+
+    def test_add_persists(self, rng, tmp_path):
+        path = str(tmp_path / "idx")
+        c = _normed(rng, 30, 8)
+        r = DenseRetriever(backend="xla_exact", store_dtype="float32",
+                           index_path=path)
+        r.build(c[:20], [f"t{i}" for i in range(20)])
+        r.add(c[20:], [f"t{i}" for i in range(20, 30)])
+        r2 = DenseRetriever(backend="xla_exact", store_dtype="float32",
+                            index_path=path)
+        assert r2._corpus_n == 30
+        assert r2.texts[-1] == "t29"
