@@ -124,3 +124,19 @@ def test_bert_layer_matches_torch(rng):
         t(params["mlp_ln"]["bias"]),
     )
     np.testing.assert_allclose(out_jax, out_t.numpy(), atol=2e-5)
+
+
+def test_full_minilm_geometry_compiles(rng):
+    """The flagship all-MiniLM-L6-v2 geometry must stay constructible (the
+    driver compile-checks it; keep a fast CPU guard in the suite)."""
+    import jax
+
+    from latentrag_tpu.models.encoder.minilm import MiniLMEncoder
+
+    enc = MiniLMEncoder(dtype=jnp.float32)  # defaults = MiniLM-L6 geometry
+    ids = jnp.ones((2, 16), jnp.int32)
+    mask = jnp.ones((2, 16), jnp.int32)
+    params = jax.jit(enc.init)(jax.random.PRNGKey(0), ids, mask)["params"]
+    out = jax.jit(enc.apply)({"params": params}, ids, mask)
+    assert out.shape == (2, 384)
+    assert np.isfinite(np.asarray(out)).all()

@@ -69,3 +69,17 @@ def test_save_load_roundtrip(tok, tmp_path):
     a = tok.encode("the quick brown fox").ids
     b = tok2.encode("the quick brown fox").ids
     assert a == b
+
+
+def test_unicode_and_edge_inputs(tok):
+    for text in ["café “smart” — naïve", "日本語テスト", "a" * 500, "!!!", " "]:
+        enc = tok.encode(text, add_special_tokens=False, max_length=64)
+        # offsets must always be valid spans into the original text
+        for s, e in enc.offsets:
+            assert 0 <= s <= e <= len(text)
+        assert len(enc.ids) == len(enc.offsets) == len(enc.tokens)
+
+
+def test_empty_text(tok):
+    enc = tok.encode("")
+    assert enc.tokens[0] == "[CLS]" and enc.tokens[-1] == "[SEP]"
