@@ -211,7 +211,12 @@ def load_text_corpus(path: str) -> list[str]:
         with open(path) as f:
             data = json.load(f)
         if isinstance(data, dict):  # tolerate {"texts": [...]} shapes
-            data = data.get("texts", data)
+            data = data.get("texts")
+        if not isinstance(data, list):
+            raise ValueError(
+                f"{path}: expected a JSON list of strings or "
+                '{"texts": [...]}'
+            )
         return [str(t) for t in data]
     with open(path) as f:
         return [line.strip() for line in f if line.strip()]

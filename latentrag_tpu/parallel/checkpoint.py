@@ -24,16 +24,26 @@ def save_sharded_index(path: str, corpus: jax.Array, meta: dict) -> None:
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
-    if os.path.exists(path):
-        import shutil
+    # host-side filesystem mutations happen on process 0 only; every other
+    # process would otherwise race the rmtree/meta write on shared storage
+    if jax.process_index() == 0:
+        if os.path.exists(path):
+            import shutil
 
-        shutil.rmtree(path)
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+            shutil.rmtree(path)
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        # no process may enter the collective save before the old
+        # checkpoint directory is gone
+        multihost_utils.sync_global_devices("latentrag_sharded_index_save")
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(os.path.join(path, "corpus"), {"corpus": corpus})
     ckptr.wait_until_finished()
-    with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump(meta, f)
+    if jax.process_index() == 0:
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(meta, f)
 
 
 def load_sharded_index(

@@ -84,6 +84,10 @@ def make_sharded_topk(
         k_out = min(k, p * kk)
         top_s, sel = jax.lax.top_k(cat_s, k_out)
         top_i = jnp.take_along_axis(cat_i, sel, axis=1)
+        # slots filled by masked pad rows (score NEG_INF) carry global
+        # indices >= n_valid; return the -1 sentinel instead so callers
+        # never index past their texts/doc_ids lists
+        top_i = jnp.where(top_s > NEG_INF * 0.5, top_i, -1)
         return top_s, top_i
 
     sharded = shard_map(

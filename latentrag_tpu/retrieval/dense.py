@@ -241,7 +241,7 @@ class DenseRetriever:
         if not self.is_built:
             raise RuntimeError("build() the index before add()")
         emb = np.ascontiguousarray(np.asarray(embeddings), dtype=np.float32)
-        if emb.shape[1] != self.dim and self._corpus_scale is None:
+        if emb.shape[1] != self.dim:
             raise ValueError(
                 f"dim mismatch: index {self.dim}, new rows {emb.shape[1]}"
             )
@@ -268,13 +268,15 @@ class DenseRetriever:
         if self.mesh is not None:
             from ..parallel import shard_rows
 
-            host = np.concatenate(
-                [
-                    np.asarray(self._corpus_dev)[: self._corpus_n],
-                    np.asarray(prepared),
-                ]
+            # concatenate on device (strip pad rows first) and re-shard;
+            # gathering the corpus to host would round-trip the whole index
+            # through the (slow) host link for every add()
+            self._corpus_dev = shard_rows(
+                jnp.concatenate(
+                    [self._corpus_dev[: self._corpus_n], prepared], axis=0
+                ),
+                self.mesh,
             )
-            self._corpus_dev = shard_rows(jnp.asarray(host), self.mesh)
         else:
             self._corpus_dev = jnp.concatenate(
                 [self._corpus_dev[: self._corpus_n], prepared], axis=0
@@ -388,10 +390,10 @@ class DenseRetriever:
         if q.ndim == 1:
             q = q[None, :]
         scores, idx = self.search(q, top_k)
-        sel = idx[0]
+        sel = [int(j) for j in idx[0] if j >= 0]  # drop -1 pad sentinels
         return (
             [self.texts[j] for j in sel],
-            scores[0].tolist(),
+            scores[0][: len(sel)].tolist(),
             [self.doc_ids[j] for j in sel],
         )
 

@@ -1,7 +1,7 @@
 """Backend comparison sweep: every dense scoring backend on one corpus.
 
 Measures latency and recall-vs-exact-oracle for: xla (approx_max_k),
-xla_exact (top_k), pallas fold, pallas exact, int8 (SQ8) — plus the native
+xla_exact (top_k, the oracle), pallas fold, int8 (SQ8) — plus the native
 HNSW tier on the host side. Writes a markdown table to stdout/--out.
 
   python scripts/backend_sweep.py --n 1048576 --queries 1024 --out docs/BACKENDS.md
@@ -23,12 +23,7 @@ import jax.numpy as jnp
 
 from latentrag_tpu.ops import approx_topk, exact_topk, l2_normalize, pallas_topk
 from latentrag_tpu.ops.quantization import sq8_quantize, sq8_topk
-
-_fetch = jax.jit(lambda v: v.ravel()[0].astype(jnp.float32))
-
-
-def sync(x):
-    np.asarray(_fetch(x))
+from latentrag_tpu.utils.timing import force_completion as sync
 
 
 def bench(fn, reps):

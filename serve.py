@@ -66,7 +66,12 @@ def main(argv=None) -> int:
             continue
         try:
             req = json.loads(line)
-            queries = req.get("queries") or [req["query"]]
+            queries = req.get("queries")
+            if queries is None:
+                queries = [req["query"]]
+            elif not isinstance(queries, list):
+                # a bare string would be encoded character-by-character
+                raise ValueError('"queries" must be a list of strings')
             k = int(req.get("k", cfg.retrieval.top_k))
             t0 = time.perf_counter()
             q_emb = compressor.encode_text(queries)
