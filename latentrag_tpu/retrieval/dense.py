@@ -404,10 +404,29 @@ class DenseRetriever:
 
     def _save(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
-        corpus = np.asarray(self._corpus_dev, dtype=np.float32)
-        if self._corpus_scale is not None:  # persist dequantized fp32
-            corpus = corpus * float(self._corpus_scale)
-        np.save(os.path.join(path, "corpus.npy"), corpus[: self._corpus_n])
+        if self.mesh is not None:
+            # sharded corpora write through Orbax: each process persists its
+            # own shards — no host gather (crawls through slow links, and
+            # multi-host arrays aren't fully addressable anyway)
+            from ..parallel import save_sharded_index
+
+            save_sharded_index(
+                os.path.join(path, "sharded"),
+                self._corpus_dev,
+                {"n": self._corpus_n, "store_dtype": self.store_dtype},
+            )
+            if self._corpus_scale is not None:
+                np.save(
+                    os.path.join(path, "sq8_scale.npy"),
+                    np.asarray(self._corpus_scale, dtype=np.float32),
+                )
+        else:
+            corpus = np.asarray(self._corpus_dev, dtype=np.float32)
+            if self._corpus_scale is not None:  # persist dequantized fp32
+                corpus = corpus * float(self._corpus_scale)
+            np.save(
+                os.path.join(path, "corpus.npy"), corpus[: self._corpus_n]
+            )
         if self._whitener is not None:
             np.save(
                 os.path.join(path, "whitener.npy"),
@@ -429,10 +448,6 @@ class DenseRetriever:
     def _load(self, path: str) -> None:
         with open(os.path.join(path, "meta.json")) as f:
             meta = json.load(f)
-        # corpus.npy holds PREPARED vectors — mmap for lazy host residency
-        corpus = np.load(os.path.join(path, "corpus.npy"), mmap_mode="r")
-        if corpus.shape[0] != meta["n"]:
-            raise ValueError("meta/corpus row mismatch")
         wpath = os.path.join(path, "whitener.npy")
         self._whitener = (
             jnp.asarray(np.load(wpath)) if os.path.exists(wpath) else None
@@ -442,6 +457,28 @@ class DenseRetriever:
         self.metric = meta.get("metric", self.metric)
         self.fingerprint = meta.get("fingerprint")
         self._loaded_fingerprint = self.fingerprint
+        self._corpus_n = int(meta["n"])
+
+        sharded_path = os.path.join(path, "sharded")
+        if self.mesh is not None and os.path.isdir(sharded_path):
+            # Orbax restores each shard directly into the mesh layout
+            from ..parallel import load_sharded_index, make_sharded_topk
+
+            self._corpus_dev, _ = load_sharded_index(sharded_path, self.mesh)
+            spath = os.path.join(path, "sq8_scale.npy")
+            if os.path.exists(spath):
+                self._corpus_scale = jnp.asarray(np.load(spath))
+            self._sharded_cache = {}
+            self._make_sharded = make_sharded_topk
+            log.info(
+                "sharded index loaded from %s (n=%d)", path, self._corpus_n
+            )
+            return
+
+        # corpus.npy holds PREPARED vectors — mmap for lazy host residency
+        corpus = np.load(os.path.join(path, "corpus.npy"), mmap_mode="r")
+        if corpus.shape[0] != meta["n"]:
+            raise ValueError("meta/corpus row mismatch")
         prepared = jnp.asarray(np.ascontiguousarray(corpus))
         if self.store_dtype == "int8":
             from ..ops.quantization import sq8_quantize
@@ -452,7 +489,6 @@ class DenseRetriever:
                 jnp.bfloat16 if self.store_dtype == "bfloat16"
                 else jnp.float32
             )
-        self._corpus_n = int(meta["n"])
         if self.mesh is not None:
             from ..parallel import make_sharded_topk, shard_rows
 

@@ -133,3 +133,29 @@ def test_sharded_euclidean_pad_rows_never_displace(rng, eight_devices):
                     jnp.int32(n))
     for a, b in zip(np.asarray(i0), np.asarray(i1)):
         assert set(a.tolist()) == set(b.tolist())
+
+
+def test_sharded_dense_orbax_persistence(rng, eight_devices, tmp_path):
+    """Mesh-sharded DenseRetriever persists through Orbax (per-shard writes)
+    and reloads directly into the mesh layout."""
+    from latentrag_tpu.retrieval import DenseRetriever
+
+    mesh = make_mesh(8)
+    c = rng.standard_normal((100, 16)).astype(np.float32)
+    c = c / np.linalg.norm(c, axis=1, keepdims=True)
+    path = str(tmp_path / "sharded_dense")
+    r1 = DenseRetriever(backend="xla_exact", store_dtype="float32",
+                        mesh=mesh, index_path=path)
+    r1.build(c, [f"t{i}" for i in range(100)])
+    s1, i1 = r1.search(c[:5], 4)
+    import os
+
+    assert os.path.isdir(os.path.join(path, "sharded"))
+    assert not os.path.exists(os.path.join(path, "corpus.npy"))
+
+    r2 = DenseRetriever(backend="xla_exact", store_dtype="float32",
+                        mesh=make_mesh(8), index_path=path)
+    assert r2.is_built and r2._corpus_n == 100
+    s2, i2 = r2.search(c[:5], 4)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-5)
