@@ -83,7 +83,7 @@ def _scores_tile(q_ref, c_ref, csq_ref, metric: str) -> jax.Array:
     return dots
 
 
-def _extract_k(values, indices, k, width_axis_len):
+def _extract_k(values, indices, k):
     """k max-extract passes over (values [TQ, W] int32, indices [TQ, W] i32).
 
     Returns (top_vals [TQ, k], top_idx [TQ, k]). Packed int32 values make
@@ -100,7 +100,6 @@ def _extract_k(values, indices, k, width_axis_len):
         out_v.append(m)
         out_i.append(jnp.sum(jnp.where(onehot, indices, 0), axis=1, keepdims=True))
         values = jnp.where(onehot, _MIN_I32, values)
-    del width_axis_len
     return jnp.concatenate(out_v, axis=1), jnp.concatenate(out_i, axis=1)
 
 
@@ -144,13 +143,13 @@ def _fold_kernel(
     folded = jnp.max(packed.reshape(tq, r, _LANES), axis=1)  # [TQ, 128]
 
     lane = jax.lax.broadcasted_iota(jnp.int32, folded.shape, 1)
-    tile_v, _ = _extract_k(folded, lane, k, _LANES)  # lane idx unused
+    tile_v, _ = _extract_k(folded, lane, k)  # lane idx unused
     tile_i = jnp.bitwise_and(tile_v, _IDX_MASK) + base  # global corpus row
     tile_s = jnp.bitwise_and(tile_v, ~_IDX_MASK)  # quantized packed score
 
     comb_v = jnp.concatenate([run_s_ref[rows, :], tile_s], axis=1)  # [TQ, 2K]
     comb_i = jnp.concatenate([run_i_ref[rows, :], tile_i], axis=1)
-    new_v, new_i = _extract_k(comb_v, comb_i, k, 2 * k)
+    new_v, new_i = _extract_k(comb_v, comb_i, k)
     run_s_ref[rows, :] = new_v
     run_i_ref[rows, :] = new_i
 
@@ -192,7 +191,7 @@ def _exact_kernel(
 
     comb_v = jnp.concatenate([run_s_ref[rows, :], mono], axis=1)
     comb_i = jnp.concatenate([run_i_ref[rows, :], gcol], axis=1)
-    new_v, new_i = _extract_k(comb_v, comb_i, k, k + block_n)
+    new_v, new_i = _extract_k(comb_v, comb_i, k)
     run_s_ref[rows, :] = new_v
     run_i_ref[rows, :] = new_i
 
