@@ -79,10 +79,8 @@ def main(argv=None) -> int:
     q_lat = np.asarray(encode_latents(model, params, jnp.asarray(q_emb)))
     d_lat = np.asarray(encode_latents(model, params, jnp.asarray(d_emb)))
 
-    prefix = (
-        f"{ae_type}_{args.projection}_{q_lat.shape[1]}d_"
-        f"{len(queries)}s_{args.k}k"
-    )
+    # visualize_* appends the projection itself; keep it out of the prefix
+    prefix = f"{ae_type}_{q_lat.shape[1]}d_{len(queries)}s_{args.k}k"
     result = visualize_compressed_vs_original(
         q_emb, d_emb, q_lat, d_lat,
         out_dir=args.out_dir, prefix=prefix, k=args.k,

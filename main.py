@@ -87,8 +87,12 @@ def main(argv=None) -> int:
         else [canonical_ae_type(args.ae_type)]
     )
     for ae in variants:
-        runner = PipelineRunner(cfg, ae_type=ae, generate=args.generate,
-                                mesh=mesh)
+        try:
+            runner = PipelineRunner(cfg, ae_type=ae, generate=args.generate,
+                                    mesh=mesh)
+        except FileNotFoundError as e:
+            loggers.main.error("%s", e)
+            return 2
         result = runner.process(queries, corpus, relevant)
         runner.print_run_card(result)
         row = build_metrics_row(
