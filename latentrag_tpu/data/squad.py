@@ -282,12 +282,16 @@ def prepare_training_arrays(
     chunk_stride: int = 64,
     seed: int = 42,
     model_name: str = "",
+    mine_hard_negatives: bool = False,
 ) -> dict[str, np.ndarray]:
     """Build the arrays a Trainer consumes for one AE variant.
 
     vae: {x: clean_emb, y: clean_emb};
     dae: {x: clean_emb + N(0, σ²), y: clean_emb};
     cae: {q, p, n} embeddings of (question, positive chunk, mined negative).
+    With ``mine_hard_negatives`` the trainer mines negatives in-batch, so
+    the Jaccard mining and the negative third of the embedding work are
+    skipped entirely (arrays carry only {q, p}).
     """
     rng = np.random.default_rng(seed)
     chunks = build_chunked_corpus(
@@ -324,6 +328,13 @@ def prepare_training_arrays(
         return {"x": noisy, "y": emb}
 
     if variant == "cae":
+        if mine_hard_negatives:
+            all_emb = ensure_embedding_cache(
+                questions + positives, encoder.encode_text, cache_dir,
+                model_name, tag="squad_cae_qp",
+            )
+            n = len(questions)
+            return {"q": all_emb[:n], "p": all_emb[n:]}
         triples = build_contrastive_triples(
             questions, positives, rng, max_jaccard=max_jaccard
         )

@@ -86,7 +86,9 @@ def contrastive_loss(
 
     With ``mine_hard_negatives`` the negative for anchor i is the hardest
     in-batch positive j≠i (row-min of the masked distance matrix — the
-    reference's cdist + diagonal-inf trick, ``loss_functions.py:69-72``).
+    reference's cdist + diagonal-inf trick, ``loss_functions.py:69-72``)
+    and ``z_negative`` is IGNORED — mining is config-driven, so callers
+    should not compute/pass negatives in that mode (the Trainer doesn't).
     Otherwise uses the provided negatives (or a batch roll as a stand-in for
     the reference's random permutation, which keeps the function pure).
     """

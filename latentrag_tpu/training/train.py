@@ -114,6 +114,9 @@ def main(argv=None) -> int:
         max_jaccard=cfg.data.negative_jaccard_max,
         seed=cfg.training.seed,
         model_name=cfg.encoder.name,
+        mine_hard_negatives=(
+            ae_type == "cae" and cfg.training.mine_hard_negatives
+        ),
     )
     train_data, val_data = split_dataset(
         data, cfg.data.val_split, cfg.training.seed

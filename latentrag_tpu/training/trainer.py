@@ -85,7 +85,13 @@ def _loss_fn(model, ae_type: str, cfg: TrainingConfig):
         def loss(params, batch, rng):
             enc = lambda v: model.apply({"params": params}, v, method="encode")
             z_q, z_p = enc(batch["q"]), enc(batch["p"])
-            z_n = enc(batch["n"]) if "n" in batch else None
+            # when mining in-batch hard negatives, dataset negatives are
+            # unused — don't spend a third of the encode work on them
+            z_n = (
+                enc(batch["n"])
+                if "n" in batch and not cfg.mine_hard_negatives
+                else None
+            )
             return contrastive_loss(
                 z_q,
                 z_p,
@@ -135,7 +141,13 @@ class Trainer:
     def _device_batch(self, arrays: Mapping[str, np.ndarray]) -> dict:
         batch = {k: jnp.asarray(v) for k, v in arrays.items()}
         if self.mesh is not None:
-            sharding = NamedSharding(self.mesh, P("data"))
+            p = self.mesh.shape["data"]
+            n_rows = next(iter(batch.values())).shape[0]
+            # a ragged tail batch (val with drop_last=False, or a tiny
+            # dataset) can't be row-sharded evenly — replicate it instead of
+            # crashing; the loss value is identical either way
+            spec = P("data") if n_rows % p == 0 else P()
+            sharding = NamedSharding(self.mesh, spec)
             batch = {k: jax.device_put(v, sharding) for k, v in batch.items()}
         return batch
 
@@ -145,12 +157,20 @@ class Trainer:
         idx = np.arange(n)
         if rng is not None:
             rng.shuffle(idx)
-        end = n - (n % batch_size) if drop_last else n
         if self.mesh is not None:
             # keep batches divisible by the mesh for even sharding
             p = self.mesh.shape["data"]
-            bs_ok = batch_size - (batch_size % p) or p
-            batch_size = bs_ok
+            batch_size = batch_size - (batch_size % p) or p
+        if drop_last and n < batch_size and n > 0:
+            # batch_size > dataset: rather than silently yielding nothing
+            # (and training a zero-step epoch), train on one full-data batch
+            log.warning(
+                "batch_size %d > dataset size %d; using one %d-row batch",
+                batch_size, n, n,
+            )
+            yield self._device_batch({k: data[k][idx] for k in keys})
+            return
+        end = n - (n % batch_size) if drop_last else n
         for start in range(0, max(end, 0), batch_size):
             sel = idx[start : start + batch_size]
             if drop_last and len(sel) < batch_size:
@@ -266,7 +286,13 @@ class Trainer:
 
 
 def _scale_lr(opt_state, factor: float):
-    """Scale the injected learning_rate hyperparam inside the optax state."""
+    """Scale the injected learning_rate hyperparam inside the optax state.
+
+    ``InjectHyperparamsState`` is itself a NamedTuple, so the node must be
+    checked for ``hyperparams`` BEFORE recursing into its tuple fields —
+    otherwise the un-chained plain-Adam state (the default optimizer) is
+    walked straight past and the plateau schedule silently does nothing.
+    """
 
     def visit(node):
         if hasattr(node, "hyperparams") and "learning_rate" in node.hyperparams:
@@ -274,14 +300,13 @@ def _scale_lr(opt_state, factor: float):
                 node.hyperparams["learning_rate"] * factor
             )
             return True
+        if isinstance(node, tuple):
+            for item in node:
+                if visit(item):
+                    return True
         return False
 
-    if isinstance(opt_state, tuple):
-        for item in opt_state:
-            if visit(item):
-                break
-    else:
-        visit(opt_state)
+    visit(opt_state)
     return opt_state
 
 

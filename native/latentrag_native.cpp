@@ -131,16 +131,36 @@ struct HNSW {
         return out;  // ascending by score
     }
 
-    // simple neighbour selection: keep the M highest-scoring candidates
+    // diversity-aware neighbour selection (Malkov Alg. 4, similarity form):
+    // scanning candidates best-first, keep e only if it is closer to the
+    // node than to every already-kept neighbour; pruned candidates backfill
+    // leftover slots (keepPrunedConnections). Plain keep-the-closest-M
+    // selection collapses neighbourhoods into one tight cluster and was the
+    // measured cause of 0.70 recall@200k in round 1.
     void shrink(std::vector<int>& nbrs, int node, int cap) {
         if ((int)nbrs.size() <= cap) return;
-        std::partial_sort(
-            nbrs.begin(), nbrs.begin() + cap, nbrs.end(),
-            [&](int a, int b) {
-                return dot(vec(a), vec(node), dim) >
-                       dot(vec(b), vec(node), dim);
-            });
-        nbrs.resize(cap);
+        std::sort(nbrs.begin(), nbrs.end(), [&](int a, int b) {
+            return dot(vec(a), vec(node), dim) > dot(vec(b), vec(node), dim);
+        });
+        std::vector<int> sel, pruned;
+        sel.reserve(cap);
+        for (int e : nbrs) {
+            if ((int)sel.size() >= cap) break;
+            float to_node = dot(vec(e), vec(node), dim);
+            bool diverse = true;
+            for (int s : sel)
+                if (dot(vec(e), vec(s), dim) > to_node) {
+                    diverse = false;
+                    break;
+                }
+            if (diverse) sel.push_back(e);
+            else pruned.push_back(e);
+        }
+        for (int e : pruned) {
+            if ((int)sel.size() >= cap) break;
+            sel.push_back(e);
+        }
+        nbrs = std::move(sel);
     }
 
     void add(const float* v) {
@@ -162,11 +182,13 @@ struct HNSW {
         for (int l = std::min(lvl, max_level); l >= 0; --l) {
             auto cand = search_level(v, cur, ef_construction, l);
             int cap = (l == 0) ? M0 : M;
+            // run the same diversity selection over ALL ef candidates, not
+            // just the closest cap of them
             std::vector<int> sel;
-            for (auto it = cand.rbegin(); it != cand.rend(); ++it) {
+            sel.reserve(cand.size());
+            for (auto it = cand.rbegin(); it != cand.rend(); ++it)
                 sel.push_back(it->second);
-                if ((int)sel.size() >= cap) break;
-            }
+            shrink(sel, id, cap);
             links[l][id] = sel;
             for (int nb : sel) {
                 links[l][nb].push_back(id);
@@ -371,7 +393,28 @@ void* hnsw_load(const char* path) {
               std::fread(&h->entry, 4, 1, f) == 1 &&
               std::fread(&h->max_level, 4, 1, f) == 1 &&
               std::fread(&nlevels, 4, 1, f) == 1;
-    if (!ok || n < 0 || nlevels < 0 || nlevels > 64) {
+    // reject corrupt headers before they drive a wild allocation
+    // (n*dim overflow / absurd sizes), an inf/NaN level_mult (M<=1), or an
+    // OOB entry walk; the payload must actually fit in the file
+    long here = std::ftell(f);
+    std::fseek(f, 0, SEEK_END);
+    long fsize = std::ftell(f);
+    std::fseek(f, here, SEEK_SET);
+    bool header_sane =
+        ok && n >= 0 && nlevels >= 0 && nlevels <= 64 &&
+        h->dim > 0 && h->dim <= (1 << 20) && h->M > 1 &&
+        h->ef_construction >= 0 &&
+        (size_t)n <= SIZE_MAX / 4 / (size_t)h->dim &&
+        h->entry >= -1 && h->entry < (n > 0 ? n : 1) &&
+        h->max_level >= -1 && h->max_level < (nlevels > 0 ? nlevels : 1);
+    if (header_sane) {
+        // minimum payload: vectors + per-node levels + one size word per
+        // (level, node) neighbour list
+        size_t need = (size_t)n * h->dim * 4 + (size_t)n * 4 +
+                      (size_t)nlevels * (size_t)n * 4;
+        header_sane = fsize >= 0 && (size_t)(fsize - here) >= need;
+    }
+    if (!header_sane) {
         std::fclose(f);
         delete h;
         return nullptr;

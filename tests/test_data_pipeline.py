@@ -169,3 +169,19 @@ def test_cloze_examples(tmp_path):
     pj = tmp_path / "c.json"
     pj.write_text(_json.dumps(texts))
     assert load_text_corpus(str(pj)) == texts
+
+
+def test_prepare_training_arrays_mined_negatives_skip(tmp_path):
+    # with in-batch mining the negative third of the embedding work is
+    # skipped entirely (ADVICE r1)
+    examples = synthetic_examples(30)
+    tok = WordPieceTokenizer.train_from_corpus(
+        [e["context"] for e in examples], vocab_size=600, min_freq=1
+    )
+    enc = FakeEncoder()
+    data = prepare_training_arrays(
+        examples, enc, tok, "cae", str(tmp_path), seed=0,
+        mine_hard_negatives=True,
+    )
+    assert set(data) == {"q", "p"}
+    assert data["q"].shape == data["p"].shape

@@ -141,3 +141,21 @@ def test_factory_dispatches_ann(corpus):
         texts, scores, doc_ids = r.retrieve(corpus[5], top_k=3)
         assert texts[0] == "t5"
         assert r.get_stats()["search_calls"] == 1
+
+
+def test_hnsw_load_rejects_corrupt_header(tmp_path):
+    # ADVICE r1: a corrupt header (dim<=0, M<=1, huge n*dim) must return
+    # None, not crash on a wild allocation or inf level_mult
+    import struct
+
+    for header in [
+        struct.pack("<7i", -4, 16, 100, 10, 0, 0, 1),      # dim < 0
+        struct.pack("<7i", 32, 1, 100, 10, 0, 0, 1),       # M <= 1
+        struct.pack("<7i", 32, 16, 100, 2**30, 0, 0, 1),   # n*dim wild
+        struct.pack("<7i", 32, 16, 100, 10, 99, 0, 1),     # entry OOB
+        struct.pack("<7i", 32, 16, 100, 10, 0, 5, 1),      # max_level OOB
+    ]:
+        path = tmp_path / "bad.hnsw"
+        path.write_bytes(header)
+        with pytest.raises(IOError):
+            HNSWIndex.load(str(path))

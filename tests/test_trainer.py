@@ -95,3 +95,72 @@ def test_data_parallel_matches_single_device(rng, eight_devices):
     z1 = encode_latents(model, res_single.params, x)
     z2 = encode_latents(model, res_dp.params, x)
     np.testing.assert_allclose(np.asarray(z1), np.asarray(z2), rtol=2e-3, atol=2e-4)
+
+
+def test_scale_lr_plain_adam(rng):
+    # ADVICE r1: InjectHyperparamsState is a NamedTuple, so the old walk
+    # recursed past the un-chained plain-Adam state and the plateau schedule
+    # silently did nothing
+    from latentrag_tpu.training.trainer import _scale_lr
+
+    cfg = TrainingConfig(batch_size=16, epochs=1, learning_rate=1e-3,
+                         weight_decay=0.0, grad_clip_norm=0.0)
+    model = build_autoencoder("dae", ACFG)
+    tr = Trainer(model, "dae", cfg)
+    data = _vae_data(rng, 32)
+    params = jax.jit(
+        lambda r: model.init({"params": r, "reparam": r},
+                             jnp.zeros((1, 32)), train=False)
+    )(jax.random.PRNGKey(0))["params"]
+    opt_state = tr.tx.init(params)
+
+    def find_lr(state):
+        if hasattr(state, "hyperparams") and "learning_rate" in state.hyperparams:
+            return float(state.hyperparams["learning_rate"])
+        if isinstance(state, tuple):
+            for item in state:
+                lr = find_lr(item)
+                if lr is not None:
+                    return lr
+        return None
+
+    before = find_lr(opt_state)
+    opt_state = _scale_lr(opt_state, 0.5)
+    after = find_lr(opt_state)
+    assert before is not None and after == pytest.approx(before * 0.5)
+
+
+def test_ragged_val_batch_on_mesh(rng, eight_devices):
+    # ADVICE r1: a 21-row val set on an 8-device mesh crashed device_put
+    # with NamedSharding(P('data')); ragged tail batches now replicate
+    cfg = TrainingConfig(batch_size=16, epochs=2, learning_rate=1e-3)
+    model = build_autoencoder("dae", ACFG)
+    tr = Trainer(model, "dae", cfg, mesh=make_mesh(8))
+    res = tr.fit(_vae_data(rng, 64), _vae_data(rng, 21))
+    assert res.epochs_ran == 2
+    assert np.isfinite(res.best_val_loss)
+
+
+def test_small_dataset_still_trains(rng):
+    # batch_size > dataset used to yield zero train batches (train loss
+    # logged as nan, params never updated)
+    cfg = TrainingConfig(batch_size=128, epochs=3, learning_rate=1e-2,
+                         early_stop_patience=100)
+    model = build_autoencoder("dae", ACFG)
+    tr = Trainer(model, "dae", cfg)
+    res = tr.fit(_vae_data(rng, 40), _vae_data(rng, 8))
+    assert all(np.isfinite(t) for _, t, _ in res.history)
+    assert res.history[-1][1] < res.history[0][1]
+
+
+def test_cae_trains_without_negative_arrays(rng):
+    # with in-batch mining the {q, p} arrays suffice; dataset negatives are
+    # neither required nor encoded
+    cfg = TrainingConfig(batch_size=16, epochs=2, learning_rate=1e-3,
+                         mine_hard_negatives=True)
+    model = build_autoencoder("cae", ACFG)
+    tr = Trainer(model, "cae", cfg)
+    data = {k: v for k, v in _triplet_data(rng).items() if k != "n"}
+    val = {k: v for k, v in _triplet_data(rng, 16).items() if k != "n"}
+    res = tr.fit(data, val)
+    assert np.isfinite(res.best_val_loss)
