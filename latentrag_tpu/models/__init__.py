@@ -7,6 +7,10 @@ from .autoencoders import (
     encode_latents,
     init_autoencoder,
 )
+from .convert_torch import (
+    convert_reference_state_dict,
+    load_reference_checkpoint,
+)
 
 __all__ = [
     "AE_CLASSES",
@@ -14,6 +18,8 @@ __all__ = [
     "DenoisingAutoencoder",
     "VariationalAutoencoder",
     "build_autoencoder",
+    "convert_reference_state_dict",
     "encode_latents",
     "init_autoencoder",
+    "load_reference_checkpoint",
 ]

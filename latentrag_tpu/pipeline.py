@@ -41,7 +41,12 @@ log = logging.getLogger("latentrag.main")
 
 def load_autoencoder(cfg: Config, ae_type: str):
     """(model, params) from the Orbax checkpoint directory; canonicalises
-    naming (the reference's cae/contrastive/coe split, SURVEY §2.2)."""
+    naming (the reference's cae/contrastive/coe split, SURVEY §2.2).
+
+    A checkpoint name ending in ``.pth`` is treated as a reference torch
+    checkpoint and converted on load (``models/convert_torch.py``) — users
+    migrating from the reference keep their trained weights as-is.
+    """
     ae_type = canonical_ae_type(ae_type)
     if ae_type == "none":
         return None
@@ -49,6 +54,15 @@ def load_autoencoder(cfg: Config, ae_type: str):
     model = build_autoencoder(ae_type, acfg)
     ckpt_name = acfg.checkpoint or ae_type
     path = os.path.join(cfg.paths.checkpoints_dir, ckpt_name)
+    if ckpt_name.endswith(".pth"):
+        pth = ckpt_name if os.path.isabs(ckpt_name) else path
+        if not os.path.isfile(pth):
+            raise FileNotFoundError(
+                f"reference torch checkpoint not found: {pth}"
+            )
+        from .models.convert_torch import load_reference_checkpoint
+
+        return model, load_reference_checkpoint(pth, ae_type)
     if not os.path.isdir(path):
         raise FileNotFoundError(
             f"no checkpoint for ae_type={ae_type!r} at {path}; train it with "

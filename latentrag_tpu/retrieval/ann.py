@@ -48,10 +48,12 @@ def _load_library() -> ctypes.CDLL:
     lib.hnsw_free.argtypes = [ctypes.c_void_p]
     lib.hnsw_size.restype = ctypes.c_int
     lib.hnsw_size.argtypes = [ctypes.c_void_p]
-    lib.hnsw_add_batch.argtypes = [ctypes.c_void_p, ctypes.c_int, f32p]
+    lib.hnsw_add_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, f32p, ctypes.c_int
+    ]
     lib.hnsw_search_batch.argtypes = [
         ctypes.c_void_p, ctypes.c_int, f32p, ctypes.c_int, ctypes.c_int,
-        i32p, f32p,
+        i32p, f32p, ctypes.c_int,
     ]
     lib.hnsw_save.restype = ctypes.c_int
     lib.hnsw_save.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
@@ -129,13 +131,17 @@ class HNSWIndex:
     def __len__(self) -> int:
         return self._lib.hnsw_size(self._h)
 
-    def add(self, vectors: np.ndarray) -> None:
+    def add(self, vectors: np.ndarray, nthreads: int = 0) -> None:
+        """Append vectors. ``nthreads``: 0 = all hardware threads (level
+        assignment stays deterministic; link sets may vary under
+        concurrency), 1 = fully deterministic sequential build."""
         v = _as_f32(vectors)
         assert v.shape[1] == self.dim
-        self._lib.hnsw_add_batch(self._h, v.shape[0], _f32p(v))
+        self._lib.hnsw_add_batch(self._h, v.shape[0], _f32p(v), nthreads)
 
     def search(
-        self, queries: np.ndarray, k: int, ef_search: int | None = None
+        self, queries: np.ndarray, k: int, ef_search: int | None = None,
+        nthreads: int = 0,
     ) -> tuple[np.ndarray, np.ndarray]:
         q = _as_f32(queries)
         nq = q.shape[0]
@@ -143,7 +149,7 @@ class HNSWIndex:
         scores = np.zeros((nq, k), dtype=np.float32)
         self._lib.hnsw_search_batch(
             self._h, nq, _f32p(q), k, ef_search or self.ef_search,
-            _i32p(ids), _f32p(scores),
+            _i32p(ids), _f32p(scores), nthreads,
         )
         return scores, ids
 

@@ -19,6 +19,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 import jax
+
+# honor JAX_PLATFORMS=cpu: the axon sitecustomize force-selects the TPU via
+# jax.config AFTER import, so the env var alone is ignored (CLAUDE.md)
+if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 
 from latentrag_tpu.ops import approx_topk, exact_topk, l2_normalize, pallas_topk
@@ -56,24 +62,56 @@ def main(argv=None) -> int:
     p.add_argument("--out", default=None)
     p.add_argument("--skip", nargs="*", default=[],
                    help="backends to skip (e.g. pallas_fold hnsw)")
+    p.add_argument("--data", choices=["gaussian", "lowrank"],
+                   default="gaussian",
+                   help="gaussian = adversarial full-rank; lowrank = "
+                        "embedding-like manifold (intrinsic dim d/4)")
     args = p.parse_args(argv)
 
     on_tpu = jax.default_backend() == "tpu"
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
-    @jax.jit
-    def gen_c(key):
-        return l2_normalize(
-            jax.random.normal(key, (args.n, args.d), jnp.float32)
-        ).astype(dtype)
+    if args.data == "lowrank":
+        # embedding-like geometry: intrinsic dim ~= rank << d (AE latents of
+        # SBERT vectors cluster on a low-dimensional manifold). Full-rank
+        # Gaussian is the adversarial worst case for graph ANN and does not
+        # represent the production distribution.
+        rank = max(args.d // 4, 8)
 
-    c = gen_c(jax.random.PRNGKey(0))
-    sync(c)
-    q = l2_normalize(
-        jax.random.normal(jax.random.PRNGKey(1), (args.queries, args.d),
-                          jnp.float32)
-    ).astype(dtype)
-    sync(q)
+        @jax.jit
+        def gen_c(key):
+            kg, kp, kn = jax.random.split(key, 3)
+            proj = jax.random.normal(kp, (rank, args.d), jnp.float32)
+            g = jax.random.normal(kg, (args.n, rank), jnp.float32)
+            noise = 0.05 * jax.random.normal(
+                kn, (args.n, args.d), jnp.float32
+            )
+            return l2_normalize(g @ proj + noise).astype(dtype)
+
+        c = gen_c(jax.random.PRNGKey(0))
+        sync(c)
+        # queries from the SAME manifold (re-derive the projection)
+        _, kp, _ = jax.random.split(jax.random.PRNGKey(0), 3)
+        proj = jax.random.normal(kp, (rank, args.d), jnp.float32)
+        gq = jax.random.normal(jax.random.PRNGKey(1), (args.queries, rank),
+                               jnp.float32)
+        q = l2_normalize(gq @ proj).astype(dtype)
+        sync(q)
+    else:
+
+        @jax.jit
+        def gen_c(key):
+            return l2_normalize(
+                jax.random.normal(key, (args.n, args.d), jnp.float32)
+            ).astype(dtype)
+
+        c = gen_c(jax.random.PRNGKey(0))
+        sync(c)
+        q = l2_normalize(
+            jax.random.normal(jax.random.PRNGKey(1), (args.queries, args.d),
+                              jnp.float32)
+        ).astype(dtype)
+        sync(q)
 
     # oracle (exact) — also a timed backend
     t_exact = bench(
@@ -120,13 +158,35 @@ def main(argv=None) -> int:
         t0 = time.perf_counter()
         ix.add(c_host)
         build_s = time.perf_counter() - t0
+        for efs in (64, 128, 256):
+            t0 = time.perf_counter()
+            _, i1 = ix.search(q_host, args.k, ef_search=efs)
+            dt = time.perf_counter() - t0
+            rows.append(
+                (f"hnsw C++ efS={efs} (build {build_s:.0f}s)", dt,
+                 recall_vs(i_ref_np, i1, args.k))
+            )
+
+    if "ivfpq" not in args.skip and args.n <= 200_000:
+        from latentrag_tpu.retrieval.ann import IVFPQIndex
+
+        c_host = np.asarray(c, dtype=np.float32)
+        q_host = np.asarray(q, dtype=np.float32)
+        nlist = max(int(np.sqrt(args.n)), 64)
+        ix = IVFPQIndex(args.d, nlist=nlist, m=16, nbits=8)
         t0 = time.perf_counter()
-        _, i1 = ix.search(q_host, args.k)
-        dt = time.perf_counter() - t0
-        rows.append(
-            (f"hnsw C++ (build {build_s:.0f}s)", dt,
-             recall_vs(i_ref_np, i1, args.k))
-        )
+        train_n = min(args.n, 65536)
+        ix.train(c_host[:train_n])
+        ix.add(c_host)
+        build_s = time.perf_counter() - t0
+        for nprobe in (8, 32, 64):
+            t0 = time.perf_counter()
+            _, i1 = ix.search(q_host, args.k, nprobe=nprobe)
+            dt = time.perf_counter() - t0
+            rows.append(
+                (f"ivfpq C++ nprobe={nprobe} (build {build_s:.0f}s)", dt,
+                 recall_vs(i_ref_np, i1, args.k))
+            )
 
     lines = [
         f"# Dense backend sweep — {args.n:,} x {args.d}, "

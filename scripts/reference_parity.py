@@ -1,0 +1,210 @@
+"""Reference-artifact parity run: the reference's REAL trained checkpoints
+and REAL corpus texts through this framework's pipeline.
+
+Artifacts consumed (read-only, from /root/reference):
+  * trained AE checkpoints ``models/checkpoints/{vae_text,dae_text,
+    contrastive_ae}.pth`` — converted to Flax on load (the converter is
+    differentially tested to <=1e-5 vs the torch modules,
+    ``tests/test_reference_parity.py``);
+  * the 2,835 real chunk texts the reference's shipped FAISS index was
+    built over (``data/index/faiss_chunks.faiss.meta.json``).
+
+Offline constraint: all-MiniLM-L6-v2 weights are not downloadable here, so
+the encoder is this framework's own tower trained on the same corpus at the
+full 384-d geometry the reference AEs expect. The AEs were trained on
+SBERT's embedding space — on any other space they act as fixed foreign
+projections, so compressed-tier numbers BELOW the uncompressed row are
+expected and measure artifact execution, not the reference's quality band
+(that reproduction is hub-gated; see docs/REFERENCE_PARITY.md).
+
+  python scripts/reference_parity.py --out docs/REFERENCE_PARITY.md
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REF_META = "/root/reference/data/index/faiss_chunks.faiss.meta.json"
+REF_CKPT = {
+    "vae": "/root/reference/models/checkpoints/vae_text.pth",
+    "dae": "/root/reference/models/checkpoints/dae_text.pth",
+    "cae": "/root/reference/models/checkpoints/contrastive_ae.pth",
+}
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--workdir", default="/tmp/latentrag_refparity")
+    p.add_argument("--out", default="docs/REFERENCE_PARITY.md")
+    p.add_argument("--queries", type=int, default=1500)
+    p.add_argument("--encoder_epochs", type=int, default=6)
+    p.add_argument("--encoder_dim", type=int, default=384,
+                   help="must stay 384: the converted reference AEs "
+                        "expect SBERT's dimensionality")
+    args = p.parse_args(argv)
+
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        jax.config.update("jax_platforms", "cpu")
+
+    from latentrag_tpu.data import load_evaluation_data
+    from latentrag_tpu.data.squad import cloze_examples
+    from latentrag_tpu.evaluation import evaluate_retrieval
+    from latentrag_tpu.pipeline import PipelineRunner
+    from latentrag_tpu.retrieval import BM25Retriever
+    from latentrag_tpu.training.train_encoder import main as enc_main
+    from latentrag_tpu.utils import apply_overrides, load_config
+
+    wd = args.workdir
+    os.makedirs(wd, exist_ok=True)
+
+    with open(REF_META) as f:
+        meta = json.load(f)
+    texts = meta["texts"]
+    corpus_json = os.path.join(wd, "ref_chunks.json")
+    with open(corpus_json, "w") as f:
+        json.dump(texts, f)
+    print(f"[refparity] {len(texts)} reference chunk texts", file=sys.stderr)
+
+    h = args.encoder_dim
+    base = [
+        f"data.dataset=cloze:{corpus_json}",
+        f"data.max_samples={args.queries}",
+        "encoder.vocab_size=8000", f"encoder.hidden_dim={h}",
+        "encoder.num_layers=2", "encoder.num_heads=4",
+        f"encoder.mlp_dim={2 * h}", "encoder.max_length=64",
+        "encoder.dtype=float32",
+        # reference AE geometry: 384 -> 512 -> 64
+        f"models.vae.input_dim={h}", "models.vae.latent_dim=64",
+        "models.vae.hidden_dim=512",
+        f"models.vae.checkpoint={REF_CKPT['vae']}",
+        f"models.dae.input_dim={h}", "models.dae.latent_dim=64",
+        "models.dae.hidden_dim=512",
+        f"models.dae.checkpoint={REF_CKPT['dae']}",
+        f"models.cae.input_dim={h}", "models.cae.latent_dim=64",
+        "models.cae.hidden_dim=512",
+        f"models.cae.checkpoint={REF_CKPT['cae']}",
+        "retrieval.index_path=", "retrieval.top_k=10",
+        "retrieval.kernel=xla_exact",
+        f"paths.data_dir={wd}/data", f"paths.checkpoints_dir={wd}/ckpt",
+        f"paths.logs_dir={wd}/logs", f"logging.log_file={wd}/logs/run.log",
+    ]
+
+    t0 = time.time()
+    enc_main(["--epochs", str(args.encoder_epochs), "--batch_size", "64",
+              "--max_length", "64", "--set"] + base)
+    print(f"[refparity] encoder trained ({time.time() - t0:.0f}s)",
+          file=sys.stderr)
+
+    cfg = apply_overrides(load_config(None), base)
+    examples = cloze_examples(texts, max_samples=args.queries, seed=0)
+    queries, corpus, relevant = load_evaluation_data(examples)
+    print(
+        f"[refparity] |queries|={len(queries)} |corpus|={len(corpus)}",
+        file=sys.stderr,
+    )
+
+    rows = []
+    for ae in ("none", "vae", "dae", "cae"):
+        runner = PipelineRunner(cfg, ae_type=ae)
+        res = runner.process(queries, corpus, relevant)
+        rows.append((
+            f"{ae} (reference .pth)" if ae != "none" else "none (384-d raw)",
+            res["retrieval_metrics"],
+        ))
+        print(f"[refparity] {ae}: {res['retrieval_metrics']}",
+              file=sys.stderr)
+
+    bm = BM25Retriever()
+    bm.build_index(corpus)
+    _, bi = bm.search(queries, 10)
+    rows.append(
+
+        ("bm25", evaluate_retrieval([r.tolist() for r in bi],
+                                    list(relevant))))
+
+    lines = [
+        "# Reference-artifact parity",
+        "",
+        "Two levels of parity against the reference's checked-in trained "
+        "artifacts, strongest offline proof first.",
+        "",
+        "## 1. Weight-level parity (exact)",
+        "",
+        "The reference's trained torch checkpoints convert losslessly into "
+        "the Flax modules (`latentrag_tpu/models/convert_torch.py`); "
+        "encode / decode / forward outputs match the reference torch "
+        "modules (`/root/reference/models/*autoencoder.py`) to <=1e-5 on "
+        "unit-norm inputs for all three variants — "
+        "`tests/test_reference_parity.py` runs this differential in CI. "
+        "The pipeline loads `.pth` checkpoints directly "
+        "(`models.<ae>.checkpoint=/path/to/vae_text.pth`), so users "
+        "migrating from the reference keep their trained weights.",
+        "",
+        "## 2. Pipeline execution over the reference's real corpus",
+        "",
+        f"The reference's 2,835 shipped chunk texts "
+        f"(`faiss_chunks.faiss.meta.json`), {len(queries)} cloze "
+        f"snippet->document queries, top-10, backend "
+        f"`{jax.default_backend()}`. Encoder: own 2-layer {h}-d tower "
+        f"trained offline on the same corpus ({args.encoder_epochs} "
+        "epochs); AE rows use the CONVERTED REFERENCE WEIGHTS unchanged.",
+        "",
+        "| system | Recall@10 | MRR@10 | nDCG@10 |",
+        "|---|---|---|---|",
+    ]
+    for label, m in rows:
+        lines.append(
+            f"| {label} | {m['Recall@10']['mean']:.4f} "
+            f"| {m['MRR@10']['mean']:.4f} | {m['nDCG@10']['mean']:.4f} |"
+        )
+    lines += [
+        "",
+        "Reading these numbers: the reference AEs were trained on "
+        "all-MiniLM-L6-v2's embedding space. No network egress means those "
+        "encoder weights cannot be fetched here, so the AE rows run the "
+        "trained weights against a *different* 384-d embedding geometry — "
+        "they execute the full migration path (load .pth -> convert -> "
+        "compress -> index -> search) but are expected to score below the "
+        "uncompressed row. They demonstrate artifact compatibility, not "
+        "the reference's quality band.",
+        "",
+        "## 3. Quality-band reproduction (hub-gated, one command)",
+        "",
+        "With network access the exact reproduction of the reference CSV "
+        "row (SQuAD val, 2000 queries / 315 docs, VAE 384->64, target "
+        "Recall@10 in the 0.7335 band) is:",
+        "",
+        "```",
+        "python main.py --ae_type vae --tag refparity --set \\",
+        "  data.dataset=squad data.max_samples=2000 \\",
+        "  encoder.name=sentence-transformers/all-MiniLM-L6-v2 \\",
+        f"  models.vae.checkpoint={REF_CKPT['vae']} \\",
+        "  models.vae.latent_dim=64 models.vae.hidden_dim=512",
+        "```",
+        "",
+        "The encoder converter (`models/encoder/convert.py`, differential "
+        "test `tests/test_hf_conversion.py`) maps the HF checkpoint into "
+        "the Flax tower at ~2e-5 agreement; the AE weights above are the "
+        "reference's own. Every other variable (chunking off, ip metric, "
+        "normalized embeddings) matches the reference fingerprint "
+        "defaults.",
+    ]
+    report = "\n".join(lines)
+    print(report)
+    if args.out:
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w") as f:
+            f.write(report + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
