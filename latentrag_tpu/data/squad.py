@@ -246,16 +246,21 @@ def get_examples(cfg: Config, split: str = "train") -> list[dict]:
 
 def load_evaluation_data(
     examples: Sequence[Mapping],
-) -> tuple[list[str], list[str], list[int]]:
-    """(queries, deduped corpus, relevant corpus-doc index per query).
+    with_answers: bool = False,
+):
+    """(queries, deduped corpus, relevant corpus-doc index per query
+    [, gold answers]).
 
     Contexts are deduplicated first-seen (the reference's ``set()`` dedup,
     ``utils/data_utils.py:542`` — 2000 queries → 315 unique contexts).
+    ``with_answers`` additionally returns each query's gold answer text so
+    generation output can be scored (ref ``main.py:331-335``).
     """
     corpus: list[str] = []
     index: dict[str, int] = {}
     queries: list[str] = []
     relevant: list[int] = []
+    answers: list[str] = []
     for ex in examples:
         ctx = ex["context"]
         if ctx not in index:
@@ -263,6 +268,9 @@ def load_evaluation_data(
             corpus.append(ctx)
         queries.append(ex["question"])
         relevant.append(index[ctx])
+        answers.append(str(ex.get("answer_text", "")))
+    if with_answers:
+        return queries, corpus, relevant, answers
     return queries, corpus, relevant
 
 

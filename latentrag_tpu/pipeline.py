@@ -161,6 +161,7 @@ class PipelineRunner:
         queries: Sequence[str],
         corpus: Sequence[str],
         relevant_ids: Sequence[int],
+        gold_answers: Sequence[str] | None = None,
     ) -> dict[str, Any]:
         cfg = self.cfg
         compressor = self._ensure_compressor(corpus)
@@ -264,13 +265,34 @@ class PipelineRunner:
             "doc_scores": doc_scores,
         }
 
-        # 6. optional generation + eval
+        # 6. optional generation + eval (ref main.py:331-335: bootstrap
+        # generation metrics when gold answers exist and the sample is
+        # large enough for stable CIs)
         if self.generate:
-            result.update(
-                self._run_generation(
-                    queries, texts, doc_ids, idx, doc_top, retriever
-                )
+            gen_out = self._run_generation(
+                queries, texts, doc_ids, idx, doc_top, retriever
             )
+            result.update(gen_out)
+            ecfg = cfg.evaluation
+            if gold_answers is None:
+                log.info("no gold answers supplied; skipping generation eval")
+            elif len(gen_out["answers"]) < ecfg.min_pairs_for_bootstrap:
+                log.info(
+                    "generation eval skipped: %d pairs < min %d for a "
+                    "stable bootstrap",
+                    len(gen_out["answers"]), ecfg.min_pairs_for_bootstrap,
+                )
+            else:
+                from .evaluation import evaluate_generation_bootstrap
+
+                result["generation_metrics"] = evaluate_generation_bootstrap(
+                    gen_out["answers"],
+                    [str(a) for a in gold_answers],
+                    metrics=ecfg.generation_metrics,
+                    n_resamples=ecfg.bootstrap_samples,
+                    alpha=ecfg.bootstrap_alpha,
+                    min_pairs=ecfg.min_pairs_for_bootstrap,
+                )
         return result
 
     def _run_generation(
@@ -322,6 +344,12 @@ class PipelineRunner:
             t.add_row("search time", f"{st['search_time_s'] * 1e3:.2f} ms")
             if "p50" in st:
                 t.add_row("query p50/p95", f"{st['p50']:.4f}/{st['p95']:.4f} ms")
+            for name, stats in result.get("generation_metrics", {}).items():
+                t.add_row(
+                    name,
+                    f"{stats['mean']:.2f} "
+                    f"[{stats['ci_low']:.2f}, {stats['ci_high']:.2f}]",
+                )
             console.print(t)
         except ImportError:
             log.info("run result: %s", result["retrieval_metrics"])

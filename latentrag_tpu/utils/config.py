@@ -321,6 +321,9 @@ def _replace_path(node: Any, parts: Sequence[str], raw_value: str) -> Any:
         value = yaml.safe_load(raw_value)
         if isinstance(value, list):
             value = tuple(value)
+        elif isinstance(current, (list, tuple)) and isinstance(value, str):
+            # tuple-typed field set from the CLI: a.b=X,Y,Z
+            value = tuple(v.strip() for v in value.split(",") if v.strip())
         elif current is not None and not isinstance(current, (list, tuple)):
             value = _coerce(value, type(current))
         return replace(node, **{name: value})

@@ -33,6 +33,15 @@ CSV_COLUMNS = [
     "recall",
     "mrr",
     "ndcg",
+    "bleu",
+    "bleu_ci_low",
+    "bleu_ci_high",
+    "rouge_l",
+    "rouge_l_ci_low",
+    "rouge_l_ci_high",
+    "meteor",
+    "meteor_ci_low",
+    "meteor_ci_high",
     "build_time_s",
     "search_time_s",
     "p50_ms",
@@ -77,11 +86,15 @@ def build_metrics_row(
     retrieval_metrics: Mapping[str, Mapping[str, float]],
     retriever_stats: Mapping[str, Any],
     logs_dir: str = "./logs",
+    generation_metrics: Mapping[str, Mapping[str, float]] | None = None,
 ) -> dict[str, Any]:
     """Assemble one experiment CSV row; read/write baseline speedup JSONs.
 
     ``retrieval_metrics`` is ``{metric_name: {"mean": .., "std": ..}}`` as
-    produced by ``evaluation.retrieval_metrics.evaluate_retrieval``.
+    produced by ``evaluation.retrieval_metrics.evaluate_retrieval``;
+    ``generation_metrics`` is ``{metric: {"mean", "ci_low", "ci_high"}}``
+    from ``evaluate_generation_bootstrap`` (columns stay empty when a run
+    skips generation).
     """
 
     def metric_mean(prefix: str) -> float | None:
@@ -120,6 +133,13 @@ def build_metrics_row(
         "delta_ms_p50": None,
         "delta_ms_p95": None,
     }
+    for name, stats in (generation_metrics or {}).items():
+        col = name.strip().lower().replace("-", "_")
+        if col in ("bleu", "rouge_l", "rougel", "meteor"):
+            col = "rouge_l" if col == "rougel" else col
+            row[col] = float(stats["mean"])
+            row[f"{col}_ci_low"] = float(stats["ci_low"])
+            row[f"{col}_ci_high"] = float(stats["ci_high"])
 
     key = _baseline_key(row)
     path = _baseline_path(logs_dir, key)

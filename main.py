@@ -53,7 +53,9 @@ def main(argv=None) -> int:
     loggers.main.info("loading dataset %r", cfg.data.dataset)
     examples = get_examples(cfg, split="validation"
                             if cfg.data.dataset == "squad" else "train")
-    queries, corpus, relevant = load_evaluation_data(examples)
+    queries, corpus, relevant, gold = load_evaluation_data(
+        examples, with_answers=True
+    )
     loggers.main.info("|queries|=%d |corpus|=%d", len(queries), len(corpus))
 
     if args.benchmark is not None:
@@ -93,7 +95,10 @@ def main(argv=None) -> int:
         except FileNotFoundError as e:
             loggers.main.error("%s", e)
             return 2
-        result = runner.process(queries, corpus, relevant)
+        result = runner.process(
+            queries, corpus, relevant,
+            gold_answers=gold if args.generate else None,
+        )
         runner.print_run_card(result)
         row = build_metrics_row(
             tag=args.tag,
@@ -111,6 +116,7 @@ def main(argv=None) -> int:
             retrieval_metrics=result["retrieval_metrics"],
             retriever_stats=result["retriever_stats"],
             logs_dir=cfg.paths.logs_dir,
+            generation_metrics=result.get("generation_metrics"),
         )
         append_csv_row(
             row, f"{cfg.paths.logs_dir}/benchmarks/experiments.csv"

@@ -141,3 +141,43 @@ def test_pipeline_alternative_metrics(cfg, eval_data, metric):
     r = result["retrieval_metrics"]["Recall@10"]["mean"]
     assert 0.0 <= r <= 1.0
     assert result["retriever_stats"]["search_calls"] == 1
+
+
+def test_generation_eval_end_to_end(cfg, eval_data):
+    # ref main.py:331-335: with gold answers and enough pairs, bootstrap
+    # generation metrics land in the result (VERDICT r1 item 6)
+    from latentrag_tpu.generation import RAGGenerator
+
+    queries, corpus, relevant = eval_data
+    gold = [f"answer number {i}" for i in range(len(queries))]
+    fake = RAGGenerator(
+        client_fn=lambda messages, llm: "answer number 0"
+    )
+    c2 = apply_overrides(
+        cfg, ["evaluation.min_pairs_for_bootstrap=10",
+              "evaluation.bootstrap_samples=50",
+              "evaluation.generation_metrics=ROUGE-L,BLEU,METEOR"]
+    )
+    runner = PipelineRunner(c2, ae_type="none", generate=True, generator=fake)
+    result = runner.process(queries, corpus, relevant, gold_answers=gold)
+    gm = result["generation_metrics"]
+    assert set(gm) == {"ROUGE-L", "BLEU", "METEOR"}
+    for stats in gm.values():
+        assert stats["ci_low"] <= stats["mean"] + 1e-9
+        assert stats["mean"] <= stats["ci_high"] + 1e-9
+    # hypothesis matches gold exactly for query 0 -> nonzero rouge mass
+    assert gm["ROUGE-L"]["mean"] > 0.0
+
+
+def test_generation_eval_skipped_below_min_pairs(cfg, eval_data):
+    from latentrag_tpu.generation import RAGGenerator
+
+    queries, corpus, relevant = eval_data
+    queries, relevant = queries[:5], relevant[:5]
+    fake = RAGGenerator(client_fn=lambda messages, llm: "stub")
+    runner = PipelineRunner(cfg, ae_type="none", generate=True, generator=fake)
+    result = runner.process(
+        queries, corpus, relevant, gold_answers=["g"] * 5
+    )
+    assert "generation_metrics" not in result  # 5 < default min 100
+    assert result["answers"] == ["stub"] * 5
