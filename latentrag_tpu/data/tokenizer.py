@@ -11,9 +11,12 @@ dependency-free and offline-capable:
   (whole words + suffix pieces + character fallback);
 * `encode` returns token ids plus (start, end) char offsets per token —
   the contract the chunkers build on;
-* BERT semantics: lowercasing, punctuation splitting, greedy
+* full BERT BasicTokenizer semantics: lowercasing, NFD accent stripping,
+  control-char removal, punctuation splitting, CJK isolation, greedy
   longest-match-first WordPiece with ``##`` continuation pieces, [CLS]/[SEP]
-  framing, [UNK] fallback.
+  framing, [UNK] fallback — with offsets tracked through normalization so
+  they index the ORIGINAL text (differentially tested against
+  ``BertTokenizerFast``, ``tests/test_tokenizer.py``).
 """
 
 from __future__ import annotations
@@ -91,7 +94,7 @@ class WordPieceTokenizer:
         whole words, then common suffix pieces."""
         word_counts: collections.Counter = collections.Counter()
         for text in texts:
-            for w, _, _ in _pretokenize(text, lowercase=True):
+            for w, _ in _pretokenize(text, lowercase=True):
                 word_counts[w] += 1
 
         chars: set[str] = set()
@@ -186,7 +189,8 @@ class WordPieceTokenizer:
             if max_length is None
             else max_length - (2 if add_special_tokens else 0)
         )
-        for word, w_start, w_end in _pretokenize(text, self.lowercase):
+        for word, idxs in _pretokenize(text, self.lowercase):
+            w_start, w_end = idxs[0], idxs[-1] + 1
             pieces = self._wordpiece(word)
             if pieces is None:
                 pieces = [UNK]
@@ -194,15 +198,16 @@ class WordPieceTokenizer:
                 1 if add_special_tokens else 0
             ) + len(pieces) > body_budget:
                 break
-            cursor = w_start
+            pos = 0  # cursor into the NORMALIZED word
             for p in pieces:
                 plen = len(p) - 2 if p.startswith("##") else len(p)
                 if p == UNK:
                     span = (w_start, w_end)
-                    cursor = w_end
+                    pos = len(word)
                 else:
-                    span = (cursor, min(cursor + plen, w_end))
-                    cursor = span[1]
+                    last = min(pos + plen, len(word)) - 1
+                    span = (idxs[pos], idxs[last] + 1)
+                    pos += plen
                 ids.append(self.vocab.get(p, self.unk_id))
                 tokens.append(p)
                 offsets.append(span)
@@ -234,29 +239,78 @@ class WordPieceTokenizer:
         return [self.inv_vocab.get(i, UNK) for i in ids]
 
 
-def _pretokenize(text: str, lowercase: bool) -> list[tuple[str, int, int]]:
-    """Split into (word, char_start, char_end); punctuation = own token.
+def _is_cjk(cp: int) -> bool:
+    """BERT's CJK ranges (BasicTokenizer._is_chinese_char)."""
+    return (
+        0x4E00 <= cp <= 0x9FFF
+        or 0x3400 <= cp <= 0x4DBF
+        or 0x20000 <= cp <= 0x2A6DF
+        or 0x2A700 <= cp <= 0x2B73F
+        or 0x2B740 <= cp <= 0x2B81F
+        or 0x2B820 <= cp <= 0x2CEAF
+        or 0xF900 <= cp <= 0xFAFF
+        or 0x2F800 <= cp <= 0x2FA1F
+    )
 
-    Offsets index the ORIGINAL text. Lowercasing preserves offsets (BERT's
-    basic tokenizer semantics, minus accent stripping which can shift
-    offsets).
+
+def _is_control(ch: str) -> bool:
+    if ch in ("\t", "\n", "\r"):
+        return False  # treated as whitespace, per BERT _clean_text
+    return unicodedata.category(ch).startswith("C")
+
+
+def _is_whitespace(ch: str) -> bool:
+    if ch in (" ", "\t", "\n", "\r"):
+        return True
+    return unicodedata.category(ch) == "Zs"
+
+
+def _normalize_char(ch: str, lowercase: bool) -> str:
+    """BERT normalization for one char: lowercase then NFD-strip combining
+    marks. May return '' (pure accent) or several chars (expansions)."""
+    if lowercase:
+        ch = ch.lower()
+    out = []
+    for c in ch:
+        for d in unicodedata.normalize("NFD", c):
+            if unicodedata.category(d) != "Mn":
+                out.append(d)
+    return "".join(out)
+
+
+def _pretokenize(text: str, lowercase: bool) -> list[tuple[str, list[int]]]:
+    """Split into (normalized_word, original_char_index_per_norm_char).
+
+    Full BERT BasicTokenizer semantics — lowercasing, accent stripping
+    (NFD, drop Mn), control-char removal, punctuation splitting, CJK chars
+    isolated — while tracking, for every normalized character, the index of
+    the original character it came from, so WordPiece offsets land on the
+    ORIGINAL text exactly as the HF fast tokenizer's offset mapping does.
     """
-    out: list[tuple[str, int, int]] = []
-    i = 0
-    n = len(text)
-    while i < n:
-        ch = text[i]
-        if ch.isspace():
-            i += 1
+    out: list[tuple[str, list[int]]] = []
+    word: list[str] = []
+    idxs: list[int] = []
+
+    def flush():
+        if word:
+            out.append(("".join(word), list(idxs)))
+            word.clear()
+            idxs.clear()
+
+    for i, ch in enumerate(text):
+        if ch == "\x00" or ch == "�" or _is_control(ch):
             continue
-        if _is_punctuation(ch):
-            out.append((ch.lower() if lowercase else ch, i, i + 1))
-            i += 1
+        if _is_whitespace(ch):
+            flush()
             continue
-        j = i
-        while j < n and not text[j].isspace() and not _is_punctuation(text[j]):
-            j += 1
-        word = text[i:j]
-        out.append((word.lower() if lowercase else word, i, j))
-        i = j
+        norm = _normalize_char(ch, lowercase)
+        if not norm:  # standalone combining mark: stripped entirely
+            continue
+        if _is_punctuation(ch) or _is_cjk(ord(ch)):
+            flush()
+            out.append((norm, [i] * len(norm)))
+            continue
+        word.extend(norm)
+        idxs.extend([i] * len(norm))
+    flush()
     return out

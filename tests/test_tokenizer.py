@@ -5,7 +5,9 @@ import numpy as np
 import pytest
 
 from latentrag_tpu.data import WordPieceTokenizer
-from latentrag_tpu.data.tokenizer import CLS, SEP, UNK
+from latentrag_tpu.data.tokenizer import (
+    CLS, SEP, SPECIAL_TOKENS, UNK, _normalize_char,
+)
 
 
 @pytest.fixture(scope="module")
@@ -83,3 +85,83 @@ def test_unicode_and_edge_inputs(tok):
 def test_empty_text(tok):
     enc = tok.encode("")
     assert enc.tokens[0] == "[CLS]" and enc.tokens[-1] == "[SEP]"
+
+
+# --------------------------------------------------------------- HF parity
+
+
+class TestHFDifferential:
+    """Id AND offset parity with the Rust fast tokenizer the reference uses
+    (``utils/chunk_utils.py:114-121``) over a locally built vocab — the gate
+    to MiniLM fidelity (SURVEY §7 hard part 3, VERDICT r1 item 7)."""
+
+    VOCAB = (
+        list(SPECIAL_TOKENS)
+        + [chr(c) for c in range(ord("a"), ord("z") + 1)]
+        + ["##" + chr(c) for c in range(ord("a"), ord("z") + 1)]
+        + [str(d) for d in range(10)]
+        + ["##" + str(d) for d in range(10)]
+        + ["token", "##ization", "token", "the", "quick", "brown", "fox",
+           "cafe", "zurich", "naive", "don", "'", "t", "##s", "co",
+           "##operation", "漢", "字", "##ación", "intern", "##ment",
+           "resume", "##d", ".", ",", "!", "?", "-", "(", ")", '"']
+    )
+
+    CASES = [
+        "The quick brown fox.",
+        "tokenization, internment!",
+        "Café Zürich — naïve résumé",          # accents + em dash
+        "don't",
+        "co­operation",                    # soft hyphen (Cf control)
+        "num 12345 and x9",
+        "漢字 tokenization",                    # CJK isolation
+        "  spaced\tout\n lines ",
+        "(parenthetical) \"quotes\"",
+        "operación",                            # accent inside ## piece
+        "x" * 120 + " ok",                      # > max_word_chars long word
+        "​zero​width",                # zero-width (Cf)
+        "á standalone mark ́x",      # combining acute
+    ]
+
+    @pytest.fixture(scope="class")
+    def pair(self, tmp_path_factory):
+        transformers = pytest.importorskip("transformers")
+        vocab = {}
+        for tok in self.VOCAB:
+            if tok not in vocab:
+                vocab[tok] = len(vocab)
+        path = tmp_path_factory.mktemp("hfvocab") / "vocab.txt"
+        path.write_text(
+            "\n".join(sorted(vocab, key=vocab.get)) + "\n", encoding="utf-8"
+        )
+        hf = transformers.BertTokenizerFast(
+            vocab_file=str(path), do_lower_case=True
+        )
+        own = WordPieceTokenizer(vocab)
+        return own, hf
+
+    @pytest.mark.parametrize("i", range(13))
+    def test_ids_and_offsets_match(self, pair, i):
+        own, hf = pair
+        text = self.CASES[i]
+        enc = own.encode(text)
+        h = hf(text, return_offsets_mapping=True)
+        assert enc.ids == h["input_ids"], (enc.tokens, hf.tokenize(text))
+        # body offsets (HF reports (0,0) for both specials; we mark SEP at
+        # text end — compare the non-special positions)
+        assert enc.offsets[1:-1] == [
+            tuple(o) for o in h["offset_mapping"][1:-1]
+        ]
+
+    def test_offsets_slice_back_to_source_text(self, pair):
+        own, _ = pair
+        text = "Café Zürich — naïve résumé"
+        enc = own.encode(text)
+        for tok, (s, e) in zip(enc.tokens[1:-1], enc.offsets[1:-1]):
+            assert 0 <= s <= e <= len(text)
+            if not tok.startswith("##") and tok not in ("[UNK]",):
+                # normalized token must equal the normalized source slice
+                norm = "".join(
+                    _normalize_char(c, True) for c in text[s:e]
+                )
+                assert norm == tok
