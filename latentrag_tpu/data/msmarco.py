@@ -1,28 +1,50 @@
 """MS MARCO passage-ranking loader (scale-out corpus, BASELINE config 5).
 
-Gated on HF hub connectivity like the SQuAD loader; the scale benchmark
-(``scripts/scale_bench.py``) uses synthetic latents when the hub is
-unreachable. Yields (queries, corpus, relevant) in the same shape as
+Records stream either from the HF hub (``ms_marco`` v1.1) or from a local
+jsonl file with the same record shape::
+
+    {"query": "...", "passages": {"passage_text": [...], "is_selected": [...]}}
+
+so the scale config's data path is exercised offline (the hub is gated on
+connectivity; ``scripts/scale_bench.py`` falls back to synthetic latents).
+Yields (queries, corpus, relevant) in the same shape as
 ``squad.load_evaluation_data``.
 """
 
 from __future__ import annotations
 
+import json
 import logging
-from typing import Iterator
+from typing import Iterable, Iterator, Mapping
 
 log = logging.getLogger("latentrag.utils")
 
 
-def load_msmarco_corpus(
-    max_passages: int | None = None,
-) -> Iterator[str]:
-    """Stream passage texts from the MS MARCO v1.1 passage collection."""
+def _stream_records(
+    split: str, source: str | None = None
+) -> Iterable[Mapping]:
+    """MS-MARCO-shaped records from a local jsonl (``source``) or the hub."""
+    if source is not None:
+        def gen():
+            with open(source) as f:
+                for line in f:
+                    line = line.strip()
+                    if line:
+                        yield json.loads(line)
+
+        return gen()
     from datasets import load_dataset
 
-    ds = load_dataset("ms_marco", "v1.1", split="train", streaming=True)
+    return load_dataset("ms_marco", "v1.1", split=split, streaming=True)
+
+
+def load_msmarco_corpus(
+    max_passages: int | None = None,
+    source: str | None = None,
+) -> Iterator[str]:
+    """Stream passage texts from the MS MARCO passage collection."""
     n = 0
-    for ex in ds:
+    for ex in _stream_records("train", source):
         for passage in ex["passages"]["passage_text"]:
             yield passage
             n += 1
@@ -32,20 +54,18 @@ def load_msmarco_corpus(
 
 def load_msmarco_eval(
     max_queries: int | None = 1000,
+    source: str | None = None,
 ) -> tuple[list[str], list[str], list[int]]:
     """(queries, deduped passage corpus, relevant passage index per query).
 
     Relevance = the is_selected passage for each query; queries without a
     selected passage are skipped.
     """
-    from datasets import load_dataset
-
-    ds = load_dataset("ms_marco", "v1.1", split="validation", streaming=True)
     queries: list[str] = []
     corpus: list[str] = []
     index: dict[str, int] = {}
     relevant: list[int] = []
-    for ex in ds:
+    for ex in _stream_records("validation", source):
         if max_queries is not None and len(queries) >= max_queries:
             break
         texts = ex["passages"]["passage_text"]

@@ -51,11 +51,23 @@ def main(argv=None) -> int:
     set_seed(cfg.training.seed, cfg.training.deterministic)
 
     loggers.main.info("loading dataset %r", cfg.data.dataset)
-    examples = get_examples(cfg, split="validation"
-                            if cfg.data.dataset == "squad" else "train")
-    queries, corpus, relevant, gold = load_evaluation_data(
-        examples, with_answers=True
-    )
+    if cfg.data.dataset.startswith("msmarco"):
+        # 'msmarco' (hub) or 'msmarco:<local.jsonl>' — corpus keeps every
+        # passage (positives AND distractors), so it doesn't fit the
+        # example->dedup shape of load_evaluation_data
+        from latentrag_tpu.data.msmarco import load_msmarco_eval
+
+        _, _, src = cfg.data.dataset.partition(":")
+        queries, corpus, relevant = load_msmarco_eval(
+            max_queries=cfg.data.max_samples, source=src or None
+        )
+        gold = None
+    else:
+        examples = get_examples(cfg, split="validation"
+                                if cfg.data.dataset == "squad" else "train")
+        queries, corpus, relevant, gold = load_evaluation_data(
+            examples, with_answers=True
+        )
     loggers.main.info("|queries|=%d |corpus|=%d", len(queries), len(corpus))
 
     if args.benchmark is not None:
