@@ -10,16 +10,19 @@ TPU-native batched path, and prints ONE JSON line:
 
 vs_baseline = measured QPS / 248,649 (mean of the reference's two runs,
 ``logs/benchmarks/experiments.csv:2-3`` — 1000/p50_ms). Secondary numbers
-(1M-corpus throughput, index build) go to stderr.
+(1M-corpus throughput, MiniLM encode throughput, measured local-CPU ratios
+from ``logs/cpu_baseline.json``) go to stderr.
 
 Timing notes: through the axon relay ``block_until_ready`` does not wait, so
-completion is forced by fetching a scalar; per-call dispatch overhead is
-amortised over many enqueued batches.
+completion is forced by fetching a scalar. The first dispatches after idle
+run ~5x slower than steady state (measured r2), so every timed section warms
+up with several executed calls before the clock starts.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -39,11 +42,15 @@ def sync(x) -> None:
     np.asarray(_fetch(x))
 
 
-def bench_call(fn, reps: int = 20) -> float:
-    sync(fn()[0])  # warmup / compile
+def bench_call(fn, reps: int = 30, warm: int = 8) -> float:
+    """Steady-state seconds/call: compile + warm dispatches excluded."""
+    for _ in range(warm):
+        out = fn()
+    sync(out[0] if isinstance(out, tuple) else out)
     t0 = time.perf_counter()
-    outs = [fn() for _ in range(reps)]
-    sync(outs[-1][0])
+    for _ in range(reps):
+        out = fn()
+    sync(out[0] if isinstance(out, tuple) else out)
     return (time.perf_counter() - t0) / reps
 
 
@@ -52,6 +59,56 @@ def _make_data(key, n, d, dtype):
     through the relay tunnel; device RNG is effectively free)."""
     x = jax.random.normal(jax.random.PRNGKey(key), (n, d), jnp.float32)
     return l2_normalize(x).astype(dtype)
+
+
+def _cpu_ratios(tpu_toy_qps, tpu_1m_qps):
+    """Measured TPU/CPU ratios from scripts/cpu_baseline.py output."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "logs", "cpu_baseline.json")
+    if not os.path.exists(path):
+        return
+    try:
+        with open(path) as f:
+            cpu = json.load(f)
+        toy = cpu["ref_config_315"]["batched_qps"]
+        print(
+            f"[bench] vs local CPU (batched torch, {cpu['cpu_count']} core): "
+            f"toy {tpu_toy_qps / toy:.1f}x",
+            file=sys.stderr, end="",
+        )
+        if tpu_1m_qps and "corpus_1m" in cpu:
+            big = cpu["corpus_1m"]["batched_qps"]
+            print(f", 1M-corpus {tpu_1m_qps / big:,.0f}x", file=sys.stderr)
+        else:
+            print(file=sys.stderr)
+    except Exception as e:
+        print(f"[bench] cpu ratio skipped: {e}", file=sys.stderr)
+
+
+def _bench_encoder(on_tpu: bool) -> None:
+    """MiniLM forward throughput: 6-layer 384-d, 256-token batch on chip.
+
+    The reference's dominant cost is SBERT encoding (SURVEY §3.1); this
+    measures the device-side forward (tokenization is a host stage)."""
+    from latentrag_tpu.models.encoder.minilm import MiniLMEncoder
+
+    if not on_tpu:
+        return
+    enc = MiniLMEncoder(
+        vocab_size=30522, hidden_dim=384, num_layers=6, num_heads=12,
+        mlp_dim=1536, dtype=jnp.bfloat16,
+    )
+    b, length = 128, 256
+    ids = jnp.ones((b, length), jnp.int32)
+    mask = jnp.ones((b, length), jnp.int32)
+    params = jax.jit(enc.init)(jax.random.PRNGKey(0), ids, mask)["params"]
+    apply = jax.jit(lambda p, i, m: enc.apply({"params": p}, i, m))
+    dt = bench_call(lambda: apply(params, ids, mask), reps=20)
+    print(
+        f"[bench] MiniLM encode (6L 384d, batch {b} x {length} tok): "
+        f"{dt * 1e3:.2f} ms/batch -> {b / dt:,.0f} sentences/s",
+        file=sys.stderr,
+    )
 
 
 def main() -> int:
@@ -64,7 +121,9 @@ def main() -> int:
     corpus = _make_data(0, n, d, dtype)
     queries = _make_data(1, nq, d, dtype)
 
-    dt = bench_call(lambda: backend(queries, corpus, k=k, metric="cosine"))
+    dt = bench_call(
+        lambda: backend(queries, corpus, k=k, metric="cosine"), reps=50
+    )
     qps = nq / dt
     print(
         f"[bench] ref-config ({nq}q x {n}x{d}, k={k}): "
@@ -73,20 +132,32 @@ def main() -> int:
     )
 
     # --- secondary: 1M-vector latent corpus ------------------------------
+    qps_1m = None
     try:
         n2 = 1_048_576
         corpus2 = _make_data(2, n2, d, dtype)
         q2 = queries[:1024]
         dt2 = bench_call(
-            lambda: backend(q2, corpus2, k=k, metric="cosine"), reps=10
+            lambda: backend(q2, corpus2, k=k, metric="cosine"),
+            reps=30 if on_tpu else 3, warm=8 if on_tpu else 1,
         )
+        qps_1m = 1024 / dt2
+        flops = 2.0 * 1024 * n2 * d
         print(
             f"[bench] 1M-corpus (1024q x {n2}x{d}): "
-            f"{dt2 * 1e3:.3f} ms/batch -> {1024 / dt2:,.0f} QPS",
+            f"{dt2 * 1e3:.3f} ms/batch -> {qps_1m:,.0f} QPS "
+            f"({flops / dt2 / 1e12:.1f} TFLOP/s)",
             file=sys.stderr,
         )
     except Exception as e:  # secondary only — never break the headline
         print(f"[bench] 1M-corpus benchmark skipped: {e}", file=sys.stderr)
+
+    try:
+        _bench_encoder(on_tpu)
+    except Exception as e:
+        print(f"[bench] encoder benchmark skipped: {e}", file=sys.stderr)
+
+    _cpu_ratios(qps, qps_1m)
 
     print(
         json.dumps(

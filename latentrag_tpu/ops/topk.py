@@ -131,6 +131,14 @@ def approx_topk(
             return scores - q_sq[:, None]
         return scores
 
+    if n_total <= 8192:
+        # approx_max_k's bin reduction carries a ~1 ms fixed cost that
+        # dwarfs tiny corpora (measured r2 on v5e: 2000q x 315 exact top_k
+        # 0.80 ms vs approx 1.83 ms; crossover ~16k rows) — a plain fused
+        # matmul + top_k is both exact AND faster here
+        top_s, top_i = jax.lax.top_k(block_scores(corpus), k)
+        return finalize(top_s), top_i
+
     if n_total <= block_size:
         s, i = jax.lax.approx_max_k(
             block_scores(corpus), k, recall_target=recall_target

@@ -9,18 +9,25 @@
 // consumed via ctypes (no pybind11 dependency).
 //
 // Conventions: float32 row-major vectors; metric is inner product (callers
-// pre-normalize for cosine); higher score = better. Thread-safety: one
-// index per thread; batch calls are internally sequential (the target
-// container is single-core).
+// pre-normalize for cosine); higher score = better. Thread-safety: batch
+// add/search fan out over std::thread workers (striped per-node link locks,
+// hnswlib-style) when given nthreads > 1; a built index is safe for
+// concurrent read-only searches. Level assignment stays sequential from the
+// seeded rng, so level structure is deterministic regardless of thread
+// count (link sets can differ under concurrency).
 
 #include <algorithm>
+#include <atomic>
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
 #include <limits>
+#include <memory>
+#include <mutex>
 #include <queue>
 #include <random>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -47,6 +54,27 @@ inline float l2sq(const float* a, const float* b, int d) {
     return s;
 }
 
+// Reusable visited-set: epoch bump instead of an O(n) clear per search.
+// One instance per worker thread.
+struct Visited {
+    std::vector<uint32_t> mark;
+    uint32_t epoch = 0;
+
+    void next(size_t n) {
+        if (mark.size() < n) mark.resize(n, 0);
+        if (++epoch == 0) {  // wrapped: one real clear every 2^32 searches
+            std::fill(mark.begin(), mark.end(), 0);
+            epoch = 1;
+        }
+    }
+    // returns true if already visited; marks otherwise
+    bool test_and_set(int i) {
+        if (mark[i] == epoch) return true;
+        mark[i] = epoch;
+        return false;
+    }
+};
+
 // ------------------------------------------------------------------ HNSW
 
 struct HNSW {
@@ -62,9 +90,15 @@ struct HNSW {
     int entry = -1;
     int max_level = -1;
     std::mt19937 rng{42};
+    // striped per-node link locks (parallel build) + topology lock
+    static constexpr int STRIPES = 4096;
+    mutable std::unique_ptr<std::mutex[]> locks{new std::mutex[STRIPES]};
+    mutable std::mutex topo_mutex;
+    Visited seq_vis;  // scratch for the sequential paths
 
     int size() const { return static_cast<int>(levels.size()); }
     const float* vec(int i) const { return data.data() + (size_t)i * dim; }
+    std::mutex& node_lock(int i) const { return locks[i & (STRIPES - 1)]; }
 
     int random_level() {
         std::uniform_real_distribution<float> u(0.f, 1.f);
@@ -74,13 +108,20 @@ struct HNSW {
     }
 
     // greedy descent on one level from start toward q; returns local best
-    int greedy(int start, const float* q, int level) const {
+    int greedy(int start, const float* q, int level, bool locked) const {
         int cur = start;
         float cur_score = dot(vec(cur), q, dim);
         bool improved = true;
+        std::vector<int> scratch;
         while (improved) {
             improved = false;
-            for (int nb : links[level][cur]) {
+            const std::vector<int>* lst = &links[level][cur];
+            if (locked) {
+                std::lock_guard<std::mutex> g(node_lock(cur));
+                scratch = links[level][cur];
+                lst = &scratch;
+            }
+            for (int nb : *lst) {
                 float s = dot(vec(nb), q, dim);
                 if (s > cur_score) {
                     cur_score = s;
@@ -92,28 +133,35 @@ struct HNSW {
         return cur;
     }
 
-    // best-first search on a level; returns top-ef (score, id) max-heap data
+    // best-first search on a level; returns top-ef (score, id) ascending
     std::vector<std::pair<float, int>> search_level(
-        const float* q, int entry_pt, int ef, int level) const {
+        const float* q, int entry_pt, int ef, int level, Visited& vis,
+        bool locked) const {
         std::priority_queue<std::pair<float, int>> candidates;  // max by score
         // results: min-heap by score (keep best ef)
         std::priority_queue<std::pair<float, int>,
                             std::vector<std::pair<float, int>>,
                             std::greater<>> results;
-        std::vector<uint8_t> visited(size(), 0);
+        vis.next(size());
         float e_score = dot(vec(entry_pt), q, dim);
         candidates.emplace(e_score, entry_pt);
         results.emplace(e_score, entry_pt);
-        visited[entry_pt] = 1;
+        vis.test_and_set(entry_pt);
+        std::vector<int> scratch;
         while (!candidates.empty()) {
             auto [c_score, c] = candidates.top();
             candidates.pop();
             if (!results.empty() && c_score < results.top().first &&
                 (int)results.size() >= ef)
                 break;
-            for (int nb : links[level][c]) {
-                if (visited[nb]) continue;
-                visited[nb] = 1;
+            const std::vector<int>* lst = &links[level][c];
+            if (locked) {
+                std::lock_guard<std::mutex> g(node_lock(c));
+                scratch = links[level][c];
+                lst = &scratch;
+            }
+            for (int nb : *lst) {
+                if (vis.test_and_set(nb)) continue;
                 float s = dot(vec(nb), q, dim);
                 if ((int)results.size() < ef || s > results.top().first) {
                     candidates.emplace(s, nb);
@@ -139,14 +187,19 @@ struct HNSW {
     // measured cause of 0.70 recall@200k in round 1.
     void shrink(std::vector<int>& nbrs, int node, int cap) {
         if ((int)nbrs.size() <= cap) return;
-        std::sort(nbrs.begin(), nbrs.end(), [&](int a, int b) {
-            return dot(vec(a), vec(node), dim) > dot(vec(b), vec(node), dim);
-        });
+        // score each candidate against the node ONCE — a sort comparator
+        // recomputing dots costs O(m log m) dot products and dominated the
+        // round-1 build profile
+        std::vector<std::pair<float, int>> scored;
+        scored.reserve(nbrs.size());
+        for (int e : nbrs)
+            scored.emplace_back(dot(vec(e), vec(node), dim), e);
+        std::sort(scored.begin(), scored.end(),
+                  [](const auto& a, const auto& b) { return a.first > b.first; });
         std::vector<int> sel, pruned;
         sel.reserve(cap);
-        for (int e : nbrs) {
+        for (auto& [to_node, e] : scored) {
             if ((int)sel.size() >= cap) break;
-            float to_node = dot(vec(e), vec(node), dim);
             bool diverse = true;
             for (int s : sel)
                 if (dot(vec(e), vec(s), dim) > to_node) {
@@ -163,47 +216,100 @@ struct HNSW {
         nbrs = std::move(sel);
     }
 
-    void add(const float* v) {
-        int id = size();
-        data.insert(data.end(), v, v + dim);
-        int lvl = random_level();
-        levels.push_back(lvl);
-        while ((int)links.size() <= lvl) links.emplace_back();
-        for (auto& level_links : links)
-            if ((int)level_links.size() <= id) level_links.resize(id + 1);
-
-        if (entry < 0) {
-            entry = id;
-            max_level = lvl;
-            return;
+    // link node ``id`` (vector already stored, level pre-assigned) into the
+    // graph; ``locked`` guards link-list access for concurrent inserts
+    void insert(int id, int lvl, Visited& vis, bool locked) {
+        const float* v = vec(id);
+        int ep, ml;
+        {
+            std::lock_guard<std::mutex> g(topo_mutex);
+            ep = entry;
+            ml = max_level;
         }
-        int cur = entry;
-        for (int l = max_level; l > lvl; --l) cur = greedy(cur, v, l);
-        for (int l = std::min(lvl, max_level); l >= 0; --l) {
-            auto cand = search_level(v, cur, ef_construction, l);
+        int cur = ep;
+        for (int l = ml; l > lvl; --l) cur = greedy(cur, v, l, locked);
+        for (int l = std::min(lvl, ml); l >= 0; --l) {
+            auto cand = search_level(v, cur, ef_construction, l, vis, locked);
             int cap = (l == 0) ? M0 : M;
-            // run the same diversity selection over ALL ef candidates, not
-            // just the closest cap of them
+            // run the diversity selection over ALL ef candidates, not just
+            // the closest cap of them
             std::vector<int> sel;
             sel.reserve(cand.size());
             for (auto it = cand.rbegin(); it != cand.rend(); ++it)
                 sel.push_back(it->second);
             shrink(sel, id, cap);
-            links[l][id] = sel;
+            {
+                std::lock_guard<std::mutex> g(node_lock(id));
+                links[l][id] = sel;
+            }
             for (int nb : sel) {
+                std::lock_guard<std::mutex> g(node_lock(nb));
                 links[l][nb].push_back(id);
                 shrink(links[l][nb], nb, cap);
             }
             cur = cand.empty() ? cur : cand.back().second;
         }
-        if (lvl > max_level) {
-            max_level = lvl;
-            entry = id;
+        {
+            std::lock_guard<std::mutex> g(topo_mutex);
+            if (lvl > max_level) {
+                max_level = lvl;
+                entry = id;
+            }
         }
     }
 
+    // append nvec vectors; level assignment is sequential (deterministic),
+    // graph linking fans out over nthreads workers
+    void add_batch(int nvec, const float* vecs, int nthreads) {
+        if (nvec <= 0) return;
+        int base = size();
+        std::vector<int> lvls(nvec);
+        int maxl = max_level;
+        for (int i = 0; i < nvec; ++i) {
+            lvls[i] = random_level();
+            maxl = std::max(maxl, lvls[i]);
+        }
+        data.resize((size_t)(base + nvec) * dim);
+        std::memcpy(data.data() + (size_t)base * dim, vecs,
+                    sizeof(float) * (size_t)nvec * dim);
+        levels.resize(base + nvec);
+        std::copy(lvls.begin(), lvls.end(), levels.begin() + base);
+        while ((int)links.size() <= maxl) links.emplace_back();
+        for (auto& level_links : links) level_links.resize(base + nvec);
+
+        int start = 0;
+        if (entry < 0) {  // seed the graph with the first node
+            entry = base;
+            max_level = lvls[0];
+            start = 1;
+        }
+        if (nthreads <= 0)
+            nthreads = (int)std::thread::hardware_concurrency();
+        nthreads = std::max(1, std::min(nthreads, nvec - start));
+        if (nthreads == 1) {
+            for (int i = start; i < nvec; ++i)
+                insert(base + i, lvls[i], seq_vis, false);
+            return;
+        }
+        std::atomic<int> next{start};
+        auto worker = [&] {
+            Visited vis;
+            for (;;) {
+                int i = next.fetch_add(1);
+                if (i >= nvec) break;
+                insert(base + i, lvls[i], vis, true);
+            }
+        };
+        std::vector<std::thread> pool;
+        pool.reserve(nthreads);
+        for (int t = 0; t < nthreads; ++t) pool.emplace_back(worker);
+        for (auto& th : pool) th.join();
+    }
+
+    void add(const float* v) { add_batch(1, v, 1); }
+
     void search(const float* q, int k, int ef, int* out_ids,
-                float* out_scores) const {
+                float* out_scores, Visited& vis) const {
         if (entry < 0) {
             for (int i = 0; i < k; ++i) {
                 out_ids[i] = -1;
@@ -212,8 +318,8 @@ struct HNSW {
             return;
         }
         int cur = entry;
-        for (int l = max_level; l > 0; --l) cur = greedy(cur, q, l);
-        auto res = search_level(q, cur, std::max(ef, k), 0);
+        for (int l = max_level; l > 0; --l) cur = greedy(cur, q, l, false);
+        auto res = search_level(q, cur, std::max(ef, k), 0, vis, false);
         // res ascending; emit top-k descending
         int n = (int)res.size();
         for (int i = 0; i < k; ++i) {
@@ -343,17 +449,43 @@ void hnsw_free(void* p) { delete static_cast<HNSW*>(p); }
 
 int hnsw_size(void* p) { return static_cast<HNSW*>(p)->size(); }
 
-void hnsw_add_batch(void* p, int n, const float* data) {
+void hnsw_add_batch(void* p, int n, const float* data, int nthreads) {
+    static_cast<HNSW*>(p)->add_batch(n, data, nthreads);
+}
+
+void hnsw_add_batch_seq(void* p, int n, const float* data) {
     auto* h = static_cast<HNSW*>(p);
     for (int i = 0; i < n; ++i) h->add(data + (size_t)i * h->dim);
 }
 
 void hnsw_search_batch(void* p, int nq, const float* queries, int k, int ef,
-                       int* out_ids, float* out_scores) {
+                       int* out_ids, float* out_scores, int nthreads) {
     auto* h = static_cast<HNSW*>(p);
-    for (int i = 0; i < nq; ++i)
-        h->search(queries + (size_t)i * h->dim, k, ef,
-                  out_ids + (size_t)i * k, out_scores + (size_t)i * k);
+    if (nthreads <= 0) nthreads = (int)std::thread::hardware_concurrency();
+    nthreads = std::max(1, std::min(nthreads, nq));
+    if (nthreads == 1) {
+        Visited vis;
+        for (int i = 0; i < nq; ++i)
+            h->search(queries + (size_t)i * h->dim, k, ef,
+                      out_ids + (size_t)i * k, out_scores + (size_t)i * k,
+                      vis);
+        return;
+    }
+    std::atomic<int> next{0};
+    auto worker = [&] {
+        Visited vis;
+        for (;;) {
+            int i = next.fetch_add(1);
+            if (i >= nq) break;
+            h->search(queries + (size_t)i * h->dim, k, ef,
+                      out_ids + (size_t)i * k, out_scores + (size_t)i * k,
+                      vis);
+        }
+    };
+    std::vector<std::thread> pool;
+    pool.reserve(nthreads);
+    for (int t = 0; t < nthreads; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
 }
 
 int hnsw_save(void* p, const char* path) {
