@@ -38,6 +38,14 @@ K max-extract merge dominates on the VPU), and its exact mode is the
 on-device oracle (bit-exact, ~5-10x more VPU work). Keep ``approx_topk`` as
 the default backend; reach for this kernel when fusing extra per-tile work
 into the stream (masking, on-the-fly dequantization) that XLA cannot.
+
+Round-2 update (docs/ROOFLINE.md): the dequantization niche is measured
+closed — a Mosaic int8 matmul probe reaches 59 TOP/s vs XLA's 67, and
+``sq8_topk`` at recall_target=0.95 sits at 98% of the int8 matmul+rowmax
+floor, so a fused int8 variant of this kernel has ≤2% to win. This kernel's
+remaining roles: the on-device exact oracle, and a worked example of the
+tile/scratch/fold structure for future ops with genuinely unfusable
+per-tile work.
 """
 
 from __future__ import annotations

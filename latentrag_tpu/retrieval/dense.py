@@ -89,6 +89,7 @@ class DenseRetriever:
     metric: str = "cosine"
     backend: str = "auto"
     block_size: int = 1048576
+    recall_target: float = 0.99  # approx_max_k knob (docs/ROOFLINE.md)
     # device dtype of the prepared corpus: float32 | bfloat16 | int8 (SQ8 —
     # halves HBM vs bf16; cosine/dot only; scores carry ~1e-2 quantization)
     store_dtype: str = "bfloat16"
@@ -321,6 +322,7 @@ class DenseRetriever:
                 self._corpus_scale,
                 k=k,
                 block_size=self.block_size,
+                recall_target=self.recall_target,
             )
         if self.mesh is not None:
             if self._corpus_scale is not None:
@@ -354,6 +356,7 @@ class DenseRetriever:
             return approx_topk(
                 q, self._corpus_dev, k=k, metric=self.metric,
                 block_size=self.block_size,
+                recall_target=self.recall_target,
             )
         if backend == "xla_exact":
             return exact_topk(

@@ -46,6 +46,7 @@ def build_retriever(
         metric=cfg.metric,
         backend=backend,
         block_size=cfg.block_size,
+        recall_target=cfg.recall_target,
         index_path=cfg.index_path or None,
         mesh=mesh if cfg.shard_corpus else None,
     )

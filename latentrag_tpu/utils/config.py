@@ -157,6 +157,10 @@ class RetrievalConfig:
     max_chunks_per_doc: int = 3
     normalize: bool = True
     block_size: int = 1048576  # corpus block for streamed scoring
+    # per-block candidate recall of lax.approx_max_k (selected scores
+    # stay exact); 0.95 reaches ~93% of the matmul roofline at 1M vs
+    # ~71% at 0.99 — see docs/ROOFLINE.md
+    recall_target: float = 0.99
     shard_corpus: bool = False  # shard corpus rows over the mesh data axis
     # hnsw/ivfpq (native ANN tier) parameters
     hnsw_m: int = 32
