@@ -54,10 +54,16 @@ def run_benchmark(
                 )
                 results[system] = {"metrics": metrics, "stats": {}}
             elif system == "dpr":
-                if dpr_encoders is None:
-                    raise ValueError("dpr needs (q_encoder, c_encoder)")
                 from ..retrieval.dpr import DPRRetriever
 
+                if dpr_encoders is None:
+                    # trained tower checkpoints when present, else
+                    # self-initialised towers (training/train_dpr.py)
+                    from ..training.train_dpr import build_dpr_encoders
+
+                    dpr_encoders = build_dpr_encoders(
+                        cfg, corpus_texts=list(corpus)
+                    )
                 r = DPRRetriever(*dpr_encoders)
                 r.build_index(corpus)
                 _, idx = r.search(queries, cfg.retrieval.top_k)

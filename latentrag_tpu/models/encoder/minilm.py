@@ -69,7 +69,12 @@ class TransformerLayer(nn.Module):
 
 
 class MiniLMEncoder(nn.Module):
-    """BERT encoder trunk + masked mean pooling + L2 normalization."""
+    """BERT encoder trunk + pooling (+ optional L2 normalization).
+
+    ``pooling="mean"`` is SBERT semantics (masked mean, the reference's
+    embedder); ``pooling="cls"`` is DPR semantics (the [CLS] last hidden
+    state, ref ``retrieval/dpr.py:5-32`` — pair with ``normalize=False``
+    for DPR's raw dot-product scores)."""
 
     vocab_size: int = 30522
     hidden_dim: int = 384
@@ -78,6 +83,7 @@ class MiniLMEncoder(nn.Module):
     mlp_dim: int = 1536
     max_position_embeddings: int = 512
     normalize: bool = True
+    pooling: str = "mean"  # 'mean' | 'cls'
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -111,11 +117,14 @@ class MiniLMEncoder(nn.Module):
                 name=f"layer_{i}",
             )(x, additive)
 
-        # masked mean pooling (fp32 accumulation)
-        m = attention_mask[:, :, None].astype(jnp.float32)
-        summed = jnp.sum(x.astype(jnp.float32) * m, axis=1)
-        counts = jnp.maximum(jnp.sum(m, axis=1), 1e-9)
-        pooled = summed / counts
+        if self.pooling == "cls":
+            pooled = x[:, 0, :].astype(jnp.float32)
+        else:
+            # masked mean pooling (fp32 accumulation)
+            m = attention_mask[:, :, None].astype(jnp.float32)
+            summed = jnp.sum(x.astype(jnp.float32) * m, axis=1)
+            counts = jnp.maximum(jnp.sum(m, axis=1), 1e-9)
+            pooled = summed / counts
         if self.normalize:
             norm = jnp.linalg.norm(pooled, axis=-1, keepdims=True)
             pooled = pooled / jnp.maximum(norm, 1e-12)
@@ -169,6 +178,7 @@ class SentenceEncoder:
             mlp_dim=self.cfg.mlp_dim,
             max_position_embeddings=self.cfg.max_position_embeddings,
             normalize=self.cfg.normalize,
+            pooling=getattr(self.cfg, "pooling", "mean"),
             dtype=dtype,
         )
         if params is None:

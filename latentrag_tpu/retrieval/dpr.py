@@ -3,9 +3,12 @@
 Parity with ``retrieval/dpr.py:5-32`` (facebook-dpr question/context
 encoders + ANN index): two independent sentence encoders — one for
 questions, one for passages — over a shared dense index. Weights can be
-converted from the HF DPR checkpoints (BERT-base geometry) via
-``models.encoder.convert``; offline, self-initialised encoders keep the
-capability exercisable end-to-end.
+converted from the HF DPR checkpoints (BERT-base geometry, CLS pooling —
+``EncoderConfig(pooling="cls", normalize=False)``) via
+``models.encoder.convert``; offline, the towers TRAIN from scratch with
+in-batch InfoNCE (``training/train_dpr.py``) — beyond the reference, which
+can only load frozen hub weights. Scoring is the raw [CLS] dot product
+(Karpukhin et al.), metric="dot".
 """
 
 from __future__ import annotations
@@ -24,7 +27,7 @@ class DPRRetriever:
         self,
         question_encoder,
         context_encoder,
-        metric: str = "cosine",
+        metric: str = "dot",  # DPR scores raw [CLS] dot products
         backend: str = "auto",
     ):
         self.q_encoder = question_encoder

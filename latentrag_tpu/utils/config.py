@@ -76,6 +76,7 @@ class EncoderConfig:
     mlp_dim: int = 1536
     max_position_embeddings: int = 512
     normalize: bool = True
+    pooling: str = "mean"  # 'mean' (SBERT) | 'cls' (DPR)
     dtype: str = "bfloat16"  # activations; params + layernorm stay fp32
     weights_path: str = ""  # converted weights (.msgpack); "" => random init
 

@@ -112,7 +112,10 @@ def test_dpr_dual_encoder(rng):
                 out[i] = r.standard_normal(8)
             return out
 
-    r = DPRRetriever(StubEncoder("q"), StubEncoder("c"), backend="xla_exact")
+    # cosine here: the stub's unnormalized hash embeddings only guarantee
+    # self-match under normalization (DPR's real default is "dot")
+    r = DPRRetriever(StubEncoder("q"), StubEncoder("c"), metric="cosine",
+                     backend="xla_exact")
     corpus = [f"document number {i}" for i in range(20)]
     r.build_index(corpus)
     results = r.retrieve("document number 7", top_k=3)
