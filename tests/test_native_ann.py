@@ -159,3 +159,40 @@ def test_hnsw_load_rejects_corrupt_header(tmp_path):
         path.write_bytes(header)
         with pytest.raises(IOError):
             HNSWIndex.load(str(path))
+
+
+def test_hnsw_threaded_build_and_search_equivalence(rng):
+    # the parallel build takes per-node locks; on any host (even 1-core,
+    # where threads interleave preemptively) the result must be a valid
+    # graph with recall comparable to the sequential build
+    n, d, nq, k = 4000, 24, 50, 5
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    q = rng.standard_normal((nq, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    true = np.argsort(-(q @ corpus.T), axis=1)[:, :k]
+
+    def recall(ix, nthreads):
+        _, ids = ix.search(q, k=k, ef_search=128, nthreads=nthreads)
+        assert ids.min() >= 0 and ids.max() < n
+        return np.mean(
+            [len(set(ids[i]) & set(true[i])) / k for i in range(nq)]
+        )
+
+    seq = HNSWIndex(d, M=16, ef_construction=100)
+    seq.add(corpus, nthreads=1)
+    par = HNSWIndex(d, M=16, ef_construction=100)
+    par.add(corpus, nthreads=4)
+    assert len(par) == n
+    r_seq = recall(seq, nthreads=1)
+    r_par = recall(par, nthreads=4)
+    assert r_seq > 0.9
+    assert r_par > r_seq - 0.05  # concurrent linking may differ slightly
+
+    # incremental threaded add on top of an existing graph stays valid
+    extra = rng.standard_normal((500, d)).astype(np.float32)
+    extra /= np.linalg.norm(extra, axis=1, keepdims=True)
+    par.add(extra, nthreads=4)
+    assert len(par) == n + 500
+    _, ids = par.search(q, k=k, nthreads=2)
+    assert ids.max() < n + 500
