@@ -66,7 +66,9 @@ class EncoderConfig:
 
     name: str = "sentence-transformers/all-MiniLM-L6-v2"
     max_length: int = 256
-    batch_size: int = 64
+    # 128 saturates the chip at max_length=256 (+14% over 64, flat beyond;
+    # docs/ROOFLINE.md encoder section)
+    batch_size: int = 128
     # Architecture (all-MiniLM-L6-v2 geometry); used when instantiating the
     # Flax encoder from scratch or validating converted weights.
     vocab_size: int = 30522
