@@ -229,6 +229,21 @@ def get_examples(cfg: Config, split: str = "train") -> list[dict]:
     ds = cfg.data.dataset
     if ds.startswith("synthetic"):
         return synthetic_examples(cfg.data.max_samples or 200)
+    if ds.startswith("msmarco"):
+        # (question, selected-passage) pairs for training entry points;
+        # main.py uses load_msmarco_eval directly to also keep distractor
+        # passages in the eval corpus
+        from .msmarco import load_msmarco_eval
+
+        _, _, src = ds.partition(":")
+        queries, corpus, relevant = load_msmarco_eval(
+            max_queries=cfg.data.max_samples, source=src or None
+        )
+        return [
+            {"question": q, "context": corpus[r], "answer_text": "",
+             "answer_start": 0, "doc_id": r}
+            for q, r in zip(queries, relevant)
+        ]
     if ds.startswith("jsonl:"):
         return load_jsonl_examples(ds.split(":", 1)[1], cfg.data.max_samples)
     if ds.startswith("cloze:"):

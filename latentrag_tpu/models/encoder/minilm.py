@@ -202,8 +202,22 @@ class SentenceEncoder:
         return self.cfg.name
 
     def encode_batch(self, texts) -> np.ndarray:
+        """Encode any number of texts; inputs beyond ``cfg.batch_size`` are
+        processed in config-sized device batches (a single giant call would
+        otherwise bucket the whole corpus up to the next power of two —
+        wasted FLOPs and, at scale, VMEM pressure)."""
+        texts = list(texts)
         if not texts:
             return np.zeros((0, self.dim), np.float32)
+        bs = self.cfg.batch_size
+        if len(texts) > bs:
+            return np.concatenate([
+                self._encode_chunk(texts[i : i + bs])
+                for i in range(0, len(texts), bs)
+            ])
+        return self._encode_chunk(texts)
+
+    def _encode_chunk(self, texts) -> np.ndarray:
         ids, mask = self.tokenizer.encode_batch(
             list(texts), max_length=self.cfg.max_length
         )

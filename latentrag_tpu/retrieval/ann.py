@@ -30,16 +30,38 @@ _LIB_PATH = os.path.join(_NATIVE_DIR, "liblatentrag_native.so")
 _lib = None
 
 
+ABI_VERSION = 2  # must match latentrag_abi_version() in the C++
+
+
 def _load_library() -> ctypes.CDLL:
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
-        log.info("building native library in %s", _NATIVE_DIR)
+    # ALWAYS run make: its dependency tracking rebuilds a .so older than
+    # the source, so a stale pre-existing build can't silently serve an
+    # old ABI/algorithm (make is a no-op when fresh)
+    try:
         subprocess.run(
             ["make", "-C", _NATIVE_DIR], check=True, capture_output=True
         )
+    except (subprocess.CalledProcessError, FileNotFoundError) as e:
+        if not os.path.exists(_LIB_PATH):
+            raise RuntimeError(
+                f"native library build failed in {_NATIVE_DIR}: {e}"
+            ) from e
+        log.warning("make failed (%s); using existing %s", e, _LIB_PATH)
     lib = ctypes.CDLL(_LIB_PATH)
+    try:
+        lib.latentrag_abi_version.restype = ctypes.c_int
+        abi = int(lib.latentrag_abi_version())
+    except AttributeError:
+        abi = -1
+    if abi != ABI_VERSION:
+        raise RuntimeError(
+            f"{_LIB_PATH} has ABI {abi}, expected {ABI_VERSION}; delete it "
+            f"and rerun (a dlopen'd library cannot be hot-swapped in this "
+            f"process)"
+        )
     f32p = ctypes.POINTER(ctypes.c_float)
     i32p = ctypes.POINTER(ctypes.c_int)
 

@@ -96,7 +96,14 @@ def contrastive_loss(
         d = _pairwise_dists(z_query, z_positive)
         n = d.shape[0]
         eye = jnp.eye(n, dtype=bool)
-        d = jnp.where(eye, jnp.inf, d)
+        # duplicate positives (SQuAD: ~6 questions share one context) are
+        # by construction the closest points — mining one as the negative
+        # makes negative == positive, a zero-gradient anchor; exclude them
+        # like the diagonal
+        dup = jnp.all(
+            z_positive[:, None, :] == z_positive[None, :, :], axis=-1
+        )
+        d = jnp.where(eye | dup, jnp.inf, d)
         hard_idx = jnp.argmin(d, axis=1)
         negative = z_positive[hard_idx]
     elif z_negative is not None:

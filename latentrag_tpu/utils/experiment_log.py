@@ -161,9 +161,30 @@ def build_metrics_row(
 
 
 def append_csv_row(row: Mapping[str, Any], csv_path: str) -> None:
-    """Append one row, writing the header on first use (append-only log)."""
+    """Append one row, writing the header on first use (append-only log).
+
+    A pre-existing log whose header predates the current schema is migrated
+    in place first (rows re-keyed by the OLD header, new columns empty) —
+    appending new-order values under an old header would silently misalign
+    every column from the first changed position on.
+    """
     os.makedirs(os.path.dirname(csv_path) or ".", exist_ok=True)
     exists = os.path.exists(csv_path)
+    if exists:
+        with open(csv_path, newline="") as f:
+            reader = csv.reader(f)
+            old_header = next(reader, None)
+            if old_header is not None and old_header != CSV_COLUMNS:
+                old_rows = [
+                    dict(zip(old_header, r)) for r in reader if r
+                ]
+                with open(csv_path, "w", newline="") as g:
+                    w = csv.DictWriter(
+                        g, fieldnames=CSV_COLUMNS, extrasaction="ignore"
+                    )
+                    w.writeheader()
+                    for r in old_rows:
+                        w.writerow({k: r.get(k) for k in CSV_COLUMNS})
     with open(csv_path, "a", newline="") as f:
         writer = csv.DictWriter(f, fieldnames=CSV_COLUMNS, extrasaction="ignore")
         if not exists:

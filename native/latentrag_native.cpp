@@ -434,6 +434,10 @@ struct IVFPQ {
 
 extern "C" {
 
+// bump whenever any exported signature or on-disk format changes; the
+// ctypes wrapper refuses to run against a mismatched build
+int latentrag_abi_version(void) { return 2; }
+
 void* hnsw_new(int dim, int M, int ef_construction, unsigned seed) {
     auto* h = new HNSW();
     h->dim = dim;
@@ -451,11 +455,6 @@ int hnsw_size(void* p) { return static_cast<HNSW*>(p)->size(); }
 
 void hnsw_add_batch(void* p, int n, const float* data, int nthreads) {
     static_cast<HNSW*>(p)->add_batch(n, data, nthreads);
-}
-
-void hnsw_add_batch_seq(void* p, int n, const float* data) {
-    auto* h = static_cast<HNSW*>(p);
-    for (int i = 0; i < n; ++i) h->add(data + (size_t)i * h->dim);
 }
 
 void hnsw_search_batch(void* p, int nq, const float* queries, int k, int ef,
@@ -567,6 +566,13 @@ void* hnsw_load(const char* path) {
             if (ok && sz) {
                 level[i].resize(sz);
                 ok = std::fread(level[i].data(), 4, sz, f) == (size_t)sz;
+                // neighbour ids index data[]/visited[] directly — a corrupt
+                // id is an OOB read/write at search time, reject here
+                for (int nb : level[i])
+                    if (nb < 0 || nb >= n) {
+                        ok = false;
+                        break;
+                    }
             }
         }
     }

@@ -256,3 +256,20 @@ def test_msmarco_cli_dispatch(tmp_path):
     ))
     assert rows[0]["dataset"].startswith("msmarco:")
     assert int(rows[0]["n_corpus"]) == 33
+
+
+def test_get_examples_msmarco_dispatch(tmp_path):
+    # every entry point (train/train_dpr/viz), not just main.py, must route
+    # msmarco[:path] correctly (code-review r2 finding)
+    from latentrag_tpu.data import get_examples
+    from latentrag_tpu.utils import apply_overrides, load_config
+
+    src = _msmarco_fixture(tmp_path / "m.jsonl")
+    cfg = apply_overrides(load_config(None), [
+        f"data.dataset=msmarco:{src}", "data.max_samples=8",
+    ])
+    examples = get_examples(cfg)
+    assert len(examples) == 8
+    for ex in examples:
+        assert ex["question"].startswith("what is topic")
+        assert "answer" in ex["context"]

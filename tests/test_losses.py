@@ -69,3 +69,40 @@ def test_dae_loss_positive(rng):
     x = jnp.asarray(rng.standard_normal((6, 12)).astype(np.float32))
     y = jnp.asarray(rng.standard_normal((6, 12)).astype(np.float32))
     assert float(dae_loss(x, y)) > 0
+
+
+def test_mining_skips_duplicate_positives():
+    # duplicate positives (shared contexts) must never be mined as the
+    # negative: they'd make negative ~= positive for their anchors
+    import jax.numpy as jnp
+
+    from latentrag_tpu.training.losses import contrastive_loss
+
+    d = 8
+    q = np.zeros((4, d), np.float32)
+    p = np.zeros((4, d), np.float32)
+    q[:, 0] = 1.0                      # all anchors at e0
+    p[0, 0], p[0, 1] = 0.99, 0.14      # p0 closest to the anchors
+    p[1] = p[0]                        # duplicate positive
+    p[2, 0], p[2, 2] = 0.95, 0.30      # genuine hard negatives, slightly
+    p[3, 0], p[3, 3] = 0.95, 0.30      # farther than the duplicate
+    margin = 0.5
+
+    # numpy oracle of the intended semantics: argmin over pairwise dists
+    # with the diagonal AND duplicate-positive columns masked
+    D = np.linalg.norm(q[:, None, :] - p[None, :, :], axis=-1)
+    dup = np.all(p[:, None, :] == p[None, :, :], axis=-1)
+    Dm = np.where(np.eye(4, dtype=bool) | dup, np.inf, D)
+    neg = p[np.argmin(Dm, axis=1)]
+    d_pos = np.linalg.norm(q - p, axis=1)
+    d_neg = np.linalg.norm(q - neg, axis=1)
+    expected = np.maximum(d_pos - d_neg + margin, 0.0).mean()
+
+    # sanity: for the duplicate pair the oracle picks a non-duplicate
+    assert np.argmin(Dm[0]) >= 2 and np.argmin(Dm[1]) >= 2
+
+    loss = contrastive_loss(
+        jnp.asarray(q), jnp.asarray(p), margin=margin,
+        mine_hard_negatives=True,
+    )
+    np.testing.assert_allclose(float(loss), expected, atol=1e-5)

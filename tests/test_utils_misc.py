@@ -139,3 +139,29 @@ def test_sq8_blocked_negative_scores_not_displaced(rng):
     i0, i1 = np.asarray(i0), np.asarray(i)
     recall = np.mean([len(set(a) & set(b)) / 5 for a, b in zip(i0, i1)])
     assert recall >= 0.6
+
+
+def test_append_csv_migrates_old_header(tmp_path):
+    # a log created before the generation-metric columns must be migrated,
+    # not appended to misaligned (code-review r2 finding)
+    import csv as _csv
+
+    from latentrag_tpu.utils.experiment_log import CSV_COLUMNS
+
+    path = str(tmp_path / "experiments.csv")
+    old_cols = [c for c in CSV_COLUMNS if not c.startswith(
+        ("bleu", "rouge_l", "meteor"))]
+    with open(path, "w", newline="") as f:
+        w = _csv.DictWriter(f, fieldnames=old_cols)
+        w.writeheader()
+        w.writerow({"tag": "old-run", "recall": "0.9",
+                    "build_time_s": "1.5", "p50_ms": "0.2"})
+
+    append_csv_row({"tag": "new-run", "recall": 0.8, "bleu": 33.3,
+                    "build_time_s": 2.5, "p50_ms": 0.1}, path)
+    rows = list(_csv.DictReader(open(path)))
+    assert [r["tag"] for r in rows] == ["old-run", "new-run"]
+    assert rows[0]["recall"] == "0.9" and rows[0]["build_time_s"] == "1.5"
+    assert rows[0]["bleu"] == ""  # migrated old row: new columns empty
+    assert rows[1]["bleu"] == "33.3"
+    assert rows[1]["build_time_s"] == "2.5"  # no shift into wrong columns
