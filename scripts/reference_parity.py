@@ -122,6 +122,23 @@ def main(argv=None) -> int:
         print(f"[refparity] {ae}: {res['retrieval_metrics']}",
               file=sys.stderr)
 
+    # chunking + doc-level MaxSim on the real corpus (the reference's
+    # long-input story: semantic sub-chunks, candidate_k = 3*top_k,
+    # per-doc max aggregation — main.py:274-281 / chunk_utils.py:211-278)
+    ccfg = apply_overrides(cfg, [
+        "chunking.enabled=true", "chunking.mode=semantic",
+        "chunking.max_tokens=64", "chunking.min_tokens=24",
+        "chunking.stride=32",
+    ])
+    runner = PipelineRunner(ccfg, ae_type="none")
+    res = runner.process(queries, corpus, relevant)
+    rows.append((
+        f"none + semantic chunking/MaxSim ({res['n_chunks']} chunks)",
+        res["retrieval_metrics"],
+    ))
+    print(f"[refparity] chunked: {res['retrieval_metrics']}",
+          file=sys.stderr)
+
     bm = BM25Retriever()
     bm.build_index(corpus)
     _, bi = bm.search(queries, 10)
