@@ -47,6 +47,7 @@ def build_retriever(
         backend=backend,
         block_size=cfg.block_size,
         recall_target=cfg.recall_target,
+        store_dtype=cfg.store_dtype,
         index_path=cfg.index_path or None,
         mesh=mesh if cfg.shard_corpus else None,
     )

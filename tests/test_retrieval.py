@@ -255,3 +255,19 @@ class TestIncrementalAdd:
                             index_path=path)
         assert r2._corpus_n == 30
         assert r2.texts[-1] == "t29"
+
+
+def test_store_dtype_int8_via_config(rng):
+    # the int8 tier must be reachable from config/CLI, not only
+    # programmatically (round-2 gap)
+    from latentrag_tpu.retrieval import build_retriever
+    from latentrag_tpu.utils.config import RetrievalConfig
+
+    emb = rng.standard_normal((200, 32)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    cfg = RetrievalConfig(store_dtype="int8", kernel="xla_exact",
+                          index_path="")
+    r = build_retriever(emb, [f"t{i}" for i in range(200)], None, cfg)
+    texts, scores, _ = r.retrieve(emb[7], top_k=3)
+    assert texts[0] == "t7"
+    assert scores[0] > 0.95  # SQ8 quantization error is ~1e-2
