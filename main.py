@@ -38,6 +38,9 @@ def parse_args(argv=None) -> argparse.Namespace:
                    help="run the multi-system benchmark instead of the "
                         "pipeline (default systems: bm25 sbert)")
     p.add_argument("--tag", default="run", help="experiment CSV tag")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler device trace of the "
+                        "pipeline run into DIR (TensorBoard-loadable)")
     p.add_argument("--set", nargs="*", default=[], metavar="a.b=v",
                    help="config overrides")
     return p.parse_args(argv)
@@ -107,10 +110,19 @@ def main(argv=None) -> int:
         except FileNotFoundError as e:
             loggers.main.error("%s", e)
             return 2
-        result = runner.process(
-            queries, corpus, relevant,
-            gold_answers=gold if args.generate else None,
-        )
+        if args.profile:
+            from latentrag_tpu.utils.profiling import trace
+
+            with trace(args.profile):
+                result = runner.process(
+                    queries, corpus, relevant,
+                    gold_answers=gold if args.generate else None,
+                )
+        else:
+            result = runner.process(
+                queries, corpus, relevant,
+                gold_answers=gold if args.generate else None,
+            )
         runner.print_run_card(result)
         row = build_metrics_row(
             tag=args.tag,

@@ -76,3 +76,17 @@ def test_serve_jsonl_roundtrip(tmp_path, capsys):
     assert lines[0]["latency_ms"] > 0
     assert len(lines[1]["results"][0]["hits"]) == 2
     assert "error" in lines[2]
+
+
+def test_main_profile_flag_writes_trace(tmp_path):
+    from main import main
+
+    rc = main(["--ae_type", "none", "--tag", "prof",
+               "--profile", str(tmp_path / "trace"), "--set"]
+              + _overrides(tmp_path))
+    assert rc == 0
+    import glob
+
+    files = glob.glob(str(tmp_path / "trace" / "**"), recursive=True)
+    assert any("trace" in f or f.endswith(".pb") or f.endswith(".json.gz")
+               for f in files), files
