@@ -21,6 +21,25 @@ from .retrieval_metrics import evaluate_retrieval
 
 log = logging.getLogger("latentrag.eval")
 
+
+class _MemoEncoder:
+    """Delegating encoder wrapper that memoises ``encode_batch`` results,
+    so identical text lists (the shared corpus/queries) encode once across
+    the benchmarked systems."""
+
+    def __init__(self, encoder):
+        self._enc = encoder
+        self._memo: dict = {}
+
+    def __getattr__(self, name):
+        return getattr(self._enc, name)
+
+    def encode_batch(self, texts):
+        key = hash(tuple(texts))
+        if key not in self._memo:
+            self._memo[key] = self._enc.encode_batch(texts)
+        return self._memo[key]
+
 DENSE_SYSTEMS = {"sbert": "none", "vae": "vae", "dae": "dae", "cae": "cae"}
 
 
@@ -41,6 +60,7 @@ def run_benchmark(
     from ..retrieval import BM25Retriever
 
     results: dict[str, Any] = {}
+    shared_encoder = None
     for system in systems:
         try:
             if system == "bm25":
@@ -73,7 +93,26 @@ def run_benchmark(
                 )
                 results[system] = {"metrics": metrics, "stats": r.get_stats()}
             elif system in DENSE_SYSTEMS:
-                runner = PipelineRunner(cfg, ae_type=DENSE_SYSTEMS[system])
+                # one sentence encoder shared (and its encodings memoised)
+                # across sbert/vae/dae/cae: the base MiniLM embeddings are
+                # identical for all four — corpus encoding is the dominant
+                # cost and used to run once PER system
+                if shared_encoder is None:
+                    from ..pipeline import default_encoder
+
+                    shared_encoder = _MemoEncoder(
+                        default_encoder(cfg, corpus)
+                    )
+                from ..retrieval.embedder import EmbeddingCompressor
+
+                runner = PipelineRunner(
+                    cfg,
+                    ae_type=DENSE_SYSTEMS[system],
+                    compressor=EmbeddingCompressor(
+                        shared_encoder,
+                        batch_size=cfg.encoder.batch_size,
+                    ),
+                )
                 out = runner.process(queries, corpus, relevant)
                 results[system] = {
                     "metrics": out["retrieval_metrics"],
@@ -97,7 +136,7 @@ def run_benchmark(
                 embedder=cfg.encoder.name,
                 ae_type=DENSE_SYSTEMS.get(system, system),
                 dim_in=cfg.encoder.hidden_dim,
-                dim_out=cfg.models.vae.latent_dim
+                dim_out=cfg.models.for_type(system).latent_dim
                 if system in ("vae", "dae", "cae")
                 else cfg.encoder.hidden_dim,
                 retriever=system,

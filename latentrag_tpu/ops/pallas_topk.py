@@ -227,16 +227,18 @@ def pallas_topk_raw(
 ) -> tuple[jax.Array, jax.Array]:
     """Fused top-k search. Returns (scores [Q, k] f32, indices [Q, k] i32).
 
-    Inputs must be prepared for ``metric`` (cosine/mahalanobis: pre-normalized
-    / pre-whitened — scoring is then a plain dot; euclidean: raw vectors plus
-    optional precomputed ``corpus_sq`` row norms²). bf16 inputs take the
-    native MXU path. ``mode='fold'`` scores are 19-bit-quantized (use
+    Inputs must be prepared for ``metric`` (cosine: pre-normalized — scoring
+    is then a plain dot; euclidean: raw vectors plus optional precomputed
+    ``corpus_sq`` row norms²; mahalanobis: pre-whitened vectors, scored as
+    euclidean IN the whitened space — whitening does not make dot ranking
+    equivalent, unlike cosine normalization). bf16 inputs take the native
+    MXU path. ``mode='fold'`` scores are 19-bit-quantized (use
     ``pallas_topk`` for exactly rescored output); ``mode='exact'`` is
     bit-exact on scores.
     """
-    if metric in ("cosine", "dot", "mahalanobis"):
+    if metric in ("cosine", "dot"):
         metric_kind = "dot"
-    elif metric == "euclidean":
+    elif metric in ("euclidean", "mahalanobis"):
         metric_kind = "euclidean"
     else:
         raise ValueError(f"unsupported metric {metric!r}")
@@ -374,7 +376,7 @@ def pallas_topk(
     qf = queries.astype(jnp.float32)
     cf = cand.astype(jnp.float32)
     dots = jnp.einsum("qd,qkd->qk", qf, cf, precision=jax.lax.Precision.HIGHEST)
-    if metric == "euclidean":
+    if metric in ("euclidean", "mahalanobis"):
         scores = (
             2.0 * dots
             - jnp.sum(jnp.square(qf), axis=1, keepdims=True)

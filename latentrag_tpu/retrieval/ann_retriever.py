@@ -30,9 +30,26 @@ def _normalize_rows(x: np.ndarray) -> np.ndarray:
 class ANNRetriever:
     """HNSW or IVF-PQ over (optionally normalized) embeddings."""
 
+    # which metrics each native scorer can actually rank correctly:
+    # HNSW scores inner products (cosine via normalization, raw dot);
+    # IVF-PQ scores -L2 (euclidean natively; cosine via normalization,
+    # where argmin L2 == argmax cosine on unit vectors). Anything else
+    # would return plausible-looking WRONG rankings, so it is rejected —
+    # the dense TPU tier supports every metric including mahalanobis.
+    _SUPPORTED = {
+        "hnsw": ("cosine", "dot"),
+        "ivfpq": ("cosine", "euclidean"),
+    }
+
     def __init__(self, cfg: RetrievalConfig, kind: str):
         if kind not in ("hnsw", "ivfpq"):
             raise ValueError(f"unknown ANN kind {kind!r}")
+        if cfg.metric not in self._SUPPORTED[kind]:
+            raise ValueError(
+                f"{kind} backend cannot rank metric {cfg.metric!r} "
+                f"(supports {self._SUPPORTED[kind]}); use backend='dense' "
+                f"for euclidean/mahalanobis exact search"
+            )
         self.cfg = cfg
         self.kind = kind
         self.texts: list = []

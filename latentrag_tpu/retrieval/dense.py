@@ -53,6 +53,24 @@ FINGERPRINT_VERSION = 1
 BACKENDS = ("auto", "xla", "xla_exact", "pallas", "pallas_exact")
 
 
+def _corpus_digest(emb, texts) -> str:
+    """Cheap stable identity for (embeddings, texts): shape + 64 sampled
+    rows + their text prefixes. Catches the accidental-swap case (a
+    different corpus of identical size/config) without hashing gigabytes."""
+    import hashlib
+
+    emb = np.asarray(emb)
+    n = emb.shape[0]
+    h = hashlib.sha1()
+    h.update(f"{emb.shape}:".encode())
+    if n:
+        for i in np.linspace(0, n - 1, num=min(n, 64), dtype=int):
+            h.update(np.ascontiguousarray(emb[i], dtype=np.float32).tobytes())
+            if i < len(texts):
+                h.update(str(texts[i])[:256].encode("utf-8", "ignore"))
+    return h.hexdigest()[:16]
+
+
 def make_fingerprint(
     *,
     d: int,
@@ -160,10 +178,26 @@ class DenseRetriever:
         """
         if fingerprint is not None:
             self.fingerprint = fingerprint
+            # the caller's fingerprint is authoritative about the metric:
+            # _load adopts the on-disk metric for load-only use, but a
+            # rebuild must NOT inherit it over the requested one (a cosine
+            # index on disk would silently turn a requested-euclidean
+            # rebuild back into cosine)
+            fp_metric = fingerprint.get("metric")
+            if fp_metric and fp_metric != self.metric:
+                log.warning(
+                    "loaded index metric %r overridden by requested %r",
+                    self.metric, fp_metric,
+                )
+                self.metric = fp_metric
         if self.fingerprint is None:
             self.fingerprint = make_fingerprint(
                 d=int(embeddings.shape[1]), metric=self.metric
             )
+        # corpus identity: shape/config fingerprints alone would let a
+        # DIFFERENT same-size corpus be served from a stale persisted index
+        self.fingerprint = dict(self.fingerprint)
+        self.fingerprint["corpus_digest"] = _corpus_digest(embeddings, texts)
         if (
             self.is_built
             and self._corpus_n == len(texts)
@@ -189,6 +223,13 @@ class DenseRetriever:
         if self.store_dtype == "int8":
             if self.metric not in ("cosine", "dot"):
                 raise ValueError("int8 store supports cosine/dot only")
+            if self.backend in ("xla_exact", "pallas_exact"):
+                raise ValueError(
+                    f"backend={self.backend!r} requests the exact oracle, "
+                    "but store_dtype='int8' is inherently quantized "
+                    "(approx_max_k over SQ8 scores); use a float store for "
+                    "oracle comparisons"
+                )
             from ..ops.quantization import sq8_quantize
 
             prepared, self._corpus_scale = sq8_quantize(prepared)

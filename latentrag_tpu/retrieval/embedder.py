@@ -47,18 +47,17 @@ class EmbeddingCompressor:
         return int(model.latent_dim)
 
     def encode_text(self, texts: Sequence[str]) -> np.ndarray:
-        """Batched encode (+compress). Float32 [N, output_dim]."""
+        """Batched encode (+compress). Float32 [N, output_dim].
+
+        Device batching lives in ``SentenceEncoder.encode_batch`` (it chunks
+        to its config's measured-optimal batch size internally); stacking a
+        second chunking layer here would silently defeat that batching when
+        the two sizes disagree.
+        """
         texts = list(texts)
-        outs = []
-        for start in range(0, len(texts), self.batch_size):
-            chunk = texts[start : start + self.batch_size]
-            emb = np.asarray(self.encoder.encode_batch(chunk), dtype=np.float32)
-            outs.append(emb)
-        emb = (
-            np.concatenate(outs, axis=0)
-            if outs
-            else np.zeros((0, self.input_dim), np.float32)
-        )
+        emb = np.asarray(self.encoder.encode_batch(texts), dtype=np.float32)
+        if emb.size == 0:
+            emb = emb.reshape(0, self.input_dim)
         if self.autoencoder is not None:
             model, params = self.autoencoder
             z = encode_latents(model, params, jnp.asarray(emb))

@@ -39,7 +39,7 @@ def build_retriever(
         return ann
 
     backend = {
-        "dense": cfg.kernel if cfg.kernel != "auto" else "auto",
+        "dense": cfg.kernel,
         "bruteforce": "xla_exact",
     }.get(cfg.backend, "auto")
     retriever = DenseRetriever(

@@ -38,14 +38,19 @@ def annotate(name: str):
 
 @contextmanager
 def timed_blocked(store: dict, key: str, *outputs):
-    """Wall-clock span; blocks on ``outputs`` (device arrays) at exit."""
+    """Wall-clock span; forces completion of ``outputs`` (device arrays) at
+    exit via a scalar fetch — ``jax.block_until_ready`` does not actually
+    block through the axon relay (CLAUDE.md), which would stop the clock at
+    dispatch-ack and report wildly short device times."""
     import time
+
+    from .timing import force_completion
 
     t0 = time.perf_counter()
     collected = list(outputs)
     try:
         yield collected
     finally:
-        if collected:
-            jax.block_until_ready(collected)
+        for out in collected:
+            force_completion(out)
         store[key] = store.get(key, 0.0) + (time.perf_counter() - t0)

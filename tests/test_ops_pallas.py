@@ -75,3 +75,30 @@ def test_approx_topk_matches_oracle_blocked(rng, metric):
     np.testing.assert_allclose(
         np.asarray(s0)[top1, 0], np.asarray(s1)[top1, 0], rtol=1e-4, atol=1e-4
     )
+
+
+def test_pallas_mahalanobis_matches_oracle(rng):
+    # code-review r2: the pallas backend ranked mahalanobis by plain dot;
+    # whitened inputs must be scored as euclidean IN the whitened space
+    from latentrag_tpu.ops.distances import (
+        estimate_covariance, prepare_for_metric, whitening_factor,
+    )
+
+    q = rng.standard_normal((10, 16)).astype(np.float32)
+    c = rng.standard_normal((400, 16)).astype(np.float32)
+    c[:, 0] *= 5.0  # anisotropy so mahalanobis != euclidean != dot
+    cov = estimate_covariance(jnp.asarray(c))
+    w = whitening_factor(cov)
+    qw = prepare_for_metric(jnp.asarray(q), "mahalanobis", w)
+    cw = prepare_for_metric(jnp.asarray(c), "mahalanobis", w)
+
+    s0, i0 = exact_topk(qw, cw, k=5, metric="mahalanobis")
+    s1, i1 = pallas_topk(
+        qw, cw, k=5, metric="mahalanobis", mode="exact", block_q=8,
+        block_n=256, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s1),
+                               rtol=1e-4, atol=1e-4)
+    assert (np.asarray(i0) == np.asarray(i1)).mean() > 0.99
+    # scores follow the negated-squared-distance convention (<= 0)
+    assert np.asarray(s1).max() <= 1e-4

@@ -93,7 +93,7 @@ def test_sharded_int8_dense_retriever(rng, eight_devices):
     r0.build(c, [f"t{i}" for i in range(500)])
     _, i0 = r0.search(c[:8], 5)
 
-    r8 = DenseRetriever(backend="xla_exact", store_dtype="int8", mesh=mesh)
+    r8 = DenseRetriever(backend="xla", store_dtype="int8", mesh=mesh)
     r8.build(c, [f"t{i}" for i in range(500)])
     _, i1 = r8.search(c[:8], 5)
     recall = np.mean([len(set(a) & set(b)) / 5 for a, b in zip(i0, i1)])

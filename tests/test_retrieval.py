@@ -75,7 +75,10 @@ def test_persistence_roundtrip(rng, tmp_path):
     r2 = DenseRetriever(backend="xla_exact", index_path=path,
                         store_dtype="float32")
     assert r2.is_built
-    assert r2.fingerprint == fp
+    # build() adds a corpus_digest on top of the caller fingerprint
+    assert {k: v for k, v in r2.fingerprint.items()
+            if k != "corpus_digest"} == fp
+    assert "corpus_digest" in r2.fingerprint
     s2, i2 = r2.search(q, 4)
     np.testing.assert_array_equal(i1, i2)
     np.testing.assert_allclose(s1, s2, rtol=1e-5, atol=1e-5)
@@ -97,7 +100,8 @@ def test_fingerprint_mismatch_triggers_rebuild(rng, tmp_path):
     new_corpus = _normed(rng, 40, 8)
     r2.build(new_corpus, [f"n{i}" for i in range(40)], fingerprint=fp_new)
     assert r2._corpus_n == 40
-    assert r2.fingerprint == fp_new
+    assert {k: v for k, v in r2.fingerprint.items()
+            if k != "corpus_digest"} == fp_new
 
 
 def test_corrupted_store_starts_clean(rng, tmp_path):
@@ -183,7 +187,7 @@ def test_int8_store_high_recall(rng, tmp_path):
     _, i0 = r_exact.search(queries, 5)
 
     path = str(tmp_path / "idx8")
-    r8 = DenseRetriever(backend="xla_exact", store_dtype="int8",
+    r8 = DenseRetriever(backend="xla", store_dtype="int8",
                         index_path=path)
     r8.build(corpus, [f"t{i}" for i in range(400)])
     _, i1 = r8.search(queries, 5)
@@ -191,7 +195,7 @@ def test_int8_store_high_recall(rng, tmp_path):
     assert recall >= 0.9
 
     # persistence roundtrip re-quantizes identically
-    r8b = DenseRetriever(backend="xla_exact", store_dtype="int8",
+    r8b = DenseRetriever(backend="xla", store_dtype="int8",
                          index_path=path)
     assert r8b.is_built
     _, i2 = r8b.search(queries, 5)
@@ -231,7 +235,7 @@ class TestIncrementalAdd:
 
     def test_add_int8_reuses_scale(self, rng):
         c = _normed(rng, 50, 8)
-        r = DenseRetriever(backend="xla_exact", store_dtype="int8")
+        r = DenseRetriever(backend="xla", store_dtype="int8")
         r.build(c[:30], [f"t{i}" for i in range(30)])
         scale_before = float(r._corpus_scale)
         r.add(c[30:], [f"t{i}" for i in range(30, 50)])
@@ -265,9 +269,69 @@ def test_store_dtype_int8_via_config(rng):
 
     emb = rng.standard_normal((200, 32)).astype(np.float32)
     emb /= np.linalg.norm(emb, axis=1, keepdims=True)
-    cfg = RetrievalConfig(store_dtype="int8", kernel="xla_exact",
-                          index_path="")
+    cfg = RetrievalConfig(store_dtype="int8", kernel="xla", index_path="")
     r = build_retriever(emb, [f"t{i}" for i in range(200)], None, cfg)
     texts, scores, _ = r.retrieve(emb[7], top_k=3)
     assert texts[0] == "t7"
     assert scores[0] > 0.95  # SQ8 quantization error is ~1e-2
+
+    # requesting the exact oracle over a quantized store is a contradiction
+    with pytest.raises(ValueError):
+        build_retriever(
+            emb, [f"t{i}" for i in range(200)], None,
+            RetrievalConfig(store_dtype="int8", kernel="xla_exact",
+                            index_path=""),
+        )
+
+
+def test_same_size_different_corpus_rebuilds(rng, tmp_path):
+    # code-review r2: shape/config fingerprints alone let a DIFFERENT
+    # same-size corpus be served from a stale persisted index
+    path = str(tmp_path / "idx")
+    fp = make_fingerprint(d=8, metric="cosine")
+    a = _normed(rng, 30, 8)
+    b = _normed(rng, 30, 8)  # same size, different content
+    r1 = DenseRetriever(backend="xla_exact", store_dtype="float32",
+                        index_path=path)
+    r1.build(a, [f"a{i}" for i in range(30)], fingerprint=fp)
+
+    r2 = DenseRetriever(backend="xla_exact", store_dtype="float32",
+                        index_path=path)
+    assert r2.is_built  # loaded corpus A
+    r2.build(b, [f"b{i}" for i in range(30)], fingerprint=fp)
+    texts, _, _ = r2.retrieve(b[3], top_k=1)
+    assert texts[0] == "b3"  # corpus B served, not stale A
+
+
+def test_requested_metric_wins_over_loaded(rng, tmp_path):
+    # code-review r2: _load adopted the on-disk metric; a rebuild with a
+    # changed config metric must use the REQUESTED one
+    path = str(tmp_path / "idx")
+    corpus = rng.standard_normal((40, 8)).astype(np.float32)
+    r1 = DenseRetriever(metric="cosine", backend="xla_exact",
+                        store_dtype="float32", index_path=path)
+    r1.build(corpus, [f"t{i}" for i in range(40)],
+             fingerprint=make_fingerprint(d=8, metric="cosine"))
+
+    r2 = DenseRetriever(metric="euclidean", backend="xla_exact",
+                        store_dtype="float32", index_path=path)
+    r2.build(corpus, [f"t{i}" for i in range(40)],
+             fingerprint=make_fingerprint(d=8, metric="euclidean"))
+    assert r2.metric == "euclidean"
+    q = corpus[:4]
+    _, idx = r2.search(q, 3)
+    ref = -(((q[:, None] - corpus[None]) ** 2).sum(-1))
+    np.testing.assert_array_equal(
+        idx[:, 0], np.argsort(-ref, axis=1)[:, 0]
+    )
+
+
+def test_ann_rejects_unrankable_metric():
+    from latentrag_tpu.retrieval.ann_retriever import ANNRetriever
+
+    with pytest.raises(ValueError):
+        ANNRetriever(RetrievalConfig(metric="euclidean"), "hnsw")
+    with pytest.raises(ValueError):
+        ANNRetriever(RetrievalConfig(metric="mahalanobis"), "ivfpq")
+    ANNRetriever(RetrievalConfig(metric="cosine"), "hnsw")  # fine
+    ANNRetriever(RetrievalConfig(metric="euclidean"), "ivfpq")  # fine
