@@ -32,11 +32,16 @@ from latentrag_tpu.ops.quantization import sq8_quantize, sq8_topk
 from latentrag_tpu.utils.timing import force_completion as sync
 
 
-def bench(fn, reps):
-    sync(fn()[0])
+def bench(fn, reps, warm=8):
+    # the first dispatches after idle run ~5x slower than steady state
+    # (docs/ROOFLINE.md) — warm with executed calls before timing
+    for _ in range(warm):
+        out = fn()
+    sync(out[0])
     t0 = time.perf_counter()
-    outs = [fn() for _ in range(reps)]
-    sync(outs[-1][0])
+    for _ in range(reps):
+        out = fn()
+    sync(out[0])
     return (time.perf_counter() - t0) / reps
 
 
