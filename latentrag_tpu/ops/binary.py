@@ -1,0 +1,145 @@
+"""Binary (1-bit sign) corpus quantization with asymmetric TPU scoring.
+
+The extreme capacity tier (cf. binary embedding retrieval at production
+scale, Tencent BEBR arXiv:2302.08714, and FAISS's IndexBinary family): each
+vector stores only its sign bits — 8 B/vector at D=64, 16x smaller than
+bf16 — so a ~1B-vector index fits one v5e chip's HBM.
+
+TPU-first design: bits live packed in HBM as uint32 [N, D/32]; each corpus
+block unpacks on the VPU (broadcast shift + mask → ±1) and scores against
+FULL-PRECISION queries on the MXU (asymmetric scoring — queries lose
+nothing, only the corpus is binarized; measured 3.5x faster than symmetric
+XOR+popcount Hamming, which has no MXU path). Ranking recall is recovered
+the standard way: fetch an oversampled candidate set by binary score, then
+re-rank the survivors exactly.
+
+Measured positioning (docs/ROOFLINE.md): unpacking makes the scan matmul-
+rate-bound, so for corpora that FIT in HBM the int8 tier is strictly
+faster — this tier exists for HBM-overflow corpora (~1B vectors/chip),
+where only the packed bits stay device-resident.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+BITS = 32
+
+
+def binary_quantize(x: jax.Array) -> jax.Array:
+    """Pack sign bits: [N, D] floats -> uint32 [N, ceil(D/32)].
+
+    Bit j of word w is 1 iff x[:, w*32+j] >= 0. D pads to a 32 multiple
+    (pad dims contribute a constant to every score — rank-neutral).
+    """
+    n, d = x.shape
+    pad = (-d) % BITS
+    if pad:
+        # pad with -1 so the pad bits are 0
+        x = jnp.concatenate(
+            [x, -jnp.ones((n, pad), x.dtype)], axis=1
+        )
+    bits = (x >= 0).astype(jnp.uint32)
+    bits = bits.reshape(n, -1, BITS)
+    shifts = jnp.arange(BITS, dtype=jnp.uint32)
+    return jnp.sum(bits << shifts[None, None, :], axis=-1, dtype=jnp.uint32)
+
+
+def binary_unpack(packed: jax.Array, d: int) -> jax.Array:
+    """uint32 [N, W] -> ±1 int8 [N, d] (pad columns dropped)."""
+    shifts = jnp.arange(BITS, dtype=jnp.uint32)
+    bits = (packed[:, :, None] >> shifts[None, None, :]) & jnp.uint32(1)
+    pm1 = (2 * bits.astype(jnp.int8) - 1).reshape(packed.shape[0], -1)
+    return pm1[:, :d]
+
+
+@partial(jax.jit, static_argnames=("k", "d", "block_size", "recall_target"))
+def binary_topk(
+    queries: jax.Array,
+    packed: jax.Array,
+    d: int,
+    k: int,
+    block_size: int = 1_048_576,
+    recall_target: float = 0.95,
+) -> tuple[jax.Array, jax.Array]:
+    """Asymmetric top-k: fp/bf16 queries vs sign-bit corpus.
+
+    Returns (scores, idx) where score = dot(q, sign(c)) — a monotone proxy
+    for cosine against the binarized corpus. Fetch k = oversample *
+    final_k and re-rank the survivors exactly for production recall.
+    """
+    n = packed.shape[0]
+    k = min(k, n)
+    q = queries.astype(jnp.bfloat16)
+
+    def block_topk(pk, base, kk):
+        c = binary_unpack(pk, d).astype(jnp.bfloat16)  # [B, d] ±1
+        dots = jax.lax.dot_general(
+            q, c,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s, i = jax.lax.approx_max_k(dots, kk, recall_target=recall_target)
+        return s, i + base
+
+    if n <= block_size:
+        return block_topk(packed, 0, k)
+
+    n_full = n // block_size
+    parts_s, parts_i = [], []
+    for b in range(n_full):
+        blk = jax.lax.slice_in_dim(
+            packed, b * block_size, (b + 1) * block_size, axis=0
+        )
+        s, i = block_topk(blk, b * block_size, k)
+        parts_s.append(s)
+        parts_i.append(i)
+    rem = n - n_full * block_size
+    if rem:
+        blk = jax.lax.slice_in_dim(packed, n_full * block_size, n, axis=0)
+        s, i = block_topk(blk, n_full * block_size, min(k, rem))
+        parts_s.append(s)
+        parts_i.append(i)
+    cat_s = jnp.concatenate(parts_s, axis=1)
+    cat_i = jnp.concatenate(parts_i, axis=1)
+    top_s, sel = jax.lax.top_k(cat_s, k)
+    return top_s, jnp.take_along_axis(cat_i, sel, axis=1)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("d", "k", "oversample", "block_size", "recall_target"),
+)
+def binary_cascade_topk(
+    queries: jax.Array,
+    packed: jax.Array,
+    rescore_codes: jax.Array,
+    rescore_scale: jax.Array,
+    d: int,
+    k: int,
+    oversample: int = 8,
+    block_size: int = 1_048_576,
+    recall_target: float = 0.95,
+) -> tuple[jax.Array, jax.Array]:
+    """Two-stage search: binary candidate generation + exact int8 rescore.
+
+    The production cascade (BEBR-style): stage 1 scans the 1-bit store and
+    keeps ``oversample * k`` candidates; stage 2 gathers their SQ8 rows and
+    re-ranks with exact quantized dots. Combined store = D/8 + D bytes per
+    vector — 1.7x smaller than bf16 with near-int8 quality.
+    """
+    n = packed.shape[0]
+    ok = min(oversample * k, n)
+    _, cand = binary_topk(
+        queries, packed, d=d, k=ok, block_size=block_size,
+        recall_target=recall_target,
+    )
+    rows = rescore_codes[cand].astype(jnp.float32)  # [Q, ok, d]
+    qf = queries.astype(jnp.float32)
+    dots = jnp.einsum("qd,qkd->qk", qf, rows) * rescore_scale
+    k_out = min(k, ok)
+    s, sel = jax.lax.top_k(dots, k_out)
+    return s, jnp.take_along_axis(cand, sel, axis=1)

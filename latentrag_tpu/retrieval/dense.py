@@ -121,7 +121,9 @@ class DenseRetriever:
 
     _corpus_dev: Any = None  # prepared, device-resident [N, D]
     _corpus_n: int = 0
-    _corpus_scale: Any = None  # SQ8 scale (int8 store only)
+    _corpus_scale: Any = None  # SQ8 scale (int8/binary stores)
+    _binary_packed: Any = None  # uint32 sign bits (binary store only)
+    binary_oversample: int = 8  # cascade stage-1 candidates per k
     _whitener: Any = None
     _loaded_fingerprint: Any = None
     _sharded_cache: dict = field(default_factory=dict)
@@ -220,7 +222,27 @@ class DenseRetriever:
             cov = estimate_covariance(x)
             self._whitener = whitening_factor(cov)
         prepared = prepare_for_metric(x, self.metric, self._whitener)
-        if self.store_dtype == "int8":
+        if self.store_dtype == "binary":
+            # 1-bit cascade tier: packed sign bits for candidate
+            # generation + SQ8 codes for exact rescoring (ops/binary.py)
+            if self.metric not in ("cosine", "dot"):
+                raise ValueError("binary store supports cosine/dot only")
+            if self.backend in ("xla_exact", "pallas_exact"):
+                raise ValueError(
+                    "binary store is a quantized cascade; it cannot serve "
+                    "the exact oracle"
+                )
+            if self.mesh is not None:
+                raise NotImplementedError(
+                    "binary store is single-device; shard the int8 tier "
+                    "for mesh deployments"
+                )
+            from ..ops.binary import binary_quantize
+            from ..ops.quantization import sq8_quantize
+
+            self._binary_packed = jax.device_put(binary_quantize(prepared))
+            prepared, self._corpus_scale = sq8_quantize(prepared)
+        elif self.store_dtype == "int8":
             if self.metric not in ("cosine", "dot"):
                 raise ValueError("int8 store supports cosine/dot only")
             if self.backend in ("xla_exact", "pallas_exact"):
@@ -299,6 +321,12 @@ class DenseRetriever:
         prepared = prepare_for_metric(
             jnp.asarray(emb), self.metric, self._whitener
         )
+        if self._binary_packed is not None:
+            from ..ops.binary import binary_quantize
+
+            self._binary_packed = jnp.concatenate(
+                [self._binary_packed, binary_quantize(prepared)]
+            )
         if self._corpus_scale is not None:
             # reuse the existing scale so old and new codes stay comparable
             scale = self._corpus_scale
@@ -354,6 +382,20 @@ class DenseRetriever:
         """Top-k given queries ALREADY in the prepared (normalized/whitened)
         space. Returns device arrays (scores, indices)."""
         backend = self._resolve_backend()
+        if self._binary_packed is not None:  # binary cascade store
+            from ..ops.binary import binary_cascade_topk
+
+            return binary_cascade_topk(
+                q_prepared,
+                self._binary_packed,
+                self._corpus_dev,
+                self._corpus_scale,
+                d=self.dim,
+                k=k,
+                oversample=self.binary_oversample,
+                block_size=self.block_size,
+                recall_target=self.recall_target,
+            )
         if self._corpus_scale is not None and self.mesh is None:  # int8 store
             from ..ops.quantization import sq8_topk
 
@@ -524,7 +566,13 @@ class DenseRetriever:
         if corpus.shape[0] != meta["n"]:
             raise ValueError("meta/corpus row mismatch")
         prepared = jnp.asarray(np.ascontiguousarray(corpus))
-        if self.store_dtype == "int8":
+        if self.store_dtype == "binary":
+            from ..ops.binary import binary_quantize
+            from ..ops.quantization import sq8_quantize
+
+            self._binary_packed = jax.device_put(binary_quantize(prepared))
+            prepared, self._corpus_scale = sq8_quantize(prepared)
+        elif self.store_dtype == "int8":
             from ..ops.quantization import sq8_quantize
 
             prepared, self._corpus_scale = sq8_quantize(prepared)

@@ -48,6 +48,7 @@ def build_retriever(
         block_size=cfg.block_size,
         recall_target=cfg.recall_target,
         store_dtype=cfg.store_dtype,
+        binary_oversample=cfg.binary_oversample,
         index_path=cfg.index_path or None,
         mesh=mesh if cfg.shard_corpus else None,
     )

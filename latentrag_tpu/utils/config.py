@@ -161,8 +161,11 @@ class RetrievalConfig:
     normalize: bool = True
     block_size: int = 1048576  # corpus block for streamed scoring
     # device dtype of the prepared corpus: bfloat16 | float32 | int8
-    # (SQ8 — halves HBM/storage; 1.8x QPS at 8.8M, docs/ROOFLINE.md)
+    # (SQ8 — halves HBM/storage; 1.8x QPS at 8.8M) | binary (1-bit
+    # cascade: sign-bit candidates + SQ8 rescore — ~1B vectors/chip;
+    # docs/ROOFLINE.md)
     store_dtype: str = "bfloat16"
+    binary_oversample: int = 8  # cascade stage-1 candidates per k
     # per-block candidate recall of lax.approx_max_k (selected scores
     # stay exact); 0.95 reaches ~93% of the matmul roofline at 1M vs
     # ~71% at 0.99 — see docs/ROOFLINE.md

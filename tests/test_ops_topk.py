@@ -141,3 +141,49 @@ def test_maxsim_sentinels_filtered_in_pipeline_logic():
     # retrieved row contains a duplicate of the relevant doc
     res = evaluate_retrieval([[3, 3, 1]], [3], ["Recall@3"])
     assert res["Recall@3"]["mean"] == 1.0  # not 2.0
+
+
+class TestBinaryTier:
+    def test_pack_unpack_roundtrip(self, rng):
+        from latentrag_tpu.ops.binary import binary_quantize, binary_unpack
+
+        x = rng.standard_normal((40, 48)).astype(np.float32)  # d % 32 != 0
+        packed = binary_quantize(jnp.asarray(x))
+        assert packed.shape == (40, 2) and packed.dtype == jnp.uint32
+        pm1 = np.asarray(binary_unpack(packed, 48))
+        np.testing.assert_array_equal(pm1, np.where(x >= 0, 1, -1))
+
+    def test_binary_topk_oversample_recall(self, rng):
+        from latentrag_tpu.ops.binary import binary_quantize, binary_topk
+        from latentrag_tpu.ops import exact_topk, l2_normalize
+
+        # embedding-like low-rank geometry (what latents look like)
+        g = rng.standard_normal((4000, 16)).astype(np.float32)
+        proj = rng.standard_normal((16, 64)).astype(np.float32)
+        c = l2_normalize(jnp.asarray(g @ proj))
+        q = l2_normalize(jnp.asarray(
+            rng.standard_normal((32, 16)).astype(np.float32) @ proj
+        ))
+        _, ref = exact_topk(q, c, k=10)
+        packed = binary_quantize(c)
+        # oversample 8x by binary score, then check the true top-10 are
+        # inside the candidate set (the production rescoring pattern)
+        _, cand = binary_topk(q, packed, d=64, k=80)
+        ref, cand = np.asarray(ref), np.asarray(cand)
+        containment = np.mean(
+            [len(set(ref[i]) & set(cand[i])) / 10 for i in range(32)]
+        )
+        assert containment >= 0.9, containment
+
+    def test_binary_topk_blocked_matches_single(self, rng):
+        from latentrag_tpu.ops.binary import binary_quantize, binary_topk
+        from latentrag_tpu.ops import l2_normalize
+
+        c = l2_normalize(jnp.asarray(
+            rng.standard_normal((1000, 64)).astype(np.float32)))
+        q = l2_normalize(jnp.asarray(
+            rng.standard_normal((8, 64)).astype(np.float32)))
+        packed = binary_quantize(c)
+        s1, i1 = binary_topk(q, packed, d=64, k=5)
+        s2, i2 = binary_topk(q, packed, d=64, k=5, block_size=256)
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-3)

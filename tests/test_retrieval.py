@@ -335,3 +335,60 @@ def test_ann_rejects_unrankable_metric():
         ANNRetriever(RetrievalConfig(metric="mahalanobis"), "ivfpq")
     ANNRetriever(RetrievalConfig(metric="cosine"), "hnsw")  # fine
     ANNRetriever(RetrievalConfig(metric="euclidean"), "ivfpq")  # fine
+
+
+def test_binary_cascade_store(rng, tmp_path):
+    # 1-bit candidate generation + SQ8 rescoring (ops/binary.py): high
+    # recall on embedding-like geometry at 16x less HBM than bf16
+    g = rng.standard_normal((2000, 12)).astype(np.float32)
+    proj = rng.standard_normal((12, 32)).astype(np.float32)
+    corpus = g @ proj
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    queries = corpus[:16] + 0.01 * rng.standard_normal((16, 32)).astype(
+        np.float32
+    )
+
+    r_exact = DenseRetriever(backend="xla_exact", store_dtype="float32")
+    r_exact.build(corpus, [f"t{i}" for i in range(2000)])
+    _, i0 = r_exact.search(queries, 5)
+
+    path = str(tmp_path / "idxbin")
+    rb = DenseRetriever(backend="xla", store_dtype="binary", index_path=path)
+    rb.build(corpus, [f"t{i}" for i in range(2000)])
+    _, i1 = rb.search(queries, 5)
+    recall = np.mean([len(set(a) & set(b)) / 5 for a, b in zip(i0, i1)])
+    assert recall >= 0.85, recall
+
+    # persistence roundtrip: packed bits + codes re-derive from the store
+    rb2 = DenseRetriever(backend="xla", store_dtype="binary",
+                         index_path=path)
+    assert rb2.is_built and rb2._binary_packed is not None
+    _, i2 = rb2.search(queries, 5)
+    recall2 = np.mean([len(set(a) & set(b)) / 5 for a, b in zip(i0, i2)])
+    assert recall2 >= 0.85
+
+    # incremental add keeps both stores aligned
+    extra = corpus[:8] * -1.0
+    rb.add(extra, [f"x{i}" for i in range(8)])
+    assert rb._binary_packed.shape[0] == rb._corpus_dev.shape[0] == 2008
+    texts, _, _ = rb.retrieve(extra[3], top_k=1)
+    assert texts[0] == "x3"
+
+    # exact-oracle and mesh requests are rejected up front
+    with pytest.raises(ValueError):
+        DenseRetriever(backend="xla_exact", store_dtype="binary").build(
+            corpus[:50], [f"t{i}" for i in range(50)]
+        )
+
+
+def test_binary_store_via_config(rng):
+    from latentrag_tpu.retrieval import build_retriever
+
+    emb = rng.standard_normal((300, 32)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    cfg = RetrievalConfig(store_dtype="binary", kernel="xla", index_path="",
+                          binary_oversample=16)
+    r = build_retriever(emb, [f"t{i}" for i in range(300)], None, cfg)
+    assert r.binary_oversample == 16
+    texts, _, _ = r.retrieve(emb[9], top_k=3)
+    assert texts[0] == "t9"
