@@ -17,11 +17,21 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
 import jax
+
+# honor JAX_PLATFORMS=cpu: the axon sitecustomize force-selects the TPU
+# via jax.config AFTER import, so the env var alone is ignored (CLAUDE.md)
+if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
