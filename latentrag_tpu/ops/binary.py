@@ -88,25 +88,60 @@ def binary_topk(
     if n <= block_size:
         return block_topk(packed, 0, k)
 
-    n_full = n // block_size
-    parts_s, parts_i = [], []
-    for b in range(n_full):
-        blk = jax.lax.slice_in_dim(
-            packed, b * block_size, (b + 1) * block_size, axis=0
-        )
-        s, i = block_topk(blk, b * block_size, k)
-        parts_s.append(s)
-        parts_i.append(i)
-    rem = n - n_full * block_size
-    if rem:
-        blk = jax.lax.slice_in_dim(packed, n_full * block_size, n, axis=0)
-        s, i = block_topk(blk, n_full * block_size, min(k, rem))
-        parts_s.append(s)
-        parts_i.append(i)
-    cat_s = jnp.concatenate(parts_s, axis=1)
-    cat_i = jnp.concatenate(parts_i, axis=1)
-    top_s, sel = jax.lax.top_k(cat_s, k)
-    return top_s, jnp.take_along_axis(cat_i, sel, axis=1)
+    # <=16 blocks unroll in the trace (same rationale as approx_topk:
+    # fusion survives, scan defeats it); beyond that a lax.scan keeps
+    # compile time bounded — at the ~100M+ scales this tier targets, an
+    # unrolled program would contain hundreds of kernel instances
+    if n <= 16 * block_size:
+        n_full = n // block_size
+        parts_s, parts_i = [], []
+        for b in range(n_full):
+            blk = jax.lax.slice_in_dim(
+                packed, b * block_size, (b + 1) * block_size, axis=0
+            )
+            s, i = block_topk(blk, b * block_size, k)
+            parts_s.append(s)
+            parts_i.append(i)
+        rem = n - n_full * block_size
+        if rem:
+            blk = jax.lax.slice_in_dim(packed, n_full * block_size, n,
+                                       axis=0)
+            s, i = block_topk(blk, n_full * block_size, min(k, rem))
+            parts_s.append(s)
+            parts_i.append(i)
+        cat_s = jnp.concatenate(parts_s, axis=1)
+        cat_i = jnp.concatenate(parts_i, axis=1)
+        top_s, sel = jax.lax.top_k(cat_s, k)
+        return top_s, jnp.take_along_axis(cat_i, sel, axis=1)
+
+    pad = (-n) % block_size
+    if pad:
+        packed = jnp.pad(packed, ((0, pad), (0, 0)))
+    n_blocks = packed.shape[0] // block_size
+    blocks = packed.reshape(n_blocks, block_size, packed.shape[1])
+    nq = q.shape[0]
+    init = (
+        jnp.full((nq, k), -3.4e38, dtype=jnp.float32),
+        jnp.zeros((nq, k), dtype=jnp.int32),
+    )
+
+    def body(carry, inp):
+        run_s, run_i = carry
+        blk, b_idx = inp
+        base = b_idx * block_size
+        s, i = block_topk(blk, base, k)
+        # pad rows unpack to all -1 and can outscore genuine candidates;
+        # mask anything beyond the true row count
+        s = jnp.where(i < n, s, -3.4e38)
+        cat_s = jnp.concatenate([run_s, s], axis=1)
+        cat_i = jnp.concatenate([run_i, i], axis=1)
+        new_s, sel = jax.lax.top_k(cat_s, k)
+        return (new_s, jnp.take_along_axis(cat_i, sel, axis=1)), None
+
+    (top_s, top_i), _ = jax.lax.scan(
+        body, init, (blocks, jnp.arange(n_blocks, dtype=jnp.int32))
+    )
+    return top_s, top_i
 
 
 @partial(
@@ -126,10 +161,12 @@ def binary_cascade_topk(
 ) -> tuple[jax.Array, jax.Array]:
     """Two-stage search: binary candidate generation + exact int8 rescore.
 
-    The production cascade (BEBR-style): stage 1 scans the 1-bit store and
-    keeps ``oversample * k`` candidates; stage 2 gathers their SQ8 rows and
-    re-ranks with exact quantized dots. Combined store = D/8 + D bytes per
-    vector — 1.7x smaller than bf16 with near-int8 quality.
+    All-device variant: BOTH stores live in HBM, so it only makes sense
+    when the int8 codes fit anyway — in that regime prefer the plain int8
+    tier, which is faster (docs/ROOFLINE.md). ``DenseRetriever``'s binary
+    store instead keeps the rescore codes HOST-side (stage 2 gathers the
+    tiny candidate set on the host), so device memory is D/8 bytes/vector —
+    the configuration that actually serves HBM-overflow corpora.
     """
     n = packed.shape[0]
     ok = min(oversample * k, n)

@@ -122,7 +122,12 @@ class DenseRetriever:
     _corpus_dev: Any = None  # prepared, device-resident [N, D]
     _corpus_n: int = 0
     _corpus_scale: Any = None  # SQ8 scale (int8/binary stores)
-    _binary_packed: Any = None  # uint32 sign bits (binary store only)
+    # binary store: _corpus_dev holds the PACKED sign bits (uint32
+    # [N, D/32]) — the only device-resident piece — while the SQ8
+    # rescore codes stay HOST-side so HBM = D/8 bytes/vector (the
+    # whole point of the tier: corpora too big for an int8 store)
+    _rescore_host: Any = None  # np.int8 [N, D] (binary store only)
+    _dim: int = 0  # true vector dim (packed stores have D/32 words)
     binary_oversample: int = 8  # cascade stage-1 candidates per k
     _whitener: Any = None
     _loaded_fingerprint: Any = None
@@ -131,9 +136,31 @@ class DenseRetriever:
 
     # ------------------------------------------------------------ lifecycle
 
+    def _validate_binary_combo(self):
+        if self.metric not in ("cosine", "dot"):
+            raise ValueError("binary store supports cosine/dot only")
+        if self.mesh is not None:
+            raise NotImplementedError(
+                "binary store is single-device; shard the int8 tier "
+                "for mesh deployments"
+            )
+
     def __post_init__(self):
         if self.backend not in BACKENDS:
             raise ValueError(f"backend {self.backend!r} not in {BACKENDS}")
+        # quantized stores cannot serve the exact oracle; validate the
+        # COMBINATION up front so a persisted index can't smuggle it in
+        # through the load path either
+        if self.store_dtype in ("int8", "binary") and self.backend in (
+            "xla_exact", "pallas_exact",
+        ):
+            raise ValueError(
+                f"backend={self.backend!r} requests the exact oracle, "
+                f"but store_dtype={self.store_dtype!r} is quantized; "
+                "use a float store for oracle comparisons"
+            )
+        if self.store_dtype == "binary":
+            self._validate_binary_combo()
         if self.mesh is not None and self.mesh.size == 1:
             # a 1-device mesh adds shard_map plumbing for nothing; the
             # single-device kernels are strictly faster
@@ -156,6 +183,8 @@ class DenseRetriever:
 
     @property
     def dim(self) -> int:
+        if self._dim:
+            return self._dim
         return int(self._corpus_dev.shape[1]) if self.is_built else 0
 
     def _resolve_backend(self) -> str:
@@ -222,26 +251,17 @@ class DenseRetriever:
             cov = estimate_covariance(x)
             self._whitener = whitening_factor(cov)
         prepared = prepare_for_metric(x, self.metric, self._whitener)
+        self._dim = int(emb.shape[1])
         if self.store_dtype == "binary":
-            # 1-bit cascade tier: packed sign bits for candidate
-            # generation + SQ8 codes for exact rescoring (ops/binary.py)
-            if self.metric not in ("cosine", "dot"):
-                raise ValueError("binary store supports cosine/dot only")
-            if self.backend in ("xla_exact", "pallas_exact"):
-                raise ValueError(
-                    "binary store is a quantized cascade; it cannot serve "
-                    "the exact oracle"
-                )
-            if self.mesh is not None:
-                raise NotImplementedError(
-                    "binary store is single-device; shard the int8 tier "
-                    "for mesh deployments"
-                )
+            # 1-bit cascade tier: device holds ONLY packed sign bits;
+            # SQ8 rescore codes stay host-side (ops/binary.py)
+            self._validate_binary_combo()
             from ..ops.binary import binary_quantize
             from ..ops.quantization import sq8_quantize
 
-            self._binary_packed = jax.device_put(binary_quantize(prepared))
-            prepared, self._corpus_scale = sq8_quantize(prepared)
+            codes, self._corpus_scale = sq8_quantize(prepared)
+            self._rescore_host = np.asarray(codes, dtype=np.int8)
+            prepared = binary_quantize(prepared)
         elif self.store_dtype == "int8":
             if self.metric not in ("cosine", "dot"):
                 raise ValueError("int8 store supports cosine/dot only")
@@ -321,12 +341,25 @@ class DenseRetriever:
         prepared = prepare_for_metric(
             jnp.asarray(emb), self.metric, self._whitener
         )
-        if self._binary_packed is not None:
+        if self._rescore_host is not None:
             from ..ops.binary import binary_quantize
 
-            self._binary_packed = jnp.concatenate(
-                [self._binary_packed, binary_quantize(prepared)]
+            scale = self._corpus_scale
+            new_codes = np.asarray(jnp.clip(
+                jnp.round(prepared.astype(jnp.float32) / scale), -127, 127
+            ).astype(jnp.int8))
+            self._rescore_host = np.concatenate(
+                [self._rescore_host, new_codes]
             )
+            self._corpus_dev = jnp.concatenate(
+                [self._corpus_dev, binary_quantize(prepared)]
+            )
+            self.texts.extend(texts)
+            self.doc_ids.extend(new_ids)
+            self._corpus_n += emb.shape[0]
+            if self.index_path:
+                self._save(self.index_path)
+            return
         if self._corpus_scale is not None:
             # reuse the existing scale so old and new codes stay comparable
             scale = self._corpus_scale
@@ -371,6 +404,10 @@ class DenseRetriever:
             return False
 
     def _corpus_row(self, i: int):
+        if self._rescore_host is not None:  # binary: codes live host-side
+            return self._rescore_host[i].astype(np.float32) * float(
+                self._corpus_scale
+            )
         row = np.asarray(self._corpus_dev[i], dtype=np.float32)
         if self._corpus_scale is not None:
             row = row * float(self._corpus_scale)
@@ -382,19 +419,32 @@ class DenseRetriever:
         """Top-k given queries ALREADY in the prepared (normalized/whitened)
         space. Returns device arrays (scores, indices)."""
         backend = self._resolve_backend()
-        if self._binary_packed is not None:  # binary cascade store
-            from ..ops.binary import binary_cascade_topk
+        if self._rescore_host is not None:  # binary cascade store
+            from ..ops.binary import binary_topk
 
-            return binary_cascade_topk(
-                q_prepared,
-                self._binary_packed,
-                self._corpus_dev,
-                self._corpus_scale,
-                d=self.dim,
-                k=k,
-                oversample=self.binary_oversample,
+            ok = min(self.binary_oversample * k, self._corpus_n)
+            _, cand = binary_topk(
+                q_prepared, self._corpus_dev, d=self._dim, k=ok,
                 block_size=self.block_size,
                 recall_target=self.recall_target,
+            )
+            # stage 2 on host: gather + exact SQ8 rescore of the tiny
+            # candidate set (Q x ok x D flops) — keeps HBM = packed bits
+            cand = np.asarray(cand)
+            rows = self._rescore_host[cand].astype(np.float32)
+            qf = np.asarray(q_prepared, dtype=np.float32)
+            dots = np.einsum("qd,qkd->qk", qf, rows) * float(
+                self._corpus_scale
+            )
+            k_out = min(k, ok)
+            sel = np.argpartition(-dots, k_out - 1, axis=1)[:, :k_out]
+            ssel = np.take_along_axis(dots, sel, axis=1)
+            order = np.argsort(-ssel, axis=1)
+            return (
+                np.take_along_axis(ssel, order, axis=1),
+                np.take_along_axis(
+                    np.take_along_axis(cand, sel, axis=1), order, axis=1
+                ),
             )
         if self._corpus_scale is not None and self.mesh is None:  # int8 store
             from ..ops.quantization import sq8_topk
@@ -506,6 +556,24 @@ class DenseRetriever:
                     os.path.join(path, "sq8_scale.npy"),
                     np.asarray(self._corpus_scale, dtype=np.float32),
                 )
+        elif self._rescore_host is not None:  # binary store
+            # packed bits persist VERBATIM: re-deriving them from the
+            # dequantized corpus flips sign bits of near-zero negatives
+            # (code 0 reloads as +0.0), so save/load would not be
+            # rank-stable otherwise
+            np.save(
+                os.path.join(path, "binary_packed.npy"),
+                np.asarray(self._corpus_dev)[: self._corpus_n],
+            )
+            np.save(
+                os.path.join(path, "sq8_scale.npy"),
+                np.asarray(self._corpus_scale, dtype=np.float32),
+            )
+            np.save(
+                os.path.join(path, "corpus.npy"),
+                self._rescore_host[: self._corpus_n].astype(np.float32)
+                * float(self._corpus_scale),
+            )
         else:
             corpus = np.asarray(self._corpus_dev, dtype=np.float32)
             if self._corpus_scale is not None:  # persist dequantized fp32
@@ -567,11 +635,19 @@ class DenseRetriever:
             raise ValueError("meta/corpus row mismatch")
         prepared = jnp.asarray(np.ascontiguousarray(corpus))
         if self.store_dtype == "binary":
+            self._validate_binary_combo()
             from ..ops.binary import binary_quantize
             from ..ops.quantization import sq8_quantize
 
-            self._binary_packed = jax.device_put(binary_quantize(prepared))
-            prepared, self._corpus_scale = sq8_quantize(prepared)
+            codes, self._corpus_scale = sq8_quantize(prepared)
+            self._rescore_host = np.asarray(codes, dtype=np.int8)
+            self._dim = int(corpus.shape[1])
+            ppath = os.path.join(path, "binary_packed.npy")
+            if os.path.exists(ppath):  # bit-stable packed store
+                prepared = jnp.asarray(np.load(ppath))
+            else:
+                prepared = binary_quantize(jnp.asarray(
+                    np.ascontiguousarray(corpus)))
         elif self.store_dtype == "int8":
             from ..ops.quantization import sq8_quantize
 

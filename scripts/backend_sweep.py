@@ -35,7 +35,8 @@ from latentrag_tpu.utils.timing import force_completion as sync
 def bench(fn, reps, warm=8):
     # the first dispatches after idle run ~5x slower than steady state
     # (docs/ROOFLINE.md) — warm with executed calls before timing
-    for _ in range(warm):
+    out = fn()  # always at least one executed call (compile)
+    for _ in range(max(warm - 1, 0)):
         out = fn()
     sync(out[0])
     t0 = time.perf_counter()

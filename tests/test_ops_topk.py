@@ -187,3 +187,9 @@ class TestBinaryTier:
         s1, i1 = binary_topk(q, packed, d=64, k=5)
         s2, i2 = binary_topk(q, packed, d=64, k=5, block_size=256)
         np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-3)
+        # CPU approx_max_k is exact, so indices are deterministic — this
+        # catches base-offset bugs in the blocked merge
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        # >16 blocks exercises the lax.scan fallback
+        s3, i3 = binary_topk(q, packed, d=64, k=5, block_size=32)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i3))
