@@ -31,6 +31,7 @@ def make_sharded_topk(
     metric: str = "cosine",
     backend: str = "approx",
     block_size: int = 1048576,
+    recall_target: float = 0.99,
     axis: str = "data",
 ):
     """Build a jitted ``(queries, corpus_sharded, n_valid) -> (scores, idx)``.
@@ -52,13 +53,15 @@ def make_sharded_topk(
 
         def local_search(q, c_shard, scale):
             return sq8_topk(
-                q, c_shard, scale, k=local_k, block_size=block_size
+                q, c_shard, scale, k=local_k, block_size=block_size,
+                recall_target=recall_target,
             )
 
     else:
         inner = {
             "approx": functools.partial(
-                approx_topk, k=local_k, metric=metric, block_size=block_size
+                approx_topk, k=local_k, metric=metric, block_size=block_size,
+                recall_target=recall_target,
             ),
             "exact": functools.partial(
                 exact_topk, k=local_k, metric=metric,

@@ -471,6 +471,7 @@ class DenseRetriever:
                     metric=self.metric,
                     backend=shard_backend,
                     block_size=self.block_size,
+                    recall_target=self.recall_target,
                 )
                 self._sharded_cache[key] = fn
             q_dev = (
