@@ -12,6 +12,7 @@ from __future__ import annotations
 import asyncio
 import logging
 import os
+import time
 from dataclasses import dataclass, field
 from typing import Any, Callable, Sequence
 
@@ -40,6 +41,7 @@ class GeneratorSettings:
     system_prompt_path: str | None = None
     max_context_tokens: int = 2048
     chars_per_token: int = 4  # truncation heuristic (ref :154-170)
+    max_retries: int = 3  # transient-failure retries with backoff
 
 
 def load_system_prompt(path: str | None) -> str:
@@ -131,11 +133,26 @@ class RAGGenerator:
     # ------------------------------------------------------------ generate
 
     def generate(self, query: str, retrieved_docs: Sequence[str]) -> str:
+        """One completion, with bounded exponential-backoff retries on
+        transient client failures (rate limits, timeouts, 5xx) — a batch of
+        hundreds of generations shouldn't die on one blip."""
         if self._client_fn is None:
             self._client_fn = self._default_client()
-        return self._client_fn(
-            self._messages(query, retrieved_docs), self.settings.llm
-        )
+        messages = self._messages(query, retrieved_docs)
+        delay = 1.0
+        for attempt in range(self.settings.max_retries + 1):
+            try:
+                return self._client_fn(messages, self.settings.llm)
+            except Exception as e:
+                if attempt >= self.settings.max_retries:
+                    raise
+                log.warning(
+                    "generation attempt %d failed (%s: %s); retrying in "
+                    "%.1fs", attempt + 1, type(e).__name__, e, delay,
+                )
+                time.sleep(delay)
+                delay = min(delay * 2, 30.0)
+        raise RuntimeError("unreachable")  # pragma: no cover
 
     async def generate_async(
         self, query: str, retrieved_docs: Sequence[str]

@@ -60,6 +60,17 @@ def main(argv=None) -> int:
         compressor.output_dim, runner.ae_type,
     )
 
+    # warm the full query path before accepting traffic: the first search
+    # otherwise pays the jit compile (~30-60 s through the TPU relay) on a
+    # live request
+    t0 = time.perf_counter()
+    warm_emb = compressor.encode_text([corpus[0]])
+    retriever.search(warm_emb, min(cfg.retrieval.top_k, len(corpus)))
+    retriever.get_stats(reset=True)  # don't count warmup in serving stats
+    loggers.main.info(
+        "query path warmed in %.1fs; serving", time.perf_counter() - t0
+    )
+
     for line in sys.stdin:
         line = line.strip()
         if not line:

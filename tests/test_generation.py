@@ -74,3 +74,31 @@ def test_llm_settings_passed_through():
     gen.generate("q", ["d"])
     assert calls[0][1].model == "test-model"
     assert calls[0][1].temperature == 0.9
+
+
+def test_generate_retries_transient_failures(monkeypatch):
+    from latentrag_tpu.generation import RAGGenerator
+    from latentrag_tpu.generation.generator import GeneratorSettings
+
+    calls = {"n": 0}
+
+    def flaky(messages, llm):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise TimeoutError("transient")
+        return "recovered"
+
+    import latentrag_tpu.generation.generator as G
+
+    monkeypatch.setattr(G.time, "sleep", lambda s: None)  # fast test
+    gen = RAGGenerator(GeneratorSettings(max_retries=3), client_fn=flaky)
+    assert gen.generate("q", ["doc"]) == "recovered"
+    assert calls["n"] == 3
+
+    calls["n"] = 0
+    gen2 = RAGGenerator(GeneratorSettings(max_retries=1), client_fn=flaky)
+    import pytest as _pytest
+
+    with _pytest.raises(TimeoutError):
+        gen2.generate("q", ["doc"])
+    assert calls["n"] == 2  # initial try + 1 retry
