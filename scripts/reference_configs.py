@@ -25,6 +25,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+import jax
+
+# honor JAX_PLATFORMS=cpu: the axon sitecustomize force-selects the
+# TPU via jax.config AFTER import (CLAUDE.md)
+if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    jax.config.update("jax_platforms", "cpu")
+
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
