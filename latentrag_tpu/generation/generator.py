@@ -132,10 +132,25 @@ class RAGGenerator:
 
     # ------------------------------------------------------------ generate
 
+    # exception-class-name markers of retryable transient failures; auth /
+    # invalid-request / programming errors surface immediately
+    _TRANSIENT_MARKERS = (
+        "timeout", "connection", "ratelimit", "rate_limit", "unavailable",
+        "internalserver", "apierror", "overloaded", "tryagain",
+    )
+
+    @classmethod
+    def _is_transient(cls, e: Exception) -> bool:
+        if isinstance(e, (TimeoutError, ConnectionError)):
+            return True
+        name = type(e).__name__.lower()
+        return any(m in name for m in cls._TRANSIENT_MARKERS)
+
     def generate(self, query: str, retrieved_docs: Sequence[str]) -> str:
         """One completion, with bounded exponential-backoff retries on
-        transient client failures (rate limits, timeouts, 5xx) — a batch of
-        hundreds of generations shouldn't die on one blip."""
+        TRANSIENT client failures (rate limits, timeouts, 5xx) — a batch of
+        hundreds of generations shouldn't die on one blip. Permanent
+        failures (auth, invalid request) raise immediately."""
         if self._client_fn is None:
             self._client_fn = self._default_client()
         messages = self._messages(query, retrieved_docs)
@@ -144,7 +159,9 @@ class RAGGenerator:
             try:
                 return self._client_fn(messages, self.settings.llm)
             except Exception as e:
-                if attempt >= self.settings.max_retries:
+                if attempt >= self.settings.max_retries or not (
+                    self._is_transient(e)
+                ):
                     raise
                 log.warning(
                     "generation attempt %d failed (%s: %s); retrying in "

@@ -142,41 +142,3 @@ def binary_topk(
         body, init, (blocks, jnp.arange(n_blocks, dtype=jnp.int32))
     )
     return top_s, top_i
-
-
-@partial(
-    jax.jit,
-    static_argnames=("d", "k", "oversample", "block_size", "recall_target"),
-)
-def binary_cascade_topk(
-    queries: jax.Array,
-    packed: jax.Array,
-    rescore_codes: jax.Array,
-    rescore_scale: jax.Array,
-    d: int,
-    k: int,
-    oversample: int = 8,
-    block_size: int = 1_048_576,
-    recall_target: float = 0.95,
-) -> tuple[jax.Array, jax.Array]:
-    """Two-stage search: binary candidate generation + exact int8 rescore.
-
-    All-device variant: BOTH stores live in HBM, so it only makes sense
-    when the int8 codes fit anyway — in that regime prefer the plain int8
-    tier, which is faster (docs/ROOFLINE.md). ``DenseRetriever``'s binary
-    store instead keeps the rescore codes HOST-side (stage 2 gathers the
-    tiny candidate set on the host), so device memory is D/8 bytes/vector —
-    the configuration that actually serves HBM-overflow corpora.
-    """
-    n = packed.shape[0]
-    ok = min(oversample * k, n)
-    _, cand = binary_topk(
-        queries, packed, d=d, k=ok, block_size=block_size,
-        recall_target=recall_target,
-    )
-    rows = rescore_codes[cand].astype(jnp.float32)  # [Q, ok, d]
-    qf = queries.astype(jnp.float32)
-    dots = jnp.einsum("qd,qkd->qk", qf, rows) * rescore_scale
-    k_out = min(k, ok)
-    s, sel = jax.lax.top_k(dots, k_out)
-    return s, jnp.take_along_axis(cand, sel, axis=1)

@@ -263,15 +263,10 @@ class DenseRetriever:
             self._rescore_host = np.asarray(codes, dtype=np.int8)
             prepared = binary_quantize(prepared)
         elif self.store_dtype == "int8":
+            # (the exact-oracle/backend combination is validated in
+            # __post_init__ so persisted indexes can't bypass it)
             if self.metric not in ("cosine", "dot"):
                 raise ValueError("int8 store supports cosine/dot only")
-            if self.backend in ("xla_exact", "pallas_exact"):
-                raise ValueError(
-                    f"backend={self.backend!r} requests the exact oracle, "
-                    "but store_dtype='int8' is inherently quantized "
-                    "(approx_max_k over SQ8 scores); use a float store for "
-                    "oracle comparisons"
-                )
             from ..ops.quantization import sq8_quantize
 
             prepared, self._corpus_scale = sq8_quantize(prepared)
@@ -341,31 +336,16 @@ class DenseRetriever:
         prepared = prepare_for_metric(
             jnp.asarray(emb), self.metric, self._whitener
         )
-        if self._rescore_host is not None:
+        if self._rescore_host is not None:  # binary: dual concatenation
             from ..ops.binary import binary_quantize
 
-            scale = self._corpus_scale
-            new_codes = np.asarray(jnp.clip(
-                jnp.round(prepared.astype(jnp.float32) / scale), -127, 127
-            ).astype(jnp.int8))
             self._rescore_host = np.concatenate(
-                [self._rescore_host, new_codes]
+                [self._rescore_host,
+                 np.asarray(self._requantize(prepared))]
             )
-            self._corpus_dev = jnp.concatenate(
-                [self._corpus_dev, binary_quantize(prepared)]
-            )
-            self.texts.extend(texts)
-            self.doc_ids.extend(new_ids)
-            self._corpus_n += emb.shape[0]
-            if self.index_path:
-                self._save(self.index_path)
-            return
-        if self._corpus_scale is not None:
-            # reuse the existing scale so old and new codes stay comparable
-            scale = self._corpus_scale
-            prepared = jnp.clip(
-                jnp.round(prepared.astype(jnp.float32) / scale), -127, 127
-            ).astype(jnp.int8)
+            prepared = binary_quantize(prepared)
+        elif self._corpus_scale is not None:
+            prepared = self._requantize(prepared)
         else:
             prepared = prepared.astype(self._corpus_dev.dtype)
         if self.mesh is not None:
@@ -389,6 +369,14 @@ class DenseRetriever:
         self.doc_ids.extend(new_ids)
         if self.index_path:
             self._save(self.index_path)
+
+    def _requantize(self, prepared):
+        """SQ8-quantize with the EXISTING scale so old and new codes stay
+        comparable."""
+        return jnp.clip(
+            jnp.round(prepared.astype(jnp.float32) / self._corpus_scale),
+            -127, 127,
+        ).astype(jnp.int8)
 
     def _self_check(self) -> bool:
         """Search the first corpus vector; it must retrieve itself top-1
@@ -417,7 +405,8 @@ class DenseRetriever:
 
     def _device_search_prepared(self, q_prepared: jax.Array, k: int):
         """Top-k given queries ALREADY in the prepared (normalized/whitened)
-        space. Returns device arrays (scores, indices)."""
+        space. Returns (scores, indices) — device arrays, except the binary
+        store's host-rescore path which returns host numpy."""
         backend = self._resolve_backend()
         if self._rescore_host is not None:  # binary cascade store
             from ..ops.binary import binary_topk
@@ -634,22 +623,42 @@ class DenseRetriever:
         corpus = np.load(os.path.join(path, "corpus.npy"), mmap_mode="r")
         if corpus.shape[0] != meta["n"]:
             raise ValueError("meta/corpus row mismatch")
-        prepared = jnp.asarray(np.ascontiguousarray(corpus))
         if self.store_dtype == "binary":
+            # everything host-side: shipping the fp corpus up the (slow)
+            # tunnel just to quantize it on device would defeat the tier's
+            # purpose at its target scale
             self._validate_binary_combo()
-            from ..ops.binary import binary_quantize
-            from ..ops.quantization import sq8_quantize
-
-            codes, self._corpus_scale = sq8_quantize(prepared)
-            self._rescore_host = np.asarray(codes, dtype=np.int8)
-            self._dim = int(corpus.shape[1])
+            host = np.ascontiguousarray(corpus, dtype=np.float32)
+            spath = os.path.join(path, "sq8_scale.npy")
+            scale = (
+                float(np.load(spath)) if os.path.exists(spath)
+                else max(float(np.abs(host).max()) / 127.0, 1e-12)
+            )
+            self._corpus_scale = jnp.float32(scale)
+            self._rescore_host = np.clip(
+                np.round(host / scale), -127, 127
+            ).astype(np.int8)
+            self._dim = int(host.shape[1])
             ppath = os.path.join(path, "binary_packed.npy")
             if os.path.exists(ppath):  # bit-stable packed store
                 prepared = jnp.asarray(np.load(ppath))
-            else:
-                prepared = binary_quantize(jnp.asarray(
-                    np.ascontiguousarray(corpus)))
-        elif self.store_dtype == "int8":
+            else:  # legacy store: pack host-side, upload only the bits
+                d = host.shape[1]
+                padded = np.concatenate(
+                    [host >= 0,
+                     np.zeros((host.shape[0], (-d) % 32), bool)], axis=1,
+                )
+                words = np.packbits(
+                    padded.reshape(host.shape[0], -1, 32), axis=-1,
+                    bitorder="little",
+                ).view(np.uint32)[:, :, 0]
+                prepared = jnp.asarray(words)
+            self._corpus_dev = jax.device_put(prepared)
+            log.info("index loaded from %s (n=%d)", path, self._corpus_n)
+            return
+
+        prepared = jnp.asarray(np.ascontiguousarray(corpus))
+        if self.store_dtype == "int8":
             from ..ops.quantization import sq8_quantize
 
             prepared, self._corpus_scale = sq8_quantize(prepared)

@@ -62,14 +62,17 @@ def main(argv=None) -> int:
 
     # warm the full query path before accepting traffic: the first search
     # otherwise pays the jit compile (~30-60 s through the TPU relay) on a
-    # live request
-    t0 = time.perf_counter()
-    warm_emb = compressor.encode_text([corpus[0]])
-    retriever.search(warm_emb, min(cfg.retrieval.top_k, len(corpus)))
-    retriever.get_stats(reset=True)  # don't count warmup in serving stats
-    loggers.main.info(
-        "query path warmed in %.1fs; serving", time.perf_counter() - t0
-    )
+    # live request. Use the RAW default k — it is the jit cache key, so
+    # min()-clamping here would compile a different program than the one
+    # live requests hit.
+    if corpus:
+        t0 = time.perf_counter()
+        warm_emb = compressor.encode_text([corpus[0]])
+        retriever.search(warm_emb, cfg.retrieval.top_k)
+        retriever.get_stats(reset=True)  # exclude warmup from serving stats
+        loggers.main.info(
+            "query path warmed in %.1fs; serving", time.perf_counter() - t0
+        )
 
     for line in sys.stdin:
         line = line.strip()

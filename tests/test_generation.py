@@ -102,3 +102,27 @@ def test_generate_retries_transient_failures(monkeypatch):
     with _pytest.raises(TimeoutError):
         gen2.generate("q", ["doc"])
     assert calls["n"] == 2  # initial try + 1 retry
+
+
+def test_generate_does_not_retry_permanent_failures(monkeypatch):
+    from latentrag_tpu.generation import RAGGenerator
+    from latentrag_tpu.generation.generator import GeneratorSettings
+
+    calls = {"n": 0}
+
+    class AuthenticationError(Exception):
+        pass
+
+    def dead(messages, llm):
+        calls["n"] += 1
+        raise AuthenticationError("bad key")
+
+    import latentrag_tpu.generation.generator as G
+
+    monkeypatch.setattr(G.time, "sleep", lambda s: None)
+    gen = RAGGenerator(GeneratorSettings(max_retries=3), client_fn=dead)
+    import pytest as _pytest
+
+    with _pytest.raises(AuthenticationError):
+        gen.generate("q", ["doc"])
+    assert calls["n"] == 1  # no retries against a dead credential

@@ -396,3 +396,30 @@ def test_binary_store_via_config(rng):
     assert r.binary_oversample == 16
     texts, _, _ = r.retrieve(emb[9], top_k=3)
     assert texts[0] == "t9"
+
+
+def test_binary_legacy_store_loads_host_side(rng, tmp_path):
+    # a pre-packed-file store (corpus.npy only) must reload via the numpy
+    # packing path, matching the device packer's bits
+    import os
+
+    corpus = _normed(rng, 300, 48)  # 48 % 32 != 0 exercises pad packing
+    path = str(tmp_path / "idxbin")
+    rb = DenseRetriever(backend="xla", store_dtype="binary", index_path=path)
+    rb.build(corpus, [f"t{i}" for i in range(300)])
+    packed_fresh = np.asarray(rb._corpus_dev)
+
+    os.remove(os.path.join(path, "binary_packed.npy"))
+    rb2 = DenseRetriever(backend="xla", store_dtype="binary",
+                         index_path=path)
+    assert rb2.is_built
+    # bits agree except for code-0 dims (the dequantized corpus cannot
+    # distinguish a tiny negative from zero — the reason the modern store
+    # persists packed bits verbatim); agreement must still be near-total
+    loaded = np.asarray(rb2._corpus_dev)
+    flips = np.unpackbits(
+        (loaded ^ packed_fresh).view(np.uint8)
+    ).sum()
+    assert flips / (loaded.size * 32) < 0.02, flips
+    texts, _, _ = rb2.retrieve(corpus[11], top_k=1)
+    assert texts[0] == "t11"
