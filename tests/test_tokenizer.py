@@ -165,3 +165,41 @@ class TestHFDifferential:
                     _normalize_char(c, True) for c in text[s:e]
                 )
                 assert norm == tok
+
+
+def test_hf_differential_fuzz(tmp_path):
+    """200 random strings over a mixed alphabet (ascii, accents, CJK,
+    punctuation, controls, zero-width) — ids AND offsets must match
+    BertTokenizerFast on every one."""
+    transformers = pytest.importorskip("transformers")
+    import random
+
+    vocab = {}
+    for tok in TestHFDifferential.VOCAB:
+        if tok not in vocab:
+            vocab[tok] = len(vocab)
+    path = tmp_path / "vocab.txt"
+    path.write_text(
+        "\n".join(sorted(vocab, key=vocab.get)) + "\n", encoding="utf-8"
+    )
+    hf = transformers.BertTokenizerFast(
+        vocab_file=str(path), do_lower_case=True
+    )
+    own = WordPieceTokenizer(vocab)
+
+    alphabet = (
+        "abcdefghij XYZ 0123456789 .,!?-()\"'"
+        "éüñàç ÉÜ 漢字語 \t\n ​­ ́ …—·"
+    )
+    rng = random.Random(7)
+    for trial in range(200):
+        text = "".join(
+            rng.choice(alphabet) for _ in range(rng.randint(0, 40))
+        )
+        enc = own.encode(text)
+        h = hf(text, return_offsets_mapping=True)
+        assert enc.ids == h["input_ids"], (repr(text), enc.tokens,
+                                           hf.tokenize(text))
+        assert enc.offsets[1:-1] == [
+            tuple(o) for o in h["offset_mapping"][1:-1]
+        ], repr(text)
