@@ -131,3 +131,36 @@ def test_chunk_index_parquet_roundtrip(tok, tmp_path):
     save_chunk_index(recs, path)
     loaded = load_chunk_index(path)
     assert loaded == recs
+
+
+def test_chunker_fuzz_mixed_unicode():
+    """Random mixed-unicode docs through both inference chunkers: every
+    chunk's char span must slice the ORIGINAL text exactly, stay in
+    bounds, and respect the token budget — exercises the interaction with
+    accent-stripping offset tracking in the tokenizer."""
+    import random
+
+    from latentrag_tpu.data.chunking import (
+        semantic_window_chunker, sliding_window_chunker,
+    )
+
+    alphabet = (
+        "abcdefgh ij klmno 012 .,!? éüñà 漢字 \t\n ​ ́ —"
+    )
+    rng = random.Random(11)
+    corpus = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(5, 300)))
+        for _ in range(30)
+    ]
+    tok = WordPieceTokenizer.train_from_corpus(corpus, vocab_size=500,
+                                               min_freq=1)
+    for text in corpus:
+        for recs in (
+            sliding_window_chunker(text, tok, max_tokens=16, stride=8),
+            semantic_window_chunker(text, tok, max_tokens=16,
+                                    min_tokens=4),
+        ):
+            for r in recs:
+                assert 0 <= r.char_start <= r.char_end <= len(text)
+                assert r.text == text[r.char_start:r.char_end]
+                assert r.tok_end - r.tok_start <= 16
