@@ -159,3 +159,29 @@ def test_sharded_dense_orbax_persistence(rng, eight_devices, tmp_path):
     s2, i2 = r2.search(c[:5], 4)
     np.testing.assert_array_equal(i1, i2)
     np.testing.assert_allclose(s1, s2, rtol=1e-5)
+
+
+def test_sharded_edge_shapes(rng, eight_devices):
+    # property sweep: n not divisible by the mesh, n < devices, k >= n —
+    # the pad-row masking and -1 sentinels must hold for all of them
+    from latentrag_tpu.ops import l2_normalize
+    import jax.numpy as jnp
+
+    mesh = make_mesh(8)
+    for n, k in ((5, 3), (7, 7), (9, 12), (63, 10), (64, 64)):
+        c = l2_normalize(jnp.asarray(
+            rng.standard_normal((n, 16)).astype(np.float32)))
+        q = l2_normalize(jnp.asarray(
+            rng.standard_normal((4, 16)).astype(np.float32)))
+        search = make_sharded_topk(mesh, k=k, metric="cosine",
+                                   backend="exact")
+        s, i = search(q, shard_rows(c, mesh), jnp.int32(n))
+        s, i = np.asarray(s), np.asarray(i)
+        ref = np.asarray(q) @ np.asarray(c).T
+        ref_top = np.argsort(-ref, axis=1)[:, : min(k, n)]
+        for row in range(4):
+            got = [j for j in i[row] if j >= 0]
+            assert len(got) == min(k, n), (n, k, i[row])
+            assert set(got) == set(ref_top[row].tolist()), (n, k)
+            # sentinel slots (if any) sit at the tail with -inf scores
+            assert all(j == -1 for j in i[row][len(got):])
