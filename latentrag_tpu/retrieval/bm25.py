@@ -91,10 +91,13 @@ class BM25Retriever:
 
     def search(self, queries: Sequence[str], k: int):
         """Batch surface for parity harnesses: returns (D, I) numpy arrays."""
+        kk = min(k, self._n_docs)
+        if not queries:
+            return (np.zeros((0, kk), np.float32),
+                    np.zeros((0, kk), np.int64))
         ds, inds = [], []
         for qtext in queries:
             scores = self.score_query(qtext)
-            kk = min(k, self._n_docs)
             idx = np.argpartition(-scores, kk - 1)[:kk]
             idx = idx[np.argsort(-scores[idx])]
             ds.append(scores[idx])

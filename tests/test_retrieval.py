@@ -423,3 +423,19 @@ def test_binary_legacy_store_loads_host_side(rng, tmp_path):
     assert flips / (loaded.size * 32) < 0.02, flips
     texts, _, _ = rb2.retrieve(corpus[11], top_k=1)
     assert texts[0] == "t11"
+
+
+def test_empty_query_batches_never_crash(rng):
+    # zero-query batches flow through every retriever surface
+    corpus = _normed(rng, 40, 16)
+    empty = np.zeros((0, 16), np.float32)
+
+    r = DenseRetriever(backend="xla_exact", store_dtype="float32")
+    r.build(corpus, [f"t{i}" for i in range(40)])
+    s, i = r.search(empty, 5)
+    assert s.shape == (0, 5) and i.shape == (0, 5)
+
+    bm = BM25Retriever()
+    bm.build_index([f"doc {i}" for i in range(10)])
+    d, ix = bm.search([], 3)
+    assert d.shape[0] == 0
