@@ -44,7 +44,8 @@ def sync(x) -> None:
 
 def bench_call(fn, reps: int = 30, warm: int = 8) -> float:
     """Steady-state seconds/call: compile + warm dispatches excluded."""
-    for _ in range(warm):
+    out = fn()  # always at least one executed call before the sync
+    for _ in range(max(warm - 1, 0)):
         out = fn()
     sync(out[0] if isinstance(out, tuple) else out)
     t0 = time.perf_counter()

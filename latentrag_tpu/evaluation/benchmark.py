@@ -35,7 +35,9 @@ class _MemoEncoder:
         return getattr(self._enc, name)
 
     def encode_batch(self, texts):
-        key = hash(tuple(texts))
+        # the tuple itself is the key — dict resolves hash collisions via
+        # equality, so two different text lists can never alias
+        key = tuple(texts)
         if key not in self._memo:
             self._memo[key] = self._enc.encode_batch(texts)
         return self._memo[key]

@@ -106,12 +106,16 @@ def approx_topk(
     candidates (only the candidate set is approximate), so the merge across
     blocks and the final ordering are exact over that set.
 
-    For euclidean, ranking per query ignores the constant ||q||² inside the
-    reduction and re-adds it at the end so returned scores equal -||q-c||².
+    For euclidean/mahalanobis (mahalanobis inputs arrive pre-whitened, see
+    ``distances.prepare_for_metric``, so the two are the same kernel here —
+    matching ``pairwise_scores``), ranking per query ignores the constant
+    ||q||² inside the reduction and re-adds it at the end so returned scores
+    equal -||q-c||².
     """
     q = queries
     n_total = corpus.shape[0]
     k = min(k, n_total)
+    distance_like = metric in ("euclidean", "mahalanobis")
 
     def block_scores(block):
         dots = jax.lax.dot_general(
@@ -120,13 +124,13 @@ def approx_topk(
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        if metric == "euclidean":
+        if distance_like:
             c_sq = jnp.sum(jnp.square(block.astype(jnp.float32)), axis=-1)
             return 2.0 * dots - c_sq[None, :]
         return dots
 
     def finalize(scores):
-        if metric == "euclidean":
+        if distance_like:
             q_sq = jnp.sum(jnp.square(q.astype(jnp.float32)), axis=-1)
             return scores - q_sq[:, None]
         return scores

@@ -630,10 +630,16 @@ class DenseRetriever:
             self._validate_binary_combo()
             host = np.ascontiguousarray(corpus, dtype=np.float32)
             spath = os.path.join(path, "sq8_scale.npy")
-            scale = (
-                float(np.load(spath)) if os.path.exists(spath)
-                else max(float(np.abs(host).max()) / 127.0, 1e-12)
-            )
+            if os.path.exists(spath):
+                scale = float(np.load(spath))
+            else:
+                scale = max(float(np.abs(host).max()) / 127.0, 1e-12)
+                log.warning(
+                    "binary index at %s has no sq8_scale.npy — re-deriving "
+                    "the scale from the stored corpus; SQ8 rescoring may "
+                    "differ from the original build (save again to pin it)",
+                    path,
+                )
             self._corpus_scale = jnp.float32(scale)
             self._rescore_host = np.clip(
                 np.round(host / scale), -127, 127
@@ -643,6 +649,13 @@ class DenseRetriever:
             if os.path.exists(ppath):  # bit-stable packed store
                 prepared = jnp.asarray(np.load(ppath))
             else:  # legacy store: pack host-side, upload only the bits
+                log.warning(
+                    "binary index at %s predates binary_packed.npy — "
+                    "repacking sign bits from the fp store; exact-zero "
+                    "values may flip sign vs the original build (rankings "
+                    "not bit-stable; save again to pin them)",
+                    path,
+                )
                 d = host.shape[1]
                 padded = np.concatenate(
                     [host >= 0,

@@ -99,6 +99,59 @@ def test_mahalanobis_equals_whitened_euclidean(rng):
     np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.parametrize("n", [300, 3000, 20000])
+def test_approx_topk_mahalanobis_matches_exact(rng, n):
+    """ADVICE r2 (medium): approx_topk scored mahalanobis as a plain dot.
+
+    All three size branches (n<=8192 exact-top_k, single approx block,
+    unrolled multi-block) must rank identically to the exact oracle on
+    whitened inputs. CPU approx_max_k is exact, so sets match exactly.
+    """
+    from latentrag_tpu.ops import approx_topk
+
+    d = 16
+    x = rng.standard_normal((n + 8, d)).astype(np.float32)
+    x[:, 0] *= 5.0  # anisotropy so mahalanobis != euclidean != dot
+    q, c = x[:8], x[8:]
+    cov = estimate_covariance(jnp.asarray(x), shrinkage=1e-3)
+    w = whitening_factor(cov)
+    qw = prepare_for_metric(jnp.asarray(q), "mahalanobis", w)
+    cw = prepare_for_metric(jnp.asarray(c), "mahalanobis", w)
+    s_ref, i_ref = exact_topk(qw, cw, k=10, metric="mahalanobis")
+    s_got, i_got = approx_topk(
+        qw, cw, k=10, metric="mahalanobis", block_size=8192
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_got), np.asarray(s_ref), rtol=1e-4, atol=1e-4
+    )
+    for a, b in zip(np.asarray(i_got), np.asarray(i_ref)):
+        assert set(a) == set(b)
+    # scores must be negated squared whitened distances, not dots
+    ref_row = np.asarray(pairwise_scores(qw, cw, "mahalanobis"))
+    picked = np.take_along_axis(ref_row, np.asarray(i_got), axis=1)
+    np.testing.assert_allclose(
+        np.asarray(s_got), picked, rtol=1e-3, atol=1e-3
+    )
+
+
+def test_dense_retriever_xla_backend_mahalanobis(rng):
+    """Force backend='xla' (the TPU default) with mahalanobis: rankings must
+    match the exact oracle backend, not dot-product order."""
+    from latentrag_tpu.retrieval.dense import DenseRetriever
+
+    x = rng.standard_normal((600, 12)).astype(np.float32)
+    x[:, 0] *= 6.0
+    corpus, q = x[:560], x[560:568]
+    texts = [f"doc {i}" for i in range(len(corpus))]
+    r_xla = DenseRetriever(metric="mahalanobis", backend="xla")
+    r_xla.build(corpus, texts)
+    r_ref = DenseRetriever(metric="mahalanobis", backend="xla_exact")
+    r_ref.build(corpus, texts)
+    _, i_xla = r_xla.search(q, 5)
+    _, i_ref = r_ref.search(q, 5)
+    np.testing.assert_array_equal(np.asarray(i_xla), np.asarray(i_ref))
+
+
 def test_maxsim_aggregate_matches_python_loop(rng):
     nq, c, k = 6, 12, 4
     scores = rng.standard_normal((nq, c)).astype(np.float32)
