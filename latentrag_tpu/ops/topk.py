@@ -21,7 +21,11 @@ import jax.numpy as jnp
 
 from .distances import pairwise_scores
 
-NEG_INF = jnp.float32(-3.4e38)
+# python float, NOT jnp.float32(...): a module-level jnp constant creates a
+# concrete device array at import time, initialising the XLA backend — which
+# breaks jax.distributed.initialize for any process that imports this package
+# before wiring the multi-process runtime
+NEG_INF = float(-3.4e38)
 
 
 def _pad_corpus(corpus: jax.Array, block_size: int):
@@ -181,35 +185,69 @@ def approx_topk(
         top_s, sel = jax.lax.top_k(cat_s, k)
         return finalize(top_s), jnp.take_along_axis(cat_i, sel, axis=1)
 
-    corpus_p, n_valid = _pad_corpus(corpus, block_size)
-    n_blocks = corpus_p.shape[0] // block_size
-    blocks = corpus_p.reshape(n_blocks, block_size, corpus.shape[1])
+    # Many blocks (>16): two-level blocking. A plain lax.scan with one
+    # block per step defeats the matmul+approx_max_k fusion (~3x, see the
+    # unrolled branch above), so instead scan over SUPER-blocks whose body
+    # unrolls UNROLL sub-blocks — each sub-block keeps its fused
+    # matmul+approx_max_k, while the scan bounds program size for
+    # arbitrarily large corpora. Full super-blocks slice the original
+    # corpus exactly (no pad rows, no masking); the <UNROLL-block tail is
+    # handled by the same unrolled pattern and merged at the end.
+    UNROLL = 8
+    super_size = UNROLL * block_size
+    n_super = n_total // super_size
     nq = q.shape[0]
+    supers = jax.lax.slice_in_dim(
+        corpus, 0, n_super * super_size, axis=0
+    ).reshape(n_super, super_size, corpus.shape[1])
     init = (
         jnp.full((nq, k), NEG_INF, dtype=jnp.float32),
         jnp.zeros((nq, k), dtype=jnp.int32),
     )
 
-    def body(carry, inp):
+    def super_body(carry, inp):
         run_s, run_i = carry
-        block, b_idx = inp
-        scores = block_scores(block)
-        base = b_idx * block_size
-        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + base
-        scores = jnp.where(col < n_valid, scores, NEG_INF)
-        blk_s, blk_local = jax.lax.approx_max_k(
-            scores, k, recall_target=recall_target
-        )
-        blk_i = jnp.take_along_axis(col, blk_local, axis=1)
-        cat_s = jnp.concatenate([run_s, blk_s], axis=1)
-        cat_i = jnp.concatenate([run_i, blk_i], axis=1)
+        sblock, sb_idx = inp  # [super_size, d], scalar
+        base = sb_idx * super_size
+        parts_s, parts_i = [run_s], [run_i]
+        for g in range(UNROLL):
+            blk = jax.lax.slice_in_dim(
+                sblock, g * block_size, (g + 1) * block_size, axis=0
+            )
+            bs_, bl = jax.lax.approx_max_k(
+                block_scores(blk), k, recall_target=recall_target
+            )
+            parts_s.append(bs_)
+            parts_i.append(bl + base + g * block_size)
+        cat_s = jnp.concatenate(parts_s, axis=1)
+        cat_i = jnp.concatenate(parts_i, axis=1)
         new_s, sel = jax.lax.top_k(cat_s, k)
         new_i = jnp.take_along_axis(cat_i, sel, axis=1)
         return (new_s, new_i), None
 
     (top_s, top_i), _ = jax.lax.scan(
-        body, init, (blocks, jnp.arange(n_blocks, dtype=jnp.int32))
+        super_body, init, (supers, jnp.arange(n_super, dtype=jnp.int32))
     )
+
+    # tail: up to UNROLL more blocks (incl. one partial), unrolled
+    tail_start = n_super * super_size
+    parts_s, parts_i = [top_s], [top_i]
+    b = tail_start
+    while b < n_total:
+        e = min(b + block_size, n_total)
+        blk = jax.lax.slice_in_dim(corpus, b, e, axis=0)
+        kb = min(k, e - b)
+        bs_, bl = jax.lax.approx_max_k(
+            block_scores(blk), kb, recall_target=recall_target
+        )
+        parts_s.append(bs_)
+        parts_i.append(bl + b)
+        b = e
+    if len(parts_s) > 1:
+        cat_s = jnp.concatenate(parts_s, axis=1)
+        cat_i = jnp.concatenate(parts_i, axis=1)
+        top_s, sel = jax.lax.top_k(cat_s, k)
+        top_i = jnp.take_along_axis(cat_i, sel, axis=1)
     return finalize(top_s), top_i
 
 

@@ -21,7 +21,9 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.topk import approx_topk, exact_topk
 
-NEG_INF = jnp.float32(-3.4e38)
+# python float, not jnp.float32: see ops/topk.py — no device constants at
+# import time, or jax.distributed.initialize breaks in worker processes
+NEG_INF = float(-3.4e38)
 
 
 def make_sharded_topk(
