@@ -17,6 +17,7 @@ import logging
 from typing import Any, Sequence
 
 from ..utils import Config
+from .generation_metrics import paired_bootstrap_test
 from .retrieval_metrics import evaluate_retrieval
 
 log = logging.getLogger("latentrag.eval")
@@ -54,14 +55,28 @@ def run_benchmark(
     dpr_encoders: tuple | None = None,
     csv_path: str | None = None,
     tag: str = "benchmark",
+    generate: bool = False,
+    gold_answers: Sequence[str] | None = None,
+    generator=None,
 ) -> dict[str, Any]:
     """Evaluate each system; returns {system: {metrics, stats}} plus
-    pairwise metric deltas."""
+    pairwise metric deltas with paired-bootstrap p-values.
+
+    Significance testing mirrors the reference's ``paired_bootstrap_test``
+    (``evaluation/generation_metrics.py:111-155``) but is wired into the
+    harness: every system's per-query metric vectors are kept, and each
+    pairwise ``_deltas`` entry carries ``{delta, p_value, significant_05}``.
+    With ``generate=True`` (and ``gold_answers``), dense systems also
+    produce answers and ``_generation_deltas`` reports paired ROUGE-L
+    significance between systems.
+    """
     # deferred imports: pipeline imports this package's metrics
     from ..pipeline import PipelineRunner
     from ..retrieval import BM25Retriever
 
     results: dict[str, Any] = {}
+    per_query: dict[str, dict] = {}  # system -> {metric: np.ndarray[Q]}
+    answers: dict[str, list] = {}  # system -> generated answers
     shared_encoder = None
     for system in systems:
         try:
@@ -70,9 +85,10 @@ def run_benchmark(
                 r.build_index(corpus)
                 _, idx = r.search(queries, cfg.retrieval.top_k)
                 retrieved = [row.tolist() for row in idx]
-                metrics = evaluate_retrieval(
+                metrics, per_query[system] = evaluate_retrieval(
                     retrieved, list(relevant),
                     metrics=cfg.evaluation.retrieval_metrics,
+                    return_per_query=True,
                 )
                 results[system] = {"metrics": metrics, "stats": {}}
             elif system == "dpr":
@@ -89,9 +105,10 @@ def run_benchmark(
                 r = DPRRetriever(*dpr_encoders)
                 r.build_index(corpus)
                 _, idx = r.search(queries, cfg.retrieval.top_k)
-                metrics = evaluate_retrieval(
+                metrics, per_query[system] = evaluate_retrieval(
                     [row.tolist() for row in idx], list(relevant),
                     metrics=cfg.evaluation.retrieval_metrics,
+                    return_per_query=True,
                 )
                 results[system] = {"metrics": metrics, "stats": r.get_stats()}
             elif system in DENSE_SYSTEMS:
@@ -114,12 +131,29 @@ def run_benchmark(
                         shared_encoder,
                         batch_size=cfg.encoder.batch_size,
                     ),
+                    generate=generate,
+                    generator=generator,
                 )
-                out = runner.process(queries, corpus, relevant)
+                out = runner.process(
+                    queries, corpus, relevant, gold_answers=gold_answers
+                )
                 results[system] = {
                     "metrics": out["retrieval_metrics"],
                     "stats": out["retriever_stats"],
                 }
+                if "generation_metrics" in out:
+                    results[system]["generation_metrics"] = out[
+                        "generation_metrics"
+                    ]
+                if "answers" in out:
+                    answers[system] = out["answers"]
+                # per-query vectors recomputed from the retrieved ids (the
+                # pipeline reports aggregates only)
+                _, per_query[system] = evaluate_retrieval(
+                    out["retrieved_doc_ids"], list(relevant),
+                    metrics=cfg.evaluation.retrieval_metrics,
+                    return_per_query=True,
+                )
             else:
                 raise ValueError(f"unknown system {system!r}")
         except Exception as e:
@@ -153,17 +187,52 @@ def run_benchmark(
             )
             append_csv_row(row, csv_path)
 
-    # pairwise deltas on the first metric
+    # pairwise deltas + paired-bootstrap significance for every metric
     ok = {s: r for s, r in results.items() if "metrics" in r}
     if ok:
-        first_metric = next(iter(next(iter(ok.values()))["metrics"]))
-        deltas = {}
+        n_resamples = max(cfg.evaluation.bootstrap_samples, 1000)
         names = list(ok)
-        for i, a in enumerate(names):
-            for b in names[i + 1 :]:
-                deltas[f"{a}-{b}"] = (
-                    ok[a]["metrics"][first_metric]["mean"]
-                    - ok[b]["metrics"][first_metric]["mean"]
-                )
-        results["_deltas"] = {first_metric: deltas}
+        all_deltas: dict[str, dict] = {}
+        for metric in next(iter(ok.values()))["metrics"]:
+            deltas = {}
+            for i, a in enumerate(names):
+                for b in names[i + 1 :]:
+                    entry: dict[str, Any] = {
+                        "delta": ok[a]["metrics"][metric]["mean"]
+                        - ok[b]["metrics"][metric]["mean"]
+                    }
+                    va = per_query.get(a, {}).get(metric)
+                    vb = per_query.get(b, {}).get(metric)
+                    if va is not None and vb is not None and len(va) == len(vb):
+                        t = paired_bootstrap_test(
+                            va, vb, n_resamples=n_resamples
+                        )
+                        entry["p_value"] = t["p_value"]
+                        entry["significant_05"] = t["significant_05"]
+                    deltas[f"{a}-{b}"] = entry
+            all_deltas[metric] = deltas
+        results["_deltas"] = all_deltas
+
+    # generation significance: paired ROUGE-L between systems that answered
+    if gold_answers is not None and len(answers) >= 2:
+        from .generation_metrics import rouge_l_scores
+
+        refs = [str(a) for a in gold_answers]
+        vecs = {
+            s: rouge_l_scores(hyp, refs)
+            for s, hyp in answers.items()
+            if len(hyp) == len(refs)
+        }
+        gnames = list(vecs)
+        gen_deltas = {}
+        for i, a in enumerate(gnames):
+            for b in gnames[i + 1 :]:
+                t = paired_bootstrap_test(vecs[a], vecs[b])
+                gen_deltas[f"{a}-{b}"] = {
+                    "delta": t["mean_diff"],
+                    "p_value": t["p_value"],
+                    "significant_05": t["significant_05"],
+                }
+        if gen_deltas:
+            results["_generation_deltas"] = {"ROUGE-L": gen_deltas}
     return results

@@ -79,7 +79,8 @@ def main(argv=None) -> int:
         from latentrag_tpu.evaluation import run_benchmark
 
         systems = tuple(args.benchmark) or ("bm25", "sbert")
-        out = run_benchmark(cfg, queries, corpus, relevant, systems=systems)
+        out = run_benchmark(cfg, queries, corpus, relevant, systems=systems,
+                            generate=args.generate, gold_answers=gold)
         for system, res in out.items():
             if system == "_deltas":
                 loggers.main.info("pairwise deltas: %s", res)

@@ -88,11 +88,90 @@ def test_benchmark_harness_bm25_and_sbert(tmp_path):
     assert "metrics" in out["bm25"] and "metrics" in out["sbert"]
     # synthetic questions quote corpus terms -> BM25 should do well
     assert out["bm25"]["metrics"]["Recall@10"]["mean"] > 0.5
+    # every pairwise delta carries a paired-bootstrap p-value (the
+    # reference ships paired_bootstrap_test; here it is wired in)
     assert "_deltas" in out
+    for metric, pairs in out["_deltas"].items():
+        for pair, entry in pairs.items():
+            assert "delta" in entry and "p_value" in entry, (metric, pair)
+            assert 0.0 <= entry["p_value"] <= 1.0
+    # deltas are consistent with the reported means
+    d = out["_deltas"]["Recall@10"]["bm25-sbert"]["delta"]
+    assert d == pytest.approx(
+        out["bm25"]["metrics"]["Recall@10"]["mean"]
+        - out["sbert"]["metrics"]["Recall@10"]["mean"]
+    )
     # an unknown system reports an error, doesn't crash the harness
     out2 = run_benchmark(cfg, queries[:5], corpus, relevant[:5],
                          systems=("nope",))
     assert "error" in out2["nope"]
+
+
+def test_run_benchmark_generation_significance(tmp_path):
+    """With generate=True + gold answers, dense systems produce answers and
+    the harness reports paired ROUGE-L significance between them."""
+    import os
+
+    from latentrag_tpu.data import load_evaluation_data, synthetic_examples
+    from latentrag_tpu.models import build_autoencoder
+    from latentrag_tpu.pipeline import PipelineRunner
+    from latentrag_tpu.training import Trainer, save_checkpoint
+    from latentrag_tpu.utils.config import TrainingConfig
+
+    cfg = apply_overrides(
+        Config(),
+        [
+            f"paths.data_dir={tmp_path}/data",
+            f"paths.checkpoints_dir={tmp_path}/ckpt",
+            f"paths.logs_dir={tmp_path}/logs",
+            f"retrieval.index_path={tmp_path}/index",
+            "retrieval.kernel=xla_exact",
+            "retrieval.top_k=5",
+            "data.dataset=synthetic",
+            "encoder.vocab_size=600",
+            "encoder.dtype=float32",
+            "encoder.hidden_dim=32",
+            "encoder.num_layers=1",
+            "encoder.num_heads=4",
+            "encoder.mlp_dim=64",
+            "models.vae.input_dim=32",
+            "models.vae.latent_dim=8",
+            "models.vae.hidden_dim=16",
+        ],
+    )
+    queries, corpus, relevant, gold = load_evaluation_data(
+        synthetic_examples(25), with_answers=True
+    )
+    # tiny trained VAE so a second dense system can generate
+    runner_plain = PipelineRunner(cfg, ae_type="none")
+    emb = runner_plain._ensure_compressor(corpus).encode_text(corpus)
+    model = build_autoencoder("vae", cfg.models.vae)
+    tr = Trainer(model, "vae",
+                 TrainingConfig(batch_size=16, epochs=2, learning_rate=1e-3,
+                                early_stop_patience=100))
+    res = tr.fit({"x": emb, "y": emb}, {"x": emb[:8], "y": emb[:8]})
+    save_checkpoint(os.path.join(cfg.paths.checkpoints_dir, "vae"),
+                    {"params": res.params, "opt_state": None, "epoch": 0,
+                     "best_val": res.best_val_loss})
+
+    class EchoGenerator:
+        """Deterministic offline stand-in: answers with the top context."""
+
+        def generate(self, query, docs):
+            return docs[0] if docs else ""
+
+    out = run_benchmark(
+        cfg, queries, corpus, relevant, systems=("sbert", "vae"),
+        generate=True, gold_answers=gold, generator=EchoGenerator(),
+    )
+    assert "metrics" in out["sbert"] and "metrics" in out["vae"]
+    # retrieval deltas carry paired-bootstrap p-values
+    entry = out["_deltas"]["Recall@10"]["sbert-vae"]
+    assert "p_value" in entry and 0.0 <= entry["p_value"] <= 1.0
+    # both systems generated -> paired ROUGE-L significance is reported
+    gen = out["_generation_deltas"]["ROUGE-L"]["sbert-vae"]
+    assert set(gen) == {"delta", "p_value", "significant_05"}
+    assert 0.0 <= gen["p_value"] <= 1.0
 
 
 def test_dpr_dual_encoder(rng):
