@@ -107,7 +107,12 @@ class DenseRetriever:
     metric: str = "cosine"
     backend: str = "auto"
     block_size: int = 1048576
-    recall_target: float = 0.99  # approx_max_k knob (docs/ROOFLINE.md)
+    # approx_max_k per-block candidate recall (docs/ROOFLINE.md). "auto"
+    # selects by regime: k >= RERANK_K applies rt=0.95 (the caller is
+    # oversampling for a downstream re-rank, where candidate-set recall
+    # 0.976 vs 0.997 is immaterial but the measured cost gap is up to
+    # 5.3x at k=100/1M), smaller k keeps rt=0.99. A float pins it.
+    recall_target: float | str = "auto"
     # device dtype of the prepared corpus: float32 | bfloat16 | int8 (SQ8 —
     # halves HBM vs bf16; cosine/dot only; scores carry ~1e-2 quantization)
     store_dtype: str = "bfloat16"
@@ -403,11 +408,33 @@ class DenseRetriever:
 
     # --------------------------------------------------------------- search
 
+    # k at/above this is treated as re-rank oversampling (candidate_k =
+    # 3*top_k style callers, serving configs that re-rank downstream)
+    RERANK_K = 64
+
+    def _effective_recall_target(self, k: int) -> float:
+        """Resolve the recall_target knob for this search's k regime.
+
+        Measured policy (docs/ROOFLINE.md k-scaling table, v5e 1M x 64):
+        rt=0.95 runs at ~93% of the K=64 matmul roofline with candidate
+        recall 0.976; rt=0.99 drops to ~71% (and 5.3x at k=100) for
+        recall 0.997. When the caller asks for k >= RERANK_K they are
+        oversampling for a downstream exact re-rank, so the cheaper
+        candidate pass is the right default.
+        """
+        rt = self.recall_target
+        if isinstance(rt, str):
+            if rt == "auto":
+                return 0.95 if k >= self.RERANK_K else 0.99
+            return float(rt)  # config override arrived as a string
+        return float(rt)
+
     def _device_search_prepared(self, q_prepared: jax.Array, k: int):
         """Top-k given queries ALREADY in the prepared (normalized/whitened)
         space. Returns (scores, indices) — device arrays, except the binary
         store's host-rescore path which returns host numpy."""
         backend = self._resolve_backend()
+        rt = self._effective_recall_target(k)
         if self._rescore_host is not None:  # binary cascade store
             from ..ops.binary import binary_topk
 
@@ -415,7 +442,7 @@ class DenseRetriever:
             _, cand = binary_topk(
                 q_prepared, self._corpus_dev, d=self._dim, k=ok,
                 block_size=self.block_size,
-                recall_target=self.recall_target,
+                recall_target=rt,
             )
             # stage 2 on host: gather + exact SQ8 rescore of the tiny
             # candidate set (Q x ok x D flops) — keeps HBM = packed bits
@@ -444,7 +471,7 @@ class DenseRetriever:
                 self._corpus_scale,
                 k=k,
                 block_size=self.block_size,
-                recall_target=self.recall_target,
+                recall_target=rt,
             )
         if self.mesh is not None:
             if self._corpus_scale is not None:
@@ -460,7 +487,7 @@ class DenseRetriever:
                     metric=self.metric,
                     backend=shard_backend,
                     block_size=self.block_size,
-                    recall_target=self.recall_target,
+                    recall_target=rt,
                 )
                 self._sharded_cache[key] = fn
             q_dev = (
@@ -479,7 +506,7 @@ class DenseRetriever:
             return approx_topk(
                 q, self._corpus_dev, k=k, metric=self.metric,
                 block_size=self.block_size,
-                recall_target=self.recall_target,
+                recall_target=rt,
             )
         if backend == "xla_exact":
             return exact_topk(

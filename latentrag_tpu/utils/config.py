@@ -81,6 +81,11 @@ class EncoderConfig:
     pooling: str = "mean"  # 'mean' (SBERT) | 'cls' (DPR)
     dtype: str = "bfloat16"  # activations; params + layernorm stay fp32
     weights_path: str = ""  # converted weights (.msgpack); "" => random init
+    # when no converted weights exist and ``name`` is not a local HF
+    # checkpoint directory, try the HF hub (network) — off by default so
+    # offline runs never pay hub-timeout latency; the quality-band parity
+    # command (docs/REFERENCE_PARITY.md §3) turns it on
+    hub_fallback: bool = False
 
 
 @dataclass(frozen=True)
@@ -168,8 +173,11 @@ class RetrievalConfig:
     binary_oversample: int = 8  # cascade stage-1 candidates per k
     # per-block candidate recall of lax.approx_max_k (selected scores
     # stay exact); 0.95 reaches ~93% of the matmul roofline at 1M vs
-    # ~71% at 0.99 — see docs/ROOFLINE.md
-    recall_target: float = 0.99
+    # ~71% at 0.99 — see docs/ROOFLINE.md. "auto" applies the measured
+    # regime policy: 0.95 when k >= 64 (re-rank territory, where the
+    # 0.99 tail costs up to 5.3x at k=100), 0.99 otherwise. Set a float
+    # to pin it.
+    recall_target: float | str = "auto"
     shard_corpus: bool = False  # shard corpus rows over the mesh data axis
     # hnsw/ivfpq (native ANN tier) parameters
     hnsw_m: int = 32
@@ -178,6 +186,13 @@ class RetrievalConfig:
     ivfpq_nlist: int = 4096
     ivfpq_m: int = 16
     ivfpq_nbits: int = 8
+    # probed lists per query; 0 = auto (max(1, effective_nlist // 16))
+    ivfpq_nprobe: int = 0
+    # stage-2 refinement: oversample refine*k ADC candidates, exact-rescore
+    # them in fp32 host-side, re-sort (the FAISS-class recall recipe —
+    # IndexRefineFlat equivalent). 0/1 disables; costs Q*refine*k*d flops
+    # and keeps the fp32 corpus host-resident.
+    ivfpq_refine: int = 4
 
 
 @dataclass(frozen=True)

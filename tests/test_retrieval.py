@@ -439,3 +439,37 @@ def test_empty_query_batches_never_crash(rng):
     bm.build_index([f"doc {i}" for i in range(10)])
     d, ix = bm.search([], 3)
     assert d.shape[0] == 0
+
+
+def test_recall_target_auto_policy(rng):
+    """'auto' resolves by regime (docs/ROOFLINE.md): rt=0.95 at k >= 64
+    (re-rank oversampling), rt=0.99 below; explicit values pin it, including
+    string floats arriving through dotted config overrides."""
+    r = DenseRetriever(backend="xla", store_dtype="float32")
+    assert r.recall_target == "auto"
+    assert r._effective_recall_target(10) == 0.99
+    assert r._effective_recall_target(63) == 0.99
+    assert r._effective_recall_target(64) == 0.95
+    assert r._effective_recall_target(100) == 0.95
+
+    pinned = DenseRetriever(backend="xla", recall_target=0.9)
+    assert pinned._effective_recall_target(100) == 0.9
+
+    # config override path coerces to the default's type (str) — the
+    # resolver must accept "0.97"
+    from latentrag_tpu.utils import Config, apply_overrides
+
+    cfg = apply_overrides(Config(), ["retrieval.recall_target=0.97"])
+    via_cfg = DenseRetriever(backend="xla",
+                             recall_target=cfg.retrieval.recall_target)
+    assert via_cfg._effective_recall_target(100) == 0.97
+
+    # the auto policy changes only the candidate pass, never correctness
+    # of returned scores: search at k=64 still returns exact scores of
+    # valid corpus rows
+    corpus = _normed(rng, 300, 16)
+    r.build(corpus, [f"t{i}" for i in range(300)])
+    q = _normed(rng, 4, 16)
+    s, i = r.search(q, 64)
+    sims = q @ corpus.T
+    assert np.allclose(s, np.take_along_axis(sims, i, axis=1), atol=1e-5)
