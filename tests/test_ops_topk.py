@@ -246,3 +246,46 @@ class TestBinaryTier:
         # >16 blocks exercises the lax.scan fallback
         s3, i3 = binary_topk(q, packed, d=64, k=5, block_size=32)
         np.testing.assert_array_equal(np.asarray(i1), np.asarray(i3))
+
+
+@pytest.mark.parametrize("n", [9000, 12288])  # with tail / exact supers
+def test_approx_topk_two_level_blocking_matches_exact(rng, n):
+    """The >16-block regime runs the two-level path (scan over super-blocks
+    of 8 unrolled sub-blocks + unrolled tail); results must equal the exact
+    oracle on CPU where approx_max_k is exact."""
+    from latentrag_tpu.ops import approx_topk
+
+    d, k = 16, 10
+    c = rng.standard_normal((n, d)).astype(np.float32)
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    q = rng.standard_normal((8, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    # block_size=512 -> 16*512=8192 < n -> two-level path; super=4096
+    s, i = approx_topk(jnp.asarray(q), jnp.asarray(c), k=k,
+                       metric="cosine", block_size=512)
+    s, i = np.asarray(s), np.asarray(i)
+    sims = q @ c.T
+    oracle_i = np.argsort(-sims, axis=1)[:, :k]
+    oracle_s = np.take_along_axis(sims, oracle_i, axis=1)
+    assert np.allclose(np.sort(s, axis=1), np.sort(oracle_s, axis=1),
+                       atol=1e-5)
+    for row_i, row_o in zip(i, oracle_i):
+        assert set(row_i) == set(row_o)
+    # scores are the true similarities of the returned rows
+    assert np.allclose(s, np.take_along_axis(sims, i, axis=1), atol=1e-6)
+
+
+def test_approx_topk_two_level_euclidean(rng):
+    from latentrag_tpu.ops import approx_topk
+
+    n, d, k = 8700, 12, 5
+    c = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((4, d)).astype(np.float32)
+    s, i = approx_topk(jnp.asarray(q), jnp.asarray(c), k=k,
+                       metric="euclidean", block_size=512)
+    s, i = np.asarray(s), np.asarray(i)
+    d2 = ((q[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+    oracle_i = np.argsort(d2, axis=1)[:, :k]
+    for row_i, row_o in zip(i, oracle_i):
+        assert set(row_i) == set(row_o)
+    assert np.allclose(s, -np.take_along_axis(d2, i, axis=1), atol=1e-4)
