@@ -57,6 +57,14 @@ class ANNRetriever:
         self.stats = StatsTracker()
         self._index = None
         self._normalize = cfg.metric == "cosine"
+        # fp32 corpus kept host-side for the IVF-PQ refinement stage
+        # (mirrors FAISS IndexRefineFlat around IndexIVFPQ — the recall
+        # recipe the reference's FAISSEmbeddingRetriever.py:100-102 tier
+        # relies on FAISS for)
+        self._refine = (
+            max(0, int(cfg.ivfpq_refine)) if kind == "ivfpq" else 0
+        )
+        self._refine_emb: np.ndarray | None = None
 
     def build(
         self,
@@ -91,12 +99,23 @@ class ANNRetriever:
             )
             ix.train(emb)
             ix.add(emb)
+            if self._refine > 1:
+                self._refine_emb = emb
         self._index = ix
         self.stats.add_build(time.perf_counter() - t0)
 
     @property
     def is_built(self) -> bool:
         return self._index is not None
+
+    @property
+    def _nprobe(self) -> int:
+        # effective nlist (the build caps cfg.ivfpq_nlist at n/8), NOT the
+        # raw config value — probing 64 of 40 lists would be nonsense
+        nlist = getattr(self._index, "nlist", self.cfg.ivfpq_nlist)
+        if self.cfg.ivfpq_nprobe > 0:
+            return min(self.cfg.ivfpq_nprobe, nlist)
+        return max(1, nlist // 16)
 
     def search(self, queries: np.ndarray, k: int):
         if self._index is None:
@@ -107,12 +126,44 @@ class ANNRetriever:
         t0 = time.perf_counter()
         if self.kind == "hnsw":
             scores, ids = self._index.search(q, k)
+        elif self._refine_emb is not None and self._refine > 1:
+            scores, ids = self._search_ivfpq_refined(q, k)
         else:
-            scores, ids = self._index.search(
-                q, k, nprobe=max(1, self.cfg.ivfpq_nlist // 64)
-            )
+            scores, ids = self._index.search(q, k, nprobe=self._nprobe)
         self.stats.add_search_batch(time.perf_counter() - t0, q.shape[0])
         return scores, ids
+
+    def _search_ivfpq_refined(self, q: np.ndarray, k: int):
+        """Two-stage IVF-PQ: oversampled ADC candidates -> exact fp32
+        rescore -> re-sort. Empty slots (id -1) are masked and can never
+        displace real candidates; outputs keep the -1 sentinel when fewer
+        than k candidates exist."""
+        n = self._refine_emb.shape[0]
+        k1 = min(self._refine * k, n)
+        _, cand = self._index.search(q, k1, nprobe=self._nprobe)
+        valid = cand >= 0
+        rows = self._refine_emb[np.where(valid, cand, 0)]  # [Q, k1, d]
+        exact = np.einsum("qd,qkd->qk", q, rows.astype(np.float32))
+        if self.cfg.metric == "euclidean":
+            q_sq = np.sum(q * q, axis=1, keepdims=True)
+            c_sq = np.sum(rows * rows, axis=2)
+            exact = 2.0 * exact - c_sq - q_sq  # -||q-c||^2, higher=better
+        exact = np.where(valid, exact, -np.inf)
+        k_out = min(k, k1)
+        sel = np.argpartition(-exact, k_out - 1, axis=1)[:, :k_out]
+        ssel = np.take_along_axis(exact, sel, axis=1)
+        order = np.argsort(-ssel, axis=1)
+        scores = np.take_along_axis(ssel, order, axis=1).astype(np.float32)
+        ids = np.take_along_axis(
+            np.take_along_axis(cand, sel, axis=1), order, axis=1
+        )
+        ids = np.where(np.isfinite(scores), ids, -1)
+        scores = np.where(np.isfinite(scores), scores, 0.0)
+        if k_out < k:  # pad to the requested width with sentinels
+            pad = ((0, 0), (0, k - k_out))
+            scores = np.pad(scores, pad)
+            ids = np.pad(ids, pad, constant_values=-1)
+        return scores, ids.astype(np.int32)
 
     def retrieve(self, query_emb: np.ndarray, top_k: int = 5):
         q = np.asarray(query_emb, dtype=np.float32)

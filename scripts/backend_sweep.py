@@ -193,6 +193,29 @@ def main(argv=None) -> int:
                 (f"ivfpq C++ nprobe={nprobe} (build {build_s:.0f}s)", dt,
                  recall_vs(i_ref_np, i1, args.k))
             )
+        # refined tier (factory path): oversample + exact fp32 rescore
+        from latentrag_tpu.retrieval.ann_retriever import ANNRetriever
+        from latentrag_tpu.utils.config import RetrievalConfig
+
+        for nprobe, refine in ((32, 8), (64, 8), (64, 16)):
+            r = ANNRetriever(
+                RetrievalConfig(
+                    backend="ivfpq", ivfpq_nlist=nlist, ivfpq_m=16,
+                    ivfpq_nprobe=nprobe, ivfpq_refine=refine,
+                ),
+                "ivfpq",
+            )
+            r._index = ix  # reuse the trained index; attach fp32 corpus
+            r._refine_emb = (
+                c_host / np.linalg.norm(c_host, axis=1, keepdims=True)
+            )
+            t0 = time.perf_counter()
+            _, i1 = r.search(q_host, args.k)
+            dt = time.perf_counter() - t0
+            rows.append(
+                (f"ivfpq+refine nprobe={nprobe} rf={refine}", dt,
+                 recall_vs(i_ref_np, i1, args.k))
+            )
 
     lines = [
         f"# Dense backend sweep — {args.n:,} x {args.d}, "

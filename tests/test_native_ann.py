@@ -196,3 +196,92 @@ def test_hnsw_threaded_build_and_search_equivalence(rng):
     assert len(par) == n + 500
     _, ids = par.search(q, k=k, nthreads=2)
     assert ids.max() < n + 500
+
+
+class TestIVFPQRefine:
+    """Stage-2 refinement (factory path): oversampled ADC candidates exact-
+    rescored in fp32 — the FAISS IndexRefineFlat-class recall recipe."""
+
+    def _recall(self, got_idx, ref_idx, k=10):
+        return np.mean([
+            len(set(ref_idx[i]) & set(got_idx[i])) / k
+            for i in range(len(ref_idx))
+        ])
+
+    def test_refine_lifts_recall_and_orders_exactly(self, corpus, queries):
+        from latentrag_tpu.retrieval.ann_retriever import ANNRetriever
+        from latentrag_tpu.utils.config import RetrievalConfig
+
+        texts = [f"t{i}" for i in range(len(corpus))]
+        # probe ALL lists so stage-1 coverage is total: what remains is
+        # pure PQ quantization error — exactly what refinement must fix
+        base = ANNRetriever(
+            RetrievalConfig(backend="ivfpq", ivfpq_nlist=16, ivfpq_m=8,
+                            ivfpq_nprobe=16, ivfpq_refine=0), "ivfpq")
+        base.build(corpus, texts)
+        refined = ANNRetriever(
+            RetrievalConfig(backend="ivfpq", ivfpq_nlist=16, ivfpq_m=8,
+                            ivfpq_nprobe=16, ivfpq_refine=8), "ivfpq")
+        refined.build(corpus, texts)
+
+        _, ref_idx = exact_topk_np(queries, corpus, 10)
+        s0, i0 = base.search(queries, 10)
+        s1, i1 = refined.search(queries, 10)
+        r0, r1 = self._recall(i0, ref_idx), self._recall(i1, ref_idx)
+        assert r1 >= r0 - 1e-9
+        assert r1 >= 0.95, (r0, r1)
+        # refined scores are EXACT cosine similarities, sorted descending
+        sims = queries @ corpus.T
+        assert np.allclose(
+            s1, np.take_along_axis(sims, i1, axis=1), atol=1e-5
+        )
+        assert (np.diff(s1, axis=1) <= 1e-6).all()
+
+    def test_refine_euclidean_exact_scores(self):
+        from latentrag_tpu.retrieval.ann_retriever import ANNRetriever
+        from latentrag_tpu.utils.config import RetrievalConfig
+
+        rng = np.random.default_rng(3)
+        c = rng.standard_normal((500, 16)).astype(np.float32)
+        q = rng.standard_normal((20, 16)).astype(np.float32)
+        r = ANNRetriever(
+            RetrievalConfig(backend="ivfpq", metric="euclidean",
+                            ivfpq_nlist=8, ivfpq_m=8, ivfpq_nprobe=8,
+                            ivfpq_refine=8), "ivfpq")
+        r.build(c, [f"t{i}" for i in range(500)])
+        s, i = r.search(q, 5)
+        d2 = ((q[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+        assert np.allclose(s, -np.take_along_axis(d2, i, axis=1), atol=1e-3)
+
+    def test_nprobe_config_knob_respected(self, corpus):
+        from latentrag_tpu.retrieval.ann_retriever import ANNRetriever
+        from latentrag_tpu.utils.config import RetrievalConfig
+
+        r = ANNRetriever(
+            RetrievalConfig(backend="ivfpq", ivfpq_nlist=16,
+                            ivfpq_m=8, ivfpq_nprobe=5), "ivfpq")
+        r.build(corpus, [f"t{i}" for i in range(len(corpus))])
+        assert r._nprobe == 5
+        # auto mode derives from the EFFECTIVE nlist (capped at n/8),
+        # never the raw config value
+        auto = ANNRetriever(
+            RetrievalConfig(backend="ivfpq", ivfpq_nlist=4096,
+                            ivfpq_m=8, ivfpq_nprobe=0), "ivfpq")
+        auto.build(corpus[:80], [f"t{i}" for i in range(80)])
+        assert 1 <= auto._nprobe <= auto._index.nlist
+
+    def test_k_larger_than_corpus_pads_sentinels(self):
+        from latentrag_tpu.retrieval.ann_retriever import ANNRetriever
+        from latentrag_tpu.utils.config import RetrievalConfig
+
+        rng = np.random.default_rng(4)
+        c = _normed(rng, 24, 16)
+        r = ANNRetriever(
+            RetrievalConfig(backend="ivfpq", ivfpq_nlist=2, ivfpq_m=8,
+                            ivfpq_nprobe=2, ivfpq_refine=4), "ivfpq")
+        r.build(c, [f"t{i}" for i in range(24)])
+        s, i = r.search(_normed(rng, 3, 16), 30)
+        assert i.shape == (3, 30)
+        assert (i < 24).all()
+        valid = i >= 0
+        assert valid.sum(axis=1).min() >= 1
