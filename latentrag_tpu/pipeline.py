@@ -72,11 +72,58 @@ def load_autoencoder(cfg: Config, ae_type: str):
     return model, restored["params"]
 
 
+def _hf_checkpoint_usable(ecfg) -> bool:
+    """An HF source is usable when ``encoder.name`` is a local checkpoint
+    directory (offline-testable) or hub access is explicitly enabled."""
+    name = ecfg.name
+    if os.path.isdir(name) and os.path.exists(
+        os.path.join(name, "config.json")
+    ):
+        return True
+    return bool(getattr(ecfg, "hub_fallback", False))
+
+
 def default_encoder(cfg: Config, corpus: Sequence[str]) -> SentenceEncoder:
     """Build the sentence encoder: converted weights + checkpoint vocab when
-    present, otherwise a corpus-trained tokenizer + deterministic init."""
+    present, otherwise a corpus-trained tokenizer + deterministic init.
+
+    When no converted/trained weights exist yet and ``encoder.name``
+    resolves to an HF checkpoint (local dir, or hub with
+    ``encoder.hub_fallback=true``), it is converted NOW and persisted
+    (msgpack + vocab.txt), so the documented quality-band parity command
+    (docs/REFERENCE_PARITY.md §3) is one self-contained invocation."""
     tok_path = os.path.join(cfg.paths.data_dir, "tokenizer.json")
     vocab_path = os.path.join(cfg.paths.data_dir, "vocab.txt")
+    default_weights = cfg.encoder.weights_path or os.path.join(
+        cfg.paths.checkpoints_dir, "encoder.msgpack"
+    )
+    if not os.path.exists(default_weights) and _hf_checkpoint_usable(
+        cfg.encoder
+    ):
+        try:
+            from .models.encoder import convert_hf_bert_to_params, save_params
+
+            hf_params, vocab_file = convert_hf_bert_to_params(
+                cfg.encoder.name
+            )
+            save_params(hf_params, default_weights)
+            if vocab_file and not os.path.exists(vocab_path):
+                import shutil
+
+                os.makedirs(cfg.paths.data_dir, exist_ok=True)
+                shutil.copyfile(vocab_file, vocab_path)
+            log.info(
+                "converted HF checkpoint %s -> %s",
+                cfg.encoder.name,
+                default_weights,
+            )
+        except Exception as e:
+            log.warning(
+                "HF checkpoint %r unusable (%s); falling back to the "
+                "self-init encoder",
+                cfg.encoder.name,
+                e,
+            )
     if os.path.exists(vocab_path):
         tokenizer = WordPieceTokenizer.from_vocab_file(vocab_path)
     elif os.path.exists(tok_path):
@@ -89,9 +136,7 @@ def default_encoder(cfg: Config, corpus: Sequence[str]) -> SentenceEncoder:
         os.makedirs(cfg.paths.data_dir, exist_ok=True)
         tokenizer.save(tok_path)
     params = None
-    weights = cfg.encoder.weights_path or os.path.join(
-        cfg.paths.checkpoints_dir, "encoder.msgpack"
-    )
+    weights = default_weights
     if os.path.exists(weights):
         from .models.encoder import load_params
 

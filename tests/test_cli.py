@@ -90,3 +90,88 @@ def test_main_profile_flag_writes_trace(tmp_path):
     files = glob.glob(str(tmp_path / "trace" / "**"), recursive=True)
     assert any("trace" in f or f.endswith(".pb") or f.endswith(".json.gz")
                for f in files), files
+
+
+def test_reference_parity_command_regression(tmp_path):
+    """Regression-proof the hub-gated quality-band command
+    (docs/REFERENCE_PARITY.md §3): the exact CLI shape runs end-to-end
+    against a tiny local official-format SQuAD JSON and a local HF-format
+    MiniLM checkpoint, converting the encoder on the fly and loading the
+    REAL reference .pth VAE — so the first network window reproduces the
+    band with zero debugging."""
+    import csv
+    import os
+
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    pth = "/root/reference/models/checkpoints/vae_text.pth"
+    if not os.path.exists(pth):
+        pytest.skip("reference vae_text.pth not present on this host")
+
+    # HF-format checkpoint with the REAL MiniLM hidden width (384) so the
+    # reference VAE (384->512->64) accepts the embeddings; tiny elsewhere
+    bcfg = transformers.BertConfig(
+        vocab_size=220, hidden_size=384, num_hidden_layers=1,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=64, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+    )
+    torch.manual_seed(0)
+    hf_dir = tmp_path / "minilm"
+    transformers.BertModel(bcfg).save_pretrained(str(hf_dir))
+    # checkpoint vocab: specials + every ascii letter/digit as both word
+    # and continuation piece -> everything tokenizes
+    chars = "abcdefghijklmnopqrstuvwxyz0123456789"
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+    vocab += list(chars) + [f"##{c}" for c in chars]
+    (hf_dir / "vocab.txt").write_text("\n".join(vocab) + "\n")
+
+    # tiny official-format SQuAD JSON
+    paragraphs = []
+    for i in range(4):
+        ctx = f"topic {i} alpha beta gamma delta context number {i}"
+        qas = [{
+            "question": f"which context is number {i}?",
+            "id": f"q{i}-{j}",
+            "answers": [{"text": f"number {i}", "answer_start": ctx.index("number")}],
+        } for j in range(3)]
+        paragraphs.append({"context": ctx, "qas": qas})
+    squad_json = tmp_path / "squad_tiny.json"
+    squad_json.write_text(json.dumps(
+        {"data": [{"title": "t", "paragraphs": paragraphs}]}
+    ))
+
+    from main import main
+
+    rc = main([
+        "--ae_type", "vae", "--tag", "refparity", "--set",
+        f"data.dataset=squad:{squad_json}",
+        "data.max_samples=12",
+        f"encoder.name={hf_dir}",
+        f"models.vae.checkpoint={pth}",
+        "models.vae.latent_dim=64", "models.vae.hidden_dim=512",
+        # geometry of the local stand-in checkpoint (the real run keeps
+        # the MiniLM defaults); everything below matches §3's defaults
+        "encoder.vocab_size=220", "encoder.dtype=float32",
+        "encoder.num_layers=1", "encoder.num_heads=4",
+        "encoder.mlp_dim=64", "encoder.max_length=48",
+        "encoder.max_position_embeddings=64",
+        "retrieval.kernel=xla_exact",
+        f"retrieval.index_path={tmp_path}/index",
+        f"paths.data_dir={tmp_path}/data",
+        f"paths.checkpoints_dir={tmp_path}/ckpt",
+        f"paths.logs_dir={tmp_path}/logs",
+        f"logging.log_file={tmp_path}/logs/run.log",
+    ])
+    assert rc == 0
+    # the HF checkpoint was converted + persisted (proves the wiring)
+    assert (tmp_path / "ckpt" / "encoder.msgpack").exists()
+    assert (tmp_path / "data" / "vocab.txt").exists()
+    # the run produced a CSV row with the reference .pth's true geometry
+    rows = list(csv.DictReader(
+        open(tmp_path / "logs" / "benchmarks" / "experiments.csv")
+    ))
+    row = [r for r in rows if r["tag"] == "refparity"][0]
+    assert row["ae_type"] == "vae"
+    assert int(row["latent_dim"]) == 64
+    assert float(row["compression_ratio"]) == pytest.approx(6.0)
