@@ -7,6 +7,7 @@ from .distances import (
     whiten,
     whitening_factor,
 )
+from .knn import knn_graph
 from .pallas_topk import pallas_topk, pallas_topk_raw
 from .topk import approx_topk, exact_topk, maxsim_aggregate
 
@@ -20,6 +21,7 @@ __all__ = [
     "whitening_factor",
     "approx_topk",
     "exact_topk",
+    "knn_graph",
     "maxsim_aggregate",
     "pallas_topk",
     "pallas_topk_raw",

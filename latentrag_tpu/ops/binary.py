@@ -114,31 +114,57 @@ def binary_topk(
         top_s, sel = jax.lax.top_k(cat_s, k)
         return top_s, jnp.take_along_axis(cat_i, sel, axis=1)
 
-    pad = (-n) % block_size
-    if pad:
-        packed = jnp.pad(packed, ((0, pad), (0, 0)))
-    n_blocks = packed.shape[0] // block_size
-    blocks = packed.reshape(n_blocks, block_size, packed.shape[1])
+    # Two-level blocking (same rationale + measurement as ops/topk.py):
+    # scan over super-blocks whose body unrolls UNROLL sub-blocks, keeping
+    # each unpack+matmul+approx_max_k fused while bounding program size;
+    # exact slices — no pad rows, no masking. The <UNROLL-block tail is
+    # unrolled and merged at the end.
+    UNROLL = 8
+    super_size = UNROLL * block_size
+    n_super = n // super_size
     nq = q.shape[0]
+    supers = jax.lax.slice_in_dim(
+        packed, 0, n_super * super_size, axis=0
+    ).reshape(n_super, super_size, packed.shape[1])
     init = (
         jnp.full((nq, k), -3.4e38, dtype=jnp.float32),
         jnp.zeros((nq, k), dtype=jnp.int32),
     )
 
-    def body(carry, inp):
+    def super_body(carry, inp):
         run_s, run_i = carry
-        blk, b_idx = inp
-        base = b_idx * block_size
-        s, i = block_topk(blk, base, k)
-        # pad rows unpack to all -1 and can outscore genuine candidates;
-        # mask anything beyond the true row count
-        s = jnp.where(i < n, s, -3.4e38)
-        cat_s = jnp.concatenate([run_s, s], axis=1)
-        cat_i = jnp.concatenate([run_i, i], axis=1)
+        sblock, sb_idx = inp
+        base = sb_idx * super_size
+        parts_s, parts_i = [run_s], [run_i]
+        for g in range(UNROLL):
+            blk = jax.lax.slice_in_dim(
+                sblock, g * block_size, (g + 1) * block_size, axis=0
+            )
+            s, i = block_topk(blk, base + g * block_size, k)
+            parts_s.append(s)
+            parts_i.append(i)
+        cat_s = jnp.concatenate(parts_s, axis=1)
+        cat_i = jnp.concatenate(parts_i, axis=1)
         new_s, sel = jax.lax.top_k(cat_s, k)
         return (new_s, jnp.take_along_axis(cat_i, sel, axis=1)), None
 
     (top_s, top_i), _ = jax.lax.scan(
-        body, init, (blocks, jnp.arange(n_blocks, dtype=jnp.int32))
+        super_body, init, (supers, jnp.arange(n_super, dtype=jnp.int32))
     )
+
+    tail_start = n_super * super_size
+    parts_s, parts_i = [top_s], [top_i]
+    b = tail_start
+    while b < n:
+        e = min(b + block_size, n)
+        blk = jax.lax.slice_in_dim(packed, b, e, axis=0)
+        s, i = block_topk(blk, b, min(k, e - b))
+        parts_s.append(s)
+        parts_i.append(i)
+        b = e
+    if len(parts_s) > 1:
+        cat_s = jnp.concatenate(parts_s, axis=1)
+        cat_i = jnp.concatenate(parts_i, axis=1)
+        top_s, sel = jax.lax.top_k(cat_s, k)
+        top_i = jnp.take_along_axis(cat_i, sel, axis=1)
     return top_s, top_i

@@ -1,0 +1,86 @@
+"""All-pairs k-NN graph on the accelerator: the HNSW-build assist.
+
+Graph ANN construction is the one tier that could not reach the 8.8M-row
+parity corpus: per-insertion beam searches are pointer-chasing host work
+(~10h single-core at 8.8M, docs/BACKENDS_200K.md). But the expensive part —
+finding each row's nearest neighbours — is exactly what this framework's
+blocked matmul + top-k kernels do at speed-of-light on the MXU: computing
+k-NN lists for ALL rows is one [N, N] problem tiled as query blocks over
+the resident corpus (8.8M x 8.8M x 64 ~= 10 PFLOP ~= minutes at the
+measured 60-110 TFLOP/s), after which the graph ASSEMBLY (diversity
+pruning + reverse links + a tiny beam-built hierarchy) is linear host work
+(``native/latentrag_native.cpp::build_from_knn``).
+
+The reference has no equivalent — FAISS builds HNSW on CPU
+(``FAISSEmbeddingRetriever.py:95-99``); this is the TPU-native redesign of
+that capability (SURVEY §2.4 item 1).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .topk import approx_topk, exact_topk
+
+log = logging.getLogger("latentrag.ops")
+
+
+def knn_graph(
+    corpus,
+    k: int,
+    *,
+    metric: str = "cosine",
+    query_block: int = 4096,
+    block_size: int = 1048576,
+    exact: bool = False,
+    recall_target: float = 0.95,
+) -> np.ndarray:
+    """[N, k] int32 neighbour ids per row, self excluded, best-first.
+
+    ``corpus`` must already be prepared for ``metric`` (normalized for
+    cosine, whitened for mahalanobis — same contract as the top-k kernels).
+    Queries are the corpus rows themselves, streamed in ``query_block``
+    batches so the score working set stays [query_block, block_size].
+    ``exact=False`` uses ``approx_max_k`` per block (recall_target applies
+    per block; plenty for graph candidates — the assembly's diversity
+    heuristic only needs a good candidate pool, not a perfect one).
+    """
+    corpus = jnp.asarray(corpus)
+    n = int(corpus.shape[0])
+    if n == 0:
+        return np.zeros((0, k), np.int32)
+    kk = min(k + 1, n)  # +1: the row itself ranks first and is dropped
+    search = exact_topk if exact else approx_topk
+    kwargs = {} if exact else {"recall_target": recall_target}
+
+    out = np.empty((n, k), dtype=np.int32)
+    t0 = time.perf_counter()
+    for qs in range(0, n, query_block):
+        qe = min(qs + query_block, n)
+        qb = jax.lax.slice_in_dim(corpus, qs, qe, axis=0)
+        _, idx = search(qb, corpus, k=kk, metric=metric,
+                        block_size=block_size, **kwargs)
+        idx = np.asarray(idx)  # [qb, kk]
+        rows = np.arange(qs, qe, dtype=idx.dtype)[:, None]
+        not_self = idx != rows
+        # keep the first k non-self entries per row (vectorised): rank
+        # non-self entries by position, scatter into the output row
+        keep_rank = np.cumsum(not_self, axis=1) - 1  # position among kept
+        take = not_self & (keep_rank < k)
+        block_out = np.full((qe - qs, k), -1, dtype=np.int32)
+        r, c = np.nonzero(take)
+        block_out[r, keep_rank[r, c]] = idx[r, c]
+        # rows where every entry was kept short (kk-1 < k, tiny corpora):
+        # remaining slots stay -1 sentinels
+        out[qs:qe] = block_out
+    log.info(
+        "knn_graph: %d x %d (k=%d, %s) in %.1fs on %s",
+        n, int(corpus.shape[1]), k, "exact" if exact else "approx",
+        time.perf_counter() - t0, jax.default_backend(),
+    )
+    return out

@@ -30,7 +30,7 @@ _LIB_PATH = os.path.join(_NATIVE_DIR, "liblatentrag_native.so")
 _lib = None
 
 
-ABI_VERSION = 2  # must match latentrag_abi_version() in the C++
+ABI_VERSION = 3  # must match latentrag_abi_version() in the C++
 
 
 def _load_library() -> ctypes.CDLL:
@@ -76,6 +76,11 @@ def _load_library() -> ctypes.CDLL:
     lib.hnsw_search_batch.argtypes = [
         ctypes.c_void_p, ctypes.c_int, f32p, ctypes.c_int, ctypes.c_int,
         i32p, f32p, ctypes.c_int,
+    ]
+    lib.hnsw_build_knn.restype = ctypes.c_int
+    lib.hnsw_build_knn.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, f32p, i32p, ctypes.c_int,
+        ctypes.c_int,
     ]
     lib.hnsw_save.restype = ctypes.c_int
     lib.hnsw_save.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
@@ -174,6 +179,34 @@ class HNSWIndex:
             _i32p(ids), _f32p(scores), nthreads,
         )
         return scores, ids
+
+    @classmethod
+    def from_knn(
+        cls,
+        vectors: np.ndarray,
+        knn_ids: np.ndarray,
+        M: int = 32,
+        ef_construction: int = 200,
+        ef_search: int = 64,
+        seed: int = 42,
+        nthreads: int = 0,
+    ) -> "HNSWIndex":
+        """Assemble a fresh index from precomputed k-NN candidate lists
+        (``ops.knn.knn_graph`` — the accelerator-assisted build). Level-0
+        links come from diversity-pruning each row's candidates; the
+        hierarchy is beam-built over the ~1/M level>=1 nodes only."""
+        v = _as_f32(vectors)
+        ids = np.ascontiguousarray(knn_ids, dtype=np.int32)
+        if ids.shape[0] != v.shape[0]:
+            raise ValueError("knn_ids rows must match vectors rows")
+        ix = cls(v.shape[1], M=M, ef_construction=ef_construction,
+                 ef_search=ef_search, seed=seed)
+        rc = ix._lib.hnsw_build_knn(
+            ix._h, v.shape[0], _f32p(v), _i32p(ids), ids.shape[1], nthreads
+        )
+        if rc != 0:
+            raise RuntimeError("hnsw_build_knn failed (index not empty?)")
+        return ix
 
     def save(self, path: str) -> None:
         rc = self._lib.hnsw_save(self._h, path.encode())

@@ -82,13 +82,35 @@ class ANNRetriever:
         )
         t0 = time.perf_counter()
         if self.kind == "hnsw":
-            ix = HNSWIndex(
-                emb.shape[1],
-                M=self.cfg.hnsw_m,
-                ef_construction=self.cfg.hnsw_ef_construction,
-                ef_search=self.cfg.hnsw_ef_search,
-            )
-            ix.add(emb)
+            mode = self.cfg.hnsw_build
+            if mode == "auto":
+                import jax
+
+                mode = "knn" if jax.default_backend() != "cpu" else "beam"
+            if mode == "knn":
+                # accelerator-assisted build: all-pairs k-NN on device
+                # (blocked matmul + top-k), linear host assembly in C++
+                from ..ops.knn import knn_graph
+
+                knn_k = self.cfg.hnsw_knn_k or 2 * self.cfg.hnsw_m
+                ids = knn_graph(
+                    emb, knn_k,
+                    metric="cosine" if self._normalize else "dot",
+                )
+                ix = HNSWIndex.from_knn(
+                    emb, ids,
+                    M=self.cfg.hnsw_m,
+                    ef_construction=self.cfg.hnsw_ef_construction,
+                    ef_search=self.cfg.hnsw_ef_search,
+                )
+            else:
+                ix = HNSWIndex(
+                    emb.shape[1],
+                    M=self.cfg.hnsw_m,
+                    ef_construction=self.cfg.hnsw_ef_construction,
+                    ef_search=self.cfg.hnsw_ef_search,
+                )
+                ix.add(emb)
         else:
             nlist = min(self.cfg.ivfpq_nlist, max(1, emb.shape[0] // 8))
             m = self.cfg.ivfpq_m

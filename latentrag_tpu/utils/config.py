@@ -183,6 +183,12 @@ class RetrievalConfig:
     hnsw_m: int = 32
     hnsw_ef_construction: int = 200
     hnsw_ef_search: int = 64
+    # 'beam' = classic per-insertion beam-search build; 'knn' = accelerator-
+    # assisted: all-pairs k-NN via the blocked matmul kernels (ops/knn.py),
+    # host assembly in C++ (the only build that scales to multi-M corpora);
+    # 'auto' = knn when JAX runs on an accelerator, beam otherwise
+    hnsw_build: str = "beam"
+    hnsw_knn_k: int = 0  # candidates/row for the knn build; 0 = 2*hnsw_m
     ivfpq_nlist: int = 4096
     ivfpq_m: int = 16
     ivfpq_nbits: int = 8

@@ -217,8 +217,11 @@ struct HNSW {
     }
 
     // link node ``id`` (vector already stored, level pre-assigned) into the
-    // graph; ``locked`` guards link-list access for concurrent inserts
-    void insert(int id, int lvl, Visited& vis, bool locked) {
+    // graph; ``locked`` guards link-list access for concurrent inserts.
+    // ``merge_l0``: keep any pre-existing level-0 links (kNN-assembled
+    // builds) and merge the beam candidates into them instead of replacing.
+    void insert(int id, int lvl, Visited& vis, bool locked,
+                bool merge_l0 = false) {
         const float* v = vec(id);
         int ep, ml;
         {
@@ -237,6 +240,12 @@ struct HNSW {
             sel.reserve(cand.size());
             for (auto it = cand.rbegin(); it != cand.rend(); ++it)
                 sel.push_back(it->second);
+            if (l == 0 && merge_l0) {
+                std::lock_guard<std::mutex> g(node_lock(id));
+                for (int e : links[0][id])
+                    if (std::find(sel.begin(), sel.end(), e) == sel.end())
+                        sel.push_back(e);
+            }
             shrink(sel, id, cap);
             {
                 std::lock_guard<std::mutex> g(node_lock(id));
@@ -307,6 +316,113 @@ struct HNSW {
     }
 
     void add(const float* v) { add_batch(1, v, 1); }
+
+    // Fresh build from PRECOMPUTED k-NN candidate lists (the accelerator-
+    // assisted path: the TPU computes exact/approx k-NN for every corpus
+    // row with blocked matmuls — ops/knn.py — replacing this build's only
+    // superlinear stage, the per-insertion beam searches). Level-0 links =
+    // the same diversity heuristic (shrink) over each node's k-NN
+    // candidates + symmetric reverse links; the ~1/M fraction of nodes
+    // with level >= 1 is then beam-inserted normally, which (a) builds the
+    // navigation hierarchy and (b) merges beam candidates into the hubs'
+    // level-0 lists, stitching k-NN cluster components together.
+    // Requires an empty index; knn ids are row indices into ``vecs``
+    // (self/negatives ignored). Returns 0 on success.
+    int build_from_knn(int nvec, const float* vecs, const int* knn_ids,
+                       int knn_k, int nthreads) {
+        if (size() != 0 || nvec <= 0 || knn_k <= 0) return -1;
+        std::vector<int> lvls(nvec);
+        int maxl = 0;
+        for (int i = 0; i < nvec; ++i) {  // sequential: deterministic
+            lvls[i] = random_level();
+            maxl = std::max(maxl, lvls[i]);
+        }
+        data.assign(vecs, vecs + (size_t)nvec * dim);
+        levels = lvls;
+        links.resize(maxl + 1);
+        for (auto& level_links : links) level_links.resize(nvec);
+
+        if (nthreads <= 0)
+            nthreads = (int)std::thread::hardware_concurrency();
+        nthreads = std::max(1, std::min(nthreads, nvec));
+        auto parallel_for = [&](auto body) {
+            if (nthreads == 1) {
+                for (int i = 0; i < nvec; ++i) body(i);
+                return;
+            }
+            std::atomic<int> next{0};
+            auto worker = [&] {
+                for (;;) {
+                    int i = next.fetch_add(1);
+                    if (i >= nvec) break;
+                    body(i);
+                }
+            };
+            std::vector<std::thread> pool;
+            pool.reserve(nthreads);
+            for (int t = 0; t < nthreads; ++t) pool.emplace_back(worker);
+            for (auto& th : pool) th.join();
+        };
+
+        // 1. forward level-0 links: diversity-pruned k-NN candidates
+        //    (one writer per node — no locks needed)
+        parallel_for([&](int i) {
+            std::vector<int> sel;
+            sel.reserve(knn_k);
+            const int* row = knn_ids + (size_t)i * knn_k;
+            for (int j = 0; j < knn_k; ++j) {
+                int e = row[j];
+                if (e >= 0 && e < nvec && e != i) sel.push_back(e);
+            }
+            shrink(sel, i, M0);
+            links[0][i] = std::move(sel);
+        });
+        // 2. symmetric reverse links over a snapshot of the forward lists
+        //    (node locks: many writers per target)
+        std::vector<std::vector<int>> fw = links[0];
+        parallel_for([&](int i) {
+            for (int nb : fw[i]) {
+                std::lock_guard<std::mutex> g(node_lock(nb));
+                auto& lst = links[0][nb];
+                if (std::find(lst.begin(), lst.end(), i) == lst.end()) {
+                    lst.push_back(i);
+                    shrink(lst, nb, M0);
+                }
+            }
+        });
+        // 3. hierarchy: beam-insert the level>=1 nodes on levels lvl..1,
+        //    merging their beam candidates into the kNN level-0 lists
+        std::vector<int> upper;
+        for (int i = 0; i < nvec; ++i)
+            if (lvls[i] >= 1) upper.push_back(i);
+        if (upper.empty()) {
+            entry = 0;
+            max_level = 0;
+            return 0;
+        }
+        entry = upper[0];
+        max_level = lvls[upper[0]];
+        if (nthreads == 1 || (int)upper.size() < 2) {
+            for (size_t u = 1; u < upper.size(); ++u)
+                insert(upper[u], lvls[upper[u]], seq_vis, false, true);
+        } else {
+            std::atomic<size_t> next{1};
+            int nt = std::min(nthreads, (int)upper.size() - 1);
+            auto worker = [&] {
+                Visited vis;
+                for (;;) {
+                    size_t u = next.fetch_add(1);
+                    if (u >= upper.size()) break;
+                    insert(upper[u], lvls[upper[u]], vis, true, true);
+                }
+            };
+            std::vector<std::thread> pool;
+            pool.reserve(nt);
+            for (int t = 0; t < nt; ++t) pool.emplace_back(worker);
+            for (auto& th : pool) th.join();
+        }
+        return 0;
+    }
 
     void search(const float* q, int k, int ef, int* out_ids,
                 float* out_scores, Visited& vis) const {
@@ -436,7 +552,7 @@ extern "C" {
 
 // bump whenever any exported signature or on-disk format changes; the
 // ctypes wrapper refuses to run against a mismatched build
-int latentrag_abi_version(void) { return 2; }
+int latentrag_abi_version(void) { return 3; }
 
 void* hnsw_new(int dim, int M, int ef_construction, unsigned seed) {
     auto* h = new HNSW();
@@ -455,6 +571,12 @@ int hnsw_size(void* p) { return static_cast<HNSW*>(p)->size(); }
 
 void hnsw_add_batch(void* p, int n, const float* data, int nthreads) {
     static_cast<HNSW*>(p)->add_batch(n, data, nthreads);
+}
+
+int hnsw_build_knn(void* p, int n, const float* data, const int* knn_ids,
+                   int knn_k, int nthreads) {
+    return static_cast<HNSW*>(p)->build_from_knn(n, data, knn_ids, knn_k,
+                                                 nthreads);
 }
 
 void hnsw_search_batch(void* p, int nq, const float* queries, int k, int ef,

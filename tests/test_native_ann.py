@@ -285,3 +285,91 @@ class TestIVFPQRefine:
         assert (i < 24).all()
         valid = i >= 0
         assert valid.sum(axis=1).min() >= 1
+
+
+class TestKNNAssistedBuild:
+    """Accelerator-assisted HNSW construction: all-pairs k-NN on device
+    (ops/knn.py blocked matmul) + linear host assembly (build_from_knn) —
+    the build that scales to multi-M corpora (SURVEY §2.4 item 1)."""
+
+    def test_knn_graph_matches_oracle(self):
+        from latentrag_tpu.ops.knn import knn_graph
+
+        rng = np.random.default_rng(0)
+        c = _normed(rng, 500, 16)
+        ids = knn_graph(c, 5, metric="cosine", query_block=128, exact=True)
+        sims = c @ c.T
+        np.fill_diagonal(sims, -np.inf)  # self excluded
+        oracle = np.argsort(-sims, axis=1)[:, :5]
+        for i in range(500):
+            assert set(ids[i]) == set(oracle[i]), i
+        assert (ids != np.arange(500)[:, None]).all()
+
+    def test_knn_graph_small_corpus_pads_sentinels(self):
+        from latentrag_tpu.ops.knn import knn_graph
+
+        rng = np.random.default_rng(1)
+        c = _normed(rng, 4, 8)
+        ids = knn_graph(c, 6, metric="cosine", exact=True)
+        assert ids.shape == (4, 6)
+        assert (ids[:, :3] >= 0).all()  # 3 real neighbours exist
+        assert (ids[:, 3:] == -1).all()  # rest are sentinels
+
+    def test_from_knn_recall_matches_beam_build(self, corpus, queries):
+        from latentrag_tpu.ops.knn import knn_graph
+
+        knn = knn_graph(corpus, 64, metric="cosine", exact=True)
+        ix = HNSWIndex.from_knn(corpus, knn, M=16, ef_construction=100,
+                                ef_search=64)
+        beam = HNSWIndex(corpus.shape[1], M=16, ef_construction=100,
+                         ef_search=64)
+        beam.add(corpus)
+        _, ref_idx = exact_topk_np(queries, corpus, 10)
+
+        def recall(index):
+            _, got = index.search(queries, 10)
+            return np.mean([
+                len(set(ref_idx[i]) & set(got[i])) / 10
+                for i in range(len(queries))
+            ])
+
+        r_knn, r_beam = recall(ix), recall(beam)
+        assert r_knn >= 0.9, r_knn
+        assert r_knn >= r_beam - 0.05, (r_knn, r_beam)
+
+    def test_from_knn_persistence_roundtrip(self, tmp_path):
+        from latentrag_tpu.ops.knn import knn_graph
+
+        rng = np.random.default_rng(2)
+        c = _normed(rng, 300, 16)
+        ix = HNSWIndex.from_knn(c, knn_graph(c, 16, exact=True), M=8)
+        p = str(tmp_path / "knn.hnsw")
+        ix.save(p)
+        back = HNSWIndex.load(p, ef_search=64)
+        q = _normed(rng, 10, 16)
+        s0, i0 = ix.search(q, 5)
+        s1, i1 = back.search(q, 5)
+        assert (i0 == i1).all() and np.allclose(s0, s1)
+
+    def test_from_knn_requires_empty_index(self, corpus):
+        ix = HNSWIndex(corpus.shape[1], M=8)
+        ix.add(corpus[:10])
+        import ctypes
+
+        ids = np.zeros((10, 4), np.int32)
+        v = np.ascontiguousarray(corpus[:10])
+        rc = ix._lib.hnsw_build_knn(
+            ix._h, 10, v.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), 4, 1)
+        assert rc != 0
+
+    def test_retriever_knn_build_mode(self, corpus, queries):
+        from latentrag_tpu.retrieval.ann_retriever import ANNRetriever
+        from latentrag_tpu.utils.config import RetrievalConfig
+
+        r = ANNRetriever(
+            RetrievalConfig(backend="hnsw", hnsw_build="knn", hnsw_m=16),
+            "hnsw")
+        r.build(corpus, [f"t{i}" for i in range(len(corpus))])
+        texts, _, _ = r.retrieve(corpus[7], top_k=3)
+        assert texts[0] == "t7"

@@ -289,3 +289,22 @@ def test_approx_topk_two_level_euclidean(rng):
     for row_i, row_o in zip(i, oracle_i):
         assert set(row_i) == set(row_o)
     assert np.allclose(s, -np.take_along_axis(d2, i, axis=1), atol=1e-4)
+
+
+def test_binary_topk_two_level_blocking(rng):
+    """binary_topk's >16-block regime (two-level scan) ranks like the
+    single-block path."""
+    from latentrag_tpu.ops.binary import binary_quantize, binary_topk
+
+    n, d = 9000, 32
+    c = rng.standard_normal((n, d)).astype(np.float32)
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    q = rng.standard_normal((6, d)).astype(np.float32)
+    packed = binary_quantize(jnp.asarray(c))
+    s1, i1 = binary_topk(jnp.asarray(q), packed, d=d, k=8, block_size=512)
+    s0, i0 = binary_topk(jnp.asarray(q), packed, d=d, k=8,
+                         block_size=1 << 20)
+    assert np.allclose(np.sort(np.asarray(s1)), np.sort(np.asarray(s0)),
+                       atol=1e-3)
+    for a, b in zip(np.asarray(i1), np.asarray(i0)):
+        assert set(a) == set(b)
