@@ -123,18 +123,18 @@ def binary_topk(
     super_size = UNROLL * block_size
     n_super = n // super_size
     nq = q.shape[0]
-    supers = jax.lax.slice_in_dim(
-        packed, 0, n_super * super_size, axis=0
-    ).reshape(n_super, super_size, packed.shape[1])
     init = (
         jnp.full((nq, k), -3.4e38, dtype=jnp.float32),
         jnp.zeros((nq, k), dtype=jnp.int32),
     )
 
-    def super_body(carry, inp):
+    def super_body(carry, sb_idx):
+        # dynamic-slice from the closed-over packed corpus (a reshaped xs
+        # operand would materialise a full copy — see ops/topk.py)
         run_s, run_i = carry
-        sblock, sb_idx = inp
         base = sb_idx * super_size
+        sblock = jax.lax.dynamic_slice_in_dim(packed, base, super_size,
+                                              axis=0)
         parts_s, parts_i = [run_s], [run_i]
         for g in range(UNROLL):
             blk = jax.lax.slice_in_dim(
@@ -149,7 +149,7 @@ def binary_topk(
         return (new_s, jnp.take_along_axis(cat_i, sel, axis=1)), None
 
     (top_s, top_i), _ = jax.lax.scan(
-        super_body, init, (supers, jnp.arange(n_super, dtype=jnp.int32))
+        super_body, init, jnp.arange(n_super, dtype=jnp.int32)
     )
 
     tail_start = n_super * super_size

@@ -58,13 +58,26 @@ def knn_graph(
     search = exact_topk if exact else approx_topk
     kwargs = {} if exact else {"recall_target": recall_target}
 
+    # ONE compiled program with a TRACED start index: an eager per-offset
+    # slice would make every batch a distinct constant-folded executable —
+    # 256 remote compiles at 1M rows dominated the round-3 first measurement
+    # (~0.4s each through the relay)
+    @jax.jit
+    def block_step(c, start):
+        qb_rows = jax.lax.dynamic_slice_in_dim(c, start, query_block, axis=0)
+        return search(qb_rows, c, k=kk, metric=metric,
+                      block_size=block_size, **kwargs)[1]
+
     out = np.empty((n, k), dtype=np.int32)
     t0 = time.perf_counter()
     for qs in range(0, n, query_block):
         qe = min(qs + query_block, n)
-        qb = jax.lax.slice_in_dim(corpus, qs, qe, axis=0)
-        _, idx = search(qb, corpus, k=kk, metric=metric,
-                        block_size=block_size, **kwargs)
+        if qe - qs == query_block:
+            idx = block_step(corpus, qs)
+        else:  # remainder block: one extra compile at a different shape
+            qb_rows = jax.lax.slice_in_dim(corpus, qs, qe, axis=0)
+            _, idx = search(qb_rows, corpus, k=kk, metric=metric,
+                            block_size=block_size, **kwargs)
         idx = np.asarray(idx)  # [qb, kk]
         rows = np.arange(qs, qe, dtype=idx.dtype)[:, None]
         not_self = idx != rows

@@ -197,18 +197,19 @@ def approx_topk(
     super_size = UNROLL * block_size
     n_super = n_total // super_size
     nq = q.shape[0]
-    supers = jax.lax.slice_in_dim(
-        corpus, 0, n_super * super_size, axis=0
-    ).reshape(n_super, super_size, corpus.shape[1])
     init = (
         jnp.full((nq, k), NEG_INF, dtype=jnp.float32),
         jnp.zeros((nq, k), dtype=jnp.int32),
     )
 
-    def super_body(carry, inp):
+    def super_body(carry, sb_idx):
+        # dynamic-slice the super-block out of the CLOSED-OVER corpus: a
+        # reshape-into-xs formulation forces XLA to materialise a full
+        # corpus copy (OOM at 32M x 64 bf16 on one chip)
         run_s, run_i = carry
-        sblock, sb_idx = inp  # [super_size, d], scalar
         base = sb_idx * super_size
+        sblock = jax.lax.dynamic_slice_in_dim(corpus, base, super_size,
+                                              axis=0)
         parts_s, parts_i = [run_s], [run_i]
         for g in range(UNROLL):
             blk = jax.lax.slice_in_dim(
@@ -226,7 +227,7 @@ def approx_topk(
         return (new_s, new_i), None
 
     (top_s, top_i), _ = jax.lax.scan(
-        super_body, init, (supers, jnp.arange(n_super, dtype=jnp.int32))
+        super_body, init, jnp.arange(n_super, dtype=jnp.int32)
     )
 
     # tail: up to UNROLL more blocks (incl. one partial), unrolled

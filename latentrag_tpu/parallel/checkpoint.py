@@ -44,6 +44,14 @@ def save_sharded_index(path: str, corpus: jax.Array, meta: dict) -> None:
     if jax.process_index() == 0:
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump(meta, f)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        # non-zero processes must not return (and possibly reload) before
+        # process 0 has written meta.json — caught by the 2-process test:
+        # a racing loader hit FileNotFoundError and its partner then hung
+        # in the restore collective
+        multihost_utils.sync_global_devices("latentrag_sharded_index_done")
 
 
 def load_sharded_index(

@@ -32,6 +32,8 @@ def main() -> int:
     ap.add_argument("--num_processes", type=int, required=True)
     ap.add_argument("--coordinator", required=True)
     ap.add_argument("--local_devices", type=int, default=4)
+    ap.add_argument("--checkpoint_dir", default="",
+                    help="run the sharded-checkpoint round-trip check here")
     ap.add_argument("--n", type=int, default=1001)
     ap.add_argument("--d", type=int, default=32)
     ap.add_argument("--queries", type=int, default=16)
@@ -126,6 +128,26 @@ def main() -> int:
     assert float(np.asarray(total)) == float(x.sum()), "psum mismatch"
     print(f"proc {args.process_id}: cross-process reduction == host sum",
           flush=True)
+
+    # ---- 4. sharded index checkpoint across the process boundary ---------
+    # each process writes only its own shards (Orbax), process 0 owns the
+    # filesystem mutations, sync_global_devices orders them; the restore
+    # lands directly in the mesh sharding and search results are unchanged
+    if args.checkpoint_dir:
+        from latentrag_tpu.parallel import (
+            load_sharded_index,
+            save_sharded_index,
+        )
+
+        save_sharded_index(args.checkpoint_dir, c_sh, {"n": args.n})
+        restored, meta = load_sharded_index(args.checkpoint_dir, gmesh)
+        assert meta["n"] == args.n
+        s2, i2 = search(queries, restored, jnp.int32(args.n))
+        assert (np.asarray(i2) == i).all() and np.allclose(
+            np.asarray(s2), s
+        ), "post-restore search drifted"
+        print(f"proc {args.process_id}: sharded checkpoint round-trip ok",
+              flush=True)
 
     print(f"MULTIPROC_OK process={args.process_id}/{args.num_processes} "
           f"devices={jax.device_count()}", flush=True)

@@ -27,7 +27,7 @@ def _free_port() -> int:
 
 
 def launch_workers(num_processes: int = 2, local_devices: int = 4,
-                   timeout: int = 300):
+                   timeout: int = 300, checkpoint_dir: str = ""):
     """Spawn the worker fleet; returns the per-process CompletedProcess list."""
     port = _free_port()
     env = os.environ.copy()
@@ -35,13 +35,14 @@ def launch_workers(num_processes: int = 2, local_devices: int = 4,
     # jax, but scrub the test session's 8-device XLA_FLAGS anyway so a
     # worker bug can't silently inherit the wrong world size
     env.pop("XLA_FLAGS", None)
+    extra = (["--checkpoint_dir", checkpoint_dir] if checkpoint_dir else [])
     procs = [
         subprocess.Popen(
             [sys.executable, WORKER,
              "--process_id", str(i),
              "--num_processes", str(num_processes),
              "--coordinator", f"localhost:{port}",
-             "--local_devices", str(local_devices)],
+             "--local_devices", str(local_devices)] + extra,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env, cwd=REPO,
         )
@@ -67,6 +68,19 @@ def test_two_process_global_mesh_sharded_topk():
         assert "exact sharded top-k == oracle" in out
         assert "SQ8 sharded top-k within tolerance" in out
         assert "cross-process reduction == host sum" in out
+
+
+def test_two_process_sharded_checkpoint_roundtrip(tmp_path):
+    """Orbax sharded-index save/restore across a real process boundary:
+    each process writes its own shards, process 0 owns the filesystem
+    mutations, and the restored (still-sharded) corpus searches
+    identically."""
+    outs = launch_workers(num_processes=2, local_devices=4,
+                          checkpoint_dir=str(tmp_path / "shidx"))
+    for rank, (rc, out) in enumerate(outs):
+        assert rc == 0, f"worker {rank} failed (rc={rc}):\n{out}"
+        assert "sharded checkpoint round-trip ok" in out, out
+        assert f"MULTIPROC_OK process={rank}/2" in out
 
 
 def test_initialize_distributed_noop_single_process():
