@@ -88,71 +88,39 @@ def binary_topk(
     if n <= block_size:
         return block_topk(packed, 0, k)
 
-    # <=16 blocks unroll in the trace (same rationale as approx_topk:
-    # fusion survives, scan defeats it); beyond that a lax.scan keeps
-    # compile time bounded — at the ~100M+ scales this tier targets, an
-    # unrolled program would contain hundreds of kernel instances
-    if n <= 16 * block_size:
-        n_full = n // block_size
-        parts_s, parts_i = [], []
-        for b in range(n_full):
-            blk = jax.lax.slice_in_dim(
-                packed, b * block_size, (b + 1) * block_size, axis=0
-            )
-            s, i = block_topk(blk, b * block_size, k)
-            parts_s.append(s)
-            parts_i.append(i)
-        rem = n - n_full * block_size
-        if rem:
-            blk = jax.lax.slice_in_dim(packed, n_full * block_size, n,
-                                       axis=0)
-            s, i = block_topk(blk, n_full * block_size, min(k, rem))
-            parts_s.append(s)
-            parts_i.append(i)
-        cat_s = jnp.concatenate(parts_s, axis=1)
-        cat_i = jnp.concatenate(parts_i, axis=1)
-        top_s, sel = jax.lax.top_k(cat_s, k)
-        return top_s, jnp.take_along_axis(cat_i, sel, axis=1)
-
-    # Two-level blocking (same rationale + measurement as ops/topk.py):
-    # scan over super-blocks whose body unrolls UNROLL sub-blocks, keeping
-    # each unpack+matmul+approx_max_k fused while bounding program size;
-    # exact slices — no pad rows, no masking. The <UNROLL-block tail is
-    # unrolled and merged at the end.
-    UNROLL = 8
-    super_size = UNROLL * block_size
-    n_super = n // super_size
+    # Plain scan, ONE block per step. Measured (r3, in-program-loop
+    # methodology, docs/ROOFLINE.md "scan vs unroll"): for this
+    # unpack+matmul kernel any unrolling of the scan body LOSES — 100M:
+    # scan 73.7 ms vs 8-way-unrolled two-level 115.5 ms; 32M: scan 25.7 ms
+    # vs 16-block fully-unrolled 39.3 ms. The bf16 path's unroll rationale
+    # does not transfer: the VPU unpack chain schedules worse when eight
+    # copies compete for VMEM, while a single-block body keeps unpack →
+    # matmul → approx_max_k fused tile-wise. Full blocks are dynamic-sliced
+    # from the closed-over corpus (a reshaped scan operand would
+    # materialise a full copy); the remainder block is handled unrolled
+    # after the scan, so no pad rows ever exist.
+    n_super = n // block_size
     nq = q.shape[0]
     init = (
         jnp.full((nq, k), -3.4e38, dtype=jnp.float32),
         jnp.zeros((nq, k), dtype=jnp.int32),
     )
 
-    def super_body(carry, sb_idx):
-        # dynamic-slice from the closed-over packed corpus (a reshaped xs
-        # operand would materialise a full copy — see ops/topk.py)
+    def body(carry, b_idx):
         run_s, run_i = carry
-        base = sb_idx * super_size
-        sblock = jax.lax.dynamic_slice_in_dim(packed, base, super_size,
-                                              axis=0)
-        parts_s, parts_i = [run_s], [run_i]
-        for g in range(UNROLL):
-            blk = jax.lax.slice_in_dim(
-                sblock, g * block_size, (g + 1) * block_size, axis=0
-            )
-            s, i = block_topk(blk, base + g * block_size, k)
-            parts_s.append(s)
-            parts_i.append(i)
-        cat_s = jnp.concatenate(parts_s, axis=1)
-        cat_i = jnp.concatenate(parts_i, axis=1)
+        base = b_idx * block_size
+        blk = jax.lax.dynamic_slice_in_dim(packed, base, block_size, axis=0)
+        s, i = block_topk(blk, base, k)
+        cat_s = jnp.concatenate([run_s, s], axis=1)
+        cat_i = jnp.concatenate([run_i, i], axis=1)
         new_s, sel = jax.lax.top_k(cat_s, k)
         return (new_s, jnp.take_along_axis(cat_i, sel, axis=1)), None
 
     (top_s, top_i), _ = jax.lax.scan(
-        super_body, init, jnp.arange(n_super, dtype=jnp.int32)
+        body, init, jnp.arange(n_super, dtype=jnp.int32)
     )
 
-    tail_start = n_super * super_size
+    tail_start = n_super * block_size
     parts_s, parts_i = [top_s], [top_i]
     b = tail_start
     while b < n:

@@ -153,11 +153,14 @@ def approx_topk(
         )
         return finalize(s), i
 
-    # Few blocks: unroll in the trace — XLA fuses approx_max_k into each
-    # block's matmul consumer (a lax.scan body defeats that fusion; measured
-    # ~3x slower on v5e at 1M x 64). Full blocks slice the ORIGINAL corpus
-    # (no padded copy, no validity mask); the remainder gets its own
-    # (smaller) block, so no pad rows ever exist.
+    # Few blocks: unroll in the trace. Full blocks slice the ORIGINAL
+    # corpus (no padded copy, no validity mask); the remainder gets its own
+    # (smaller) block, so no pad rows ever exist. Measured r3 (in-program
+    # methodology, docs/ROOFLINE.md "scan vs unroll"): at >=1M-row blocks
+    # unrolling is only ~4% faster than a lax.scan over blocks (8M x 64
+    # 1024q: 11.75 vs 12.25 ms) — the earlier "scan defeats fusion, ~3x"
+    # figure was an artifact of dispatch-gapped timing. Unrolled kept here
+    # for the small win; the >16-block path below scans.
     if n_total <= 16 * block_size:
         n_full = n_total // block_size
         parts_s, parts_i = [], []
@@ -185,53 +188,42 @@ def approx_topk(
         top_s, sel = jax.lax.top_k(cat_s, k)
         return finalize(top_s), jnp.take_along_axis(cat_i, sel, axis=1)
 
-    # Many blocks (>16): two-level blocking. A plain lax.scan with one
-    # block per step defeats the matmul+approx_max_k fusion (~3x, see the
-    # unrolled branch above), so instead scan over SUPER-blocks whose body
-    # unrolls UNROLL sub-blocks — each sub-block keeps its fused
-    # matmul+approx_max_k, while the scan bounds program size for
-    # arbitrarily large corpora. Full super-blocks slice the original
-    # corpus exactly (no pad rows, no masking); the <UNROLL-block tail is
-    # handled by the same unrolled pattern and merged at the end.
-    UNROLL = 8
-    super_size = UNROLL * block_size
-    n_super = n_total // super_size
+    # Many blocks (>16): lax.scan, one block per step, to bound program
+    # size. Measured r3 (docs/ROOFLINE.md "scan vs unroll"): at this scale
+    # the regime is HBM-bandwidth-bound for small query batches (32M x 64
+    # bf16 256q: 14.2 ms = 282 GB/s) and scan matches an unrolled two-level
+    # formulation within noise even compute-bound (1024q: 48.3 ms both, 91
+    # TFLOP/s) — so the simplest formulation wins. Blocks are
+    # dynamic-sliced from the CLOSED-OVER corpus: a reshape-into-xs
+    # formulation forces XLA to materialise a full corpus copy (OOM at
+    # 32M x 64 bf16 on one chip). The remainder block is handled unrolled
+    # after the scan, so no pad rows ever exist.
+    n_super = n_total // block_size
     nq = q.shape[0]
     init = (
         jnp.full((nq, k), NEG_INF, dtype=jnp.float32),
         jnp.zeros((nq, k), dtype=jnp.int32),
     )
 
-    def super_body(carry, sb_idx):
-        # dynamic-slice the super-block out of the CLOSED-OVER corpus: a
-        # reshape-into-xs formulation forces XLA to materialise a full
-        # corpus copy (OOM at 32M x 64 bf16 on one chip)
+    def scan_body(carry, b_idx):
         run_s, run_i = carry
-        base = sb_idx * super_size
-        sblock = jax.lax.dynamic_slice_in_dim(corpus, base, super_size,
-                                              axis=0)
-        parts_s, parts_i = [run_s], [run_i]
-        for g in range(UNROLL):
-            blk = jax.lax.slice_in_dim(
-                sblock, g * block_size, (g + 1) * block_size, axis=0
-            )
-            bs_, bl = jax.lax.approx_max_k(
-                block_scores(blk), k, recall_target=recall_target
-            )
-            parts_s.append(bs_)
-            parts_i.append(bl + base + g * block_size)
-        cat_s = jnp.concatenate(parts_s, axis=1)
-        cat_i = jnp.concatenate(parts_i, axis=1)
+        base = b_idx * block_size
+        blk = jax.lax.dynamic_slice_in_dim(corpus, base, block_size, axis=0)
+        bs_, bl = jax.lax.approx_max_k(
+            block_scores(blk), k, recall_target=recall_target
+        )
+        cat_s = jnp.concatenate([run_s, bs_], axis=1)
+        cat_i = jnp.concatenate([run_i, bl + base], axis=1)
         new_s, sel = jax.lax.top_k(cat_s, k)
         new_i = jnp.take_along_axis(cat_i, sel, axis=1)
         return (new_s, new_i), None
 
     (top_s, top_i), _ = jax.lax.scan(
-        super_body, init, jnp.arange(n_super, dtype=jnp.int32)
+        scan_body, init, jnp.arange(n_super, dtype=jnp.int32)
     )
 
-    # tail: up to UNROLL more blocks (incl. one partial), unrolled
-    tail_start = n_super * super_size
+    # tail: the remaining (possibly partial) blocks, unrolled
+    tail_start = n_super * block_size
     parts_s, parts_i = [top_s], [top_i]
     b = tail_start
     while b < n_total:

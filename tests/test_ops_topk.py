@@ -248,11 +248,11 @@ class TestBinaryTier:
         np.testing.assert_array_equal(np.asarray(i1), np.asarray(i3))
 
 
-@pytest.mark.parametrize("n", [9000, 12288])  # with tail / exact supers
-def test_approx_topk_two_level_blocking_matches_exact(rng, n):
-    """The >16-block regime runs the two-level path (scan over super-blocks
-    of 8 unrolled sub-blocks + unrolled tail); results must equal the exact
-    oracle on CPU where approx_max_k is exact."""
+@pytest.mark.parametrize("n", [9000, 12288])  # with tail / exact blocks
+def test_approx_topk_many_block_scan_matches_exact(rng, n):
+    """The >16-block regime runs the block-scan path (one block per step +
+    unrolled tail); results must equal the exact oracle on CPU where
+    approx_max_k is exact."""
     from latentrag_tpu.ops import approx_topk
 
     d, k = 16, 10
@@ -260,7 +260,7 @@ def test_approx_topk_two_level_blocking_matches_exact(rng, n):
     c /= np.linalg.norm(c, axis=1, keepdims=True)
     q = rng.standard_normal((8, d)).astype(np.float32)
     q /= np.linalg.norm(q, axis=1, keepdims=True)
-    # block_size=512 -> 16*512=8192 < n -> two-level path; super=4096
+    # block_size=512 -> 16*512=8192 < n -> many-block scan path
     s, i = approx_topk(jnp.asarray(q), jnp.asarray(c), k=k,
                        metric="cosine", block_size=512)
     s, i = np.asarray(s), np.asarray(i)
@@ -275,7 +275,7 @@ def test_approx_topk_two_level_blocking_matches_exact(rng, n):
     assert np.allclose(s, np.take_along_axis(sims, i, axis=1), atol=1e-6)
 
 
-def test_approx_topk_two_level_euclidean(rng):
+def test_approx_topk_many_block_scan_euclidean(rng):
     from latentrag_tpu.ops import approx_topk
 
     n, d, k = 8700, 12, 5
@@ -291,8 +291,8 @@ def test_approx_topk_two_level_euclidean(rng):
     assert np.allclose(s, -np.take_along_axis(d2, i, axis=1), atol=1e-4)
 
 
-def test_binary_topk_two_level_blocking(rng):
-    """binary_topk's >16-block regime (two-level scan) ranks like the
+def test_binary_topk_block_scan(rng):
+    """binary_topk's multi-block regime (block scan) ranks like the
     single-block path."""
     from latentrag_tpu.ops.binary import binary_quantize, binary_topk
 
