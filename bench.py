@@ -17,6 +17,21 @@ Timing notes: through the axon relay ``block_until_ready`` does not wait, so
 completion is forced by fetching a scalar. The first dispatches after idle
 run ~5x slower than steady state (measured r2), so every timed section warms
 up with several executed calls before the clock starts.
+
+Headline methodology (round 3): the relay's per-dispatch overhead is not
+stable across sessions — measured 330 us/dispatch in round 2 but ~8 ms
+amortized (and ~390 ms per host sync) during a round-3 degradation window
+(docs/ROOFLINE.md "relay degradation"). A host-dispatched loop therefore
+measures the tunnel, not the chip: the r2 toy headline (0.84 ms/batch) was
+already ~40% dispatch overhead, and under the degraded relay the identical
+code measures ~10x slower with zero change in device compute. The headline
+is now DEVICE throughput: the search runs R times inside one compiled
+``lax.fori_loop`` (queries rolled per iteration so no work is
+loop-invariant; scores accumulated so every iteration is live), timed at
+two trip counts, and the difference quotient (t(R_big)-t(R_small)) /
+(R_big-R_small) cancels every fixed cost (dispatch, fetch round trip) by
+construction. The host-dispatched number is still printed to stderr and
+carried in the JSON as ``host_path_qps`` for continuity with BENCH_r01/r02.
 """
 
 from __future__ import annotations
@@ -53,6 +68,40 @@ def bench_call(fn, reps: int = 30, warm: int = 8) -> float:
         out = fn()
     sync(out[0] if isinstance(out, tuple) else out)
     return (time.perf_counter() - t0) / reps
+
+
+def bench_device(search, queries, corpus, r_small: int, r_big: int,
+                 reps: int = 3):
+    """Seconds per search via in-program iteration (dispatch-free).
+
+    One compiled program with a *traced* trip count runs the search ``r``
+    times in a ``fori_loop``; each iteration rolls the query batch by ``i``
+    rows (cheap, defeats loop-invariant code motion) and folds one score
+    into the carry (keeps every iteration live).  The per-call time is the
+    two-point difference quotient, which cancels dispatch + sync overhead
+    exactly; ``reps`` medians guard against relay jitter.
+    """
+
+    @jax.jit
+    def run(q, c, r):
+        def body(i, acc):
+            s = search(jnp.roll(q, i, axis=0), c)[0]
+            return acc + s.ravel()[0].astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, r, body, jnp.float32(0.0))
+
+    sync(run(queries, corpus, 2))  # compile + warm
+    times = {}
+    for r in (r_small, r_big):
+        samples = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            sync(run(queries, corpus, r))
+            samples.append(time.perf_counter() - t0)
+        times[r] = float(np.median(samples))
+    dt = (times[r_big] - times[r_small]) / (r_big - r_small)
+    overhead = times[r_small] - r_small * dt
+    return max(dt, 1e-9), overhead
 
 
 def _make_data(key, n, d, dtype):
@@ -122,15 +171,31 @@ def main() -> int:
     corpus = _make_data(0, n, d, dtype)
     queries = _make_data(1, nq, d, dtype)
 
-    dt = bench_call(
+    dt_host = bench_call(
         lambda: backend(queries, corpus, k=k, metric="cosine"), reps=50
     )
-    qps = nq / dt
+    qps_host = nq / dt_host
     print(
-        f"[bench] ref-config ({nq}q x {n}x{d}, k={k}): "
-        f"{dt * 1e3:.3f} ms/batch -> {qps:,.0f} QPS",
+        f"[bench] ref-config host-dispatched ({nq}q x {n}x{d}, k={k}): "
+        f"{dt_host * 1e3:.3f} ms/batch -> {qps_host:,.0f} QPS",
         file=sys.stderr,
     )
+    search = lambda q, c: backend(q, c, k=k, metric="cosine")  # noqa: E731
+    if on_tpu:
+        dt, ovh = bench_device(search, queries, corpus,
+                               r_small=64, r_big=2048)
+        qps = nq / dt
+        print(
+            f"[bench] ref-config device throughput: {dt * 1e3:.3f} ms/batch"
+            f" -> {qps:,.0f} QPS (fixed dispatch+sync overhead "
+            f"{ovh * 1e3:.1f} ms excluded by two-point fit)",
+            file=sys.stderr,
+        )
+    else:
+        # XLA:CPU serializes while-loop bodies (no intra-op parallelism
+        # inside lax loops), so in-program iteration underreports CPU by
+        # >10x; host dispatch is honest off-TPU where there is no relay
+        dt, qps = dt_host, qps_host
 
     # --- secondary: 1M-vector latent corpus ------------------------------
     qps_1m = None
@@ -138,10 +203,15 @@ def main() -> int:
         n2 = 1_048_576
         corpus2 = _make_data(2, n2, d, dtype)
         q2 = queries[:1024]
-        dt2 = bench_call(
-            lambda: backend(q2, corpus2, k=k, metric="cosine"),
-            reps=30 if on_tpu else 3, warm=8 if on_tpu else 1,
-        )
+        if on_tpu:
+            dt2, _ = bench_device(
+                search, q2, corpus2, r_small=4, r_big=36,
+            )
+        else:
+            dt2 = bench_call(
+                lambda: backend(q2, corpus2, k=k, metric="cosine"),
+                reps=3, warm=1,
+            )
         qps_1m = 1024 / dt2
         flops = 2.0 * 1024 * n2 * d
         print(
@@ -167,6 +237,7 @@ def main() -> int:
                 "value": round(qps, 1),
                 "unit": "qps",
                 "vs_baseline": round(qps / REF_QPS, 3),
+                "host_path_qps": round(qps_host, 1),
             }
         )
     )
