@@ -221,7 +221,7 @@ struct HNSW {
     // ``merge_l0``: keep any pre-existing level-0 links (kNN-assembled
     // builds) and merge the beam candidates into them instead of replacing.
     void insert(int id, int lvl, Visited& vis, bool locked,
-                bool merge_l0 = false) {
+                int min_level = 0) {
         const float* v = vec(id);
         int ep, ml;
         {
@@ -231,7 +231,10 @@ struct HNSW {
         }
         int cur = ep;
         for (int l = ml; l > lvl; --l) cur = greedy(cur, v, l, locked);
-        for (int l = std::min(lvl, ml); l >= 0; --l) {
+        // min_level > 0 is the kNN-assembled build: level-0 links already
+        // come from exact device k-NN, so the level-0 beam (the expensive
+        // part — its graph has ALL nodes) is skipped entirely
+        for (int l = std::min(lvl, ml); l >= min_level; --l) {
             auto cand = search_level(v, cur, ef_construction, l, vis, locked);
             int cap = (l == 0) ? M0 : M;
             // run the diversity selection over ALL ef candidates, not just
@@ -240,12 +243,6 @@ struct HNSW {
             sel.reserve(cand.size());
             for (auto it = cand.rbegin(); it != cand.rend(); ++it)
                 sel.push_back(it->second);
-            if (l == 0 && merge_l0) {
-                std::lock_guard<std::mutex> g(node_lock(id));
-                for (int e : links[0][id])
-                    if (std::find(sel.begin(), sel.end(), e) == sel.end())
-                        sel.push_back(e);
-            }
             shrink(sel, id, cap);
             {
                 std::lock_guard<std::mutex> g(node_lock(id));
@@ -364,31 +361,54 @@ struct HNSW {
             for (auto& th : pool) th.join();
         };
 
-        // 1. forward level-0 links: diversity-pruned k-NN candidates
-        //    (one writer per node — no locks needed)
-        parallel_for([&](int i) {
-            std::vector<int> sel;
-            sel.reserve(knn_k);
-            const int* row = knn_ids + (size_t)i * knn_k;
-            for (int j = 0; j < knn_k; ++j) {
-                int e = row[j];
-                if (e >= 0 && e < nvec && e != i) sel.push_back(e);
+        // 1.+2. level-0 links in ONE batched pass. The round-3 first cut
+        //    inserted reverse links one at a time, each insertion re-running
+        //    the diversity shrink on the target's saturated list — ~64M
+        //    shrinks dominated the 1M assembly (measured ~450 s of ~500 s).
+        //    Batched instead: build the exact reverse adjacency (CSR, two
+        //    passes over the kNN rows), then shrink each node ONCE over its
+        //    forward ∪ reverse candidate set. One writer per node, no
+        //    locks, deterministic for every thread count — and the shrink
+        //    sees the full candidate set at once, which is a strictly
+        //    better input to the diversity heuristic than any insertion
+        //    order.
+        std::vector<int> indeg(nvec, 0);
+        auto row_of = [&](int i) { return knn_ids + (size_t)i * knn_k; };
+        auto valid = [&](int i, int e) { return e >= 0 && e < nvec && e != i; };
+        for (int i = 0; i < nvec; ++i) {
+            const int* row = row_of(i);
+            for (int j = 0; j < knn_k; ++j)
+                if (valid(i, row[j])) ++indeg[row[j]];
+        }
+        std::vector<size_t> off(nvec + 1, 0);
+        for (int i = 0; i < nvec; ++i) off[i + 1] = off[i] + indeg[i];
+        std::vector<int> rev(off[nvec]);
+        {
+            std::vector<size_t> fill(off.begin(), off.end() - 1);
+            for (int i = 0; i < nvec; ++i) {
+                const int* row = row_of(i);
+                for (int j = 0; j < knn_k; ++j)
+                    if (valid(i, row[j])) rev[fill[row[j]]++] = i;
             }
-            shrink(sel, i, M0);
-            links[0][i] = std::move(sel);
-        });
-        // 2. symmetric reverse links over a snapshot of the forward lists
-        //    (node locks: many writers per target)
-        std::vector<std::vector<int>> fw = links[0];
+        }
         parallel_for([&](int i) {
-            for (int nb : fw[i]) {
-                std::lock_guard<std::mutex> g(node_lock(nb));
-                auto& lst = links[0][nb];
-                if (std::find(lst.begin(), lst.end(), i) == lst.end()) {
-                    lst.push_back(i);
-                    shrink(lst, nb, M0);
-                }
+            std::vector<int> cand;
+            cand.reserve(knn_k + indeg[i]);
+            const int* row = row_of(i);
+            for (int j = 0; j < knn_k; ++j)
+                if (valid(i, row[j])) cand.push_back(row[j]);
+            size_t nfw = cand.size();
+            for (size_t r = off[i]; r < off[i + 1]; ++r) {
+                int e = rev[r];
+                // dedup against the (small) forward row only — reverse
+                // entries are unique by construction
+                bool dup = false;
+                for (size_t j = 0; j < nfw; ++j)
+                    if (cand[j] == e) { dup = true; break; }
+                if (!dup) cand.push_back(e);
             }
+            shrink(cand, i, M0);
+            links[0][i] = std::move(cand);
         });
         // 3. hierarchy: beam-insert the level>=1 nodes on levels lvl..1,
         //    merging their beam candidates into the kNN level-0 lists
@@ -404,7 +424,8 @@ struct HNSW {
         max_level = lvls[upper[0]];
         if (nthreads == 1 || (int)upper.size() < 2) {
             for (size_t u = 1; u < upper.size(); ++u)
-                insert(upper[u], lvls[upper[u]], seq_vis, false, true);
+                insert(upper[u], lvls[upper[u]], seq_vis, false,
+                       /*min_level=*/1);
         } else {
             std::atomic<size_t> next{1};
             int nt = std::min(nthreads, (int)upper.size() - 1);
@@ -413,7 +434,8 @@ struct HNSW {
                 for (;;) {
                     size_t u = next.fetch_add(1);
                     if (u >= upper.size()) break;
-                    insert(upper[u], lvls[upper[u]], vis, true, true);
+                    insert(upper[u], lvls[upper[u]], vis, true,
+                           /*min_level=*/1);
                 }
             };
             std::vector<std::thread> pool;
