@@ -19,3 +19,17 @@ Layout (functional core, host-side orchestration):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    # Re-assert the user's explicit JAX_PLATFORMS choice. Some managed
+    # environments (e.g. the axon TPU relay) install a sitecustomize that
+    # force-pins jax.config.jax_platforms AFTER jax import, silently
+    # overriding the documented env var — so `JAX_PLATFORMS=cpu python
+    # main.py` would still dispatch to the remote TPU. Setting the config
+    # from the env var here (the package imports before any device use)
+    # restores standard JAX behavior; a no-op everywhere else.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])

@@ -325,7 +325,29 @@ def save_checkpoint(path: str, payload: Mapping[str, Any]) -> None:
 
 
 def load_checkpoint(path: str):
+    """Restore every array as host numpy, ignoring saved shardings.
+
+    Orbax bakes the writing process's device shardings into the checkpoint
+    metadata; a default restore on a different platform fails with "Device
+    TPU v5 lite0 was not found" — but train-on-TPU / serve-on-CPU is a
+    normal workflow. Numpy leaves are placement-free; jit moves them to
+    whatever device the consumer runs on.
+    """
+    import numpy as np
     import orbax.checkpoint as ocp
 
-    ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(os.path.abspath(path))
+    path = os.path.abspath(path)
+    meta = ocp.PyTreeCheckpointer().metadata(path)
+    tree = getattr(meta, "item_metadata", meta)
+    tree = getattr(tree, "tree", tree)
+    sharding = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
+
+    def _abstract(leaf_meta):
+        dtype = getattr(leaf_meta, "dtype", None) or np.float32
+        return jax.ShapeDtypeStruct(leaf_meta.shape, dtype,
+                                    sharding=sharding)
+
+    restored = ocp.StandardCheckpointer().restore(
+        path, jax.tree.map(_abstract, tree)
+    )
+    return jax.tree.map(np.asarray, restored)

@@ -16,10 +16,18 @@ from types import SimpleNamespace
 from .config import LoggingConfig
 
 
-def init_logger(cfg: LoggingConfig | None = None) -> SimpleNamespace:
+def init_logger(
+    cfg: LoggingConfig | None = None, *, stream=None
+) -> SimpleNamespace:
+    """Root logging setup (mirrors the reference's stdout+file handlers,
+    ``utils/load_config.py:13-33``). ``stream`` overrides the console
+    handler's target — line-protocol CLIs (serve.py) pass ``sys.stderr``
+    so log lines never interleave with the JSONL payload on stdout."""
     cfg = cfg or LoggingConfig()
     level = getattr(logging, cfg.level.upper(), logging.INFO)
-    handlers: list[logging.Handler] = [logging.StreamHandler(sys.stdout)]
+    handlers: list[logging.Handler] = [
+        logging.StreamHandler(stream if stream is not None else sys.stdout)
+    ]
     if cfg.log_to_file and cfg.log_file:
         os.makedirs(os.path.dirname(cfg.log_file) or ".", exist_ok=True)
         handlers.append(logging.FileHandler(cfg.log_file))

@@ -40,7 +40,8 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
 
     cfg = apply_overrides(load_config(args.config), args.set)
-    loggers = init_logger(cfg.logging)
+    # stdout is the JSONL response channel — keep log lines on stderr
+    loggers = init_logger(cfg.logging, stream=sys.stderr)
 
     examples = get_examples(cfg)
     _, corpus, _ = load_evaluation_data(examples)
