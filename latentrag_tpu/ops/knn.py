@@ -30,6 +30,25 @@ from .topk import approx_topk, exact_topk
 log = logging.getLogger("latentrag.ops")
 
 
+def strip_self(idx: np.ndarray, row_start: int, k: int) -> np.ndarray:
+    """Drop each row's self-id (and invalid <0 ids) from candidate lists.
+
+    ``idx`` is [rows, kk] best-first candidate ids for corpus rows
+    ``row_start .. row_start+rows``; returns [rows, k] with the first k
+    non-self valid entries per row, -1 sentinels where fewer exist.
+    Vectorised: rank kept entries by position, scatter into the output.
+    """
+    rows = np.arange(row_start, row_start + idx.shape[0],
+                     dtype=idx.dtype)[:, None]
+    keep = (idx != rows) & (idx >= 0)
+    keep_rank = np.cumsum(keep, axis=1) - 1  # position among kept
+    take = keep & (keep_rank < k)
+    out = np.full((idx.shape[0], k), -1, dtype=np.int32)
+    r, c = np.nonzero(take)
+    out[r, keep_rank[r, c]] = idx[r, c]
+    return out
+
+
 def knn_graph(
     corpus,
     k: int,
@@ -78,19 +97,7 @@ def knn_graph(
             qb_rows = jax.lax.slice_in_dim(corpus, qs, qe, axis=0)
             _, idx = search(qb_rows, corpus, k=kk, metric=metric,
                             block_size=block_size, **kwargs)
-        idx = np.asarray(idx)  # [qb, kk]
-        rows = np.arange(qs, qe, dtype=idx.dtype)[:, None]
-        not_self = idx != rows
-        # keep the first k non-self entries per row (vectorised): rank
-        # non-self entries by position, scatter into the output row
-        keep_rank = np.cumsum(not_self, axis=1) - 1  # position among kept
-        take = not_self & (keep_rank < k)
-        block_out = np.full((qe - qs, k), -1, dtype=np.int32)
-        r, c = np.nonzero(take)
-        block_out[r, keep_rank[r, c]] = idx[r, c]
-        # rows where every entry was kept short (kk-1 < k, tiny corpora):
-        # remaining slots stay -1 sentinels
-        out[qs:qe] = block_out
+        out[qs:qe] = strip_self(np.asarray(idx), qs, k)
     log.info(
         "knn_graph: %d x %d (k=%d, %s) in %.1fs on %s",
         n, int(corpus.shape[1]), k, "exact" if exact else "approx",

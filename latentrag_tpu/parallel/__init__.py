@@ -8,6 +8,7 @@ from .mesh import (
 from .distributed import global_mesh, initialize_distributed
 from .checkpoint import load_sharded_index, save_sharded_index
 from .sharded_topk import make_sharded_topk
+from .knn import sharded_knn_graph
 
 __all__ = [
     "DATA_AXIS",
@@ -16,6 +17,7 @@ __all__ = [
     "row_sharded",
     "shard_rows",
     "make_sharded_topk",
+    "sharded_knn_graph",
     "load_sharded_index",
     "save_sharded_index",
     "global_mesh",
