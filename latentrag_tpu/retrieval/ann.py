@@ -30,7 +30,7 @@ _LIB_PATH = os.path.join(_NATIVE_DIR, "liblatentrag_native.so")
 _lib = None
 
 
-ABI_VERSION = 3  # must match latentrag_abi_version() in the C++
+ABI_VERSION = 4  # must match latentrag_abi_version() in the C++
 
 
 def _load_library() -> ctypes.CDLL:
@@ -64,6 +64,7 @@ def _load_library() -> ctypes.CDLL:
         )
     f32p = ctypes.POINTER(ctypes.c_float)
     i32p = ctypes.POINTER(ctypes.c_int)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
 
     lib.hnsw_new.restype = ctypes.c_void_p
     lib.hnsw_new.argtypes = [ctypes.c_int] * 3 + [ctypes.c_uint]
@@ -99,6 +100,11 @@ def _load_library() -> ctypes.CDLL:
         ctypes.c_void_p, f32p, ctypes.c_int, ctypes.c_int, ctypes.c_uint,
     ]
     lib.ivfpq_add.argtypes = [ctypes.c_void_p, f32p, ctypes.c_int]
+    lib.ivfpq_set_trained.argtypes = [ctypes.c_void_p, f32p, f32p]
+    lib.ivfpq_add_encoded.restype = ctypes.c_int
+    lib.ivfpq_add_encoded.argtypes = [
+        ctypes.c_void_p, i32p, u8p, ctypes.c_int,
+    ]
     lib.ivfpq_search.argtypes = [
         ctypes.c_void_p, f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         i32p, f32p,
@@ -240,6 +246,9 @@ class IVFPQIndex:
         self._lib = _load_library()
         self.dim = dim
         self.nlist = nlist
+        self.m = m
+        self.ksub = 1 << nbits
+        self.dsub = dim // m
         self._h = self._lib.ivfpq_new(dim, nlist, m, nbits)
 
     def __del__(self):
@@ -254,6 +263,34 @@ class IVFPQIndex:
     def add(self, data: np.ndarray) -> None:
         d = _as_f32(data)
         self._lib.ivfpq_add(self._h, _f32p(d), d.shape[0])
+
+    def set_trained(self, coarse: np.ndarray, codebooks: np.ndarray) -> None:
+        """Load externally-trained parameters (the TPU-assisted build:
+        ``ops.kmeans.ivfpq_train_device`` — same L2/residual semantics)."""
+        c = _as_f32(coarse)
+        cb = _as_f32(codebooks)
+        if c.shape != (self.nlist, self.dim):
+            raise ValueError(f"coarse shape {c.shape} != "
+                             f"({self.nlist}, {self.dim})")
+        if cb.shape != (self.m, self.ksub, self.dsub):
+            raise ValueError(f"codebooks shape {cb.shape} != "
+                             f"({self.m}, {self.ksub}, {self.dsub})")
+        self._lib.ivfpq_set_trained(self._h, _f32p(c), _f32p(cb))
+
+    def add_encoded(self, assigns: np.ndarray, codes: np.ndarray) -> None:
+        """Append device-encoded vectors: list ids + PQ codes from
+        ``ops.kmeans.ivfpq_encode_device`` — linear host work."""
+        a = np.ascontiguousarray(assigns, dtype=np.int32)
+        c = np.ascontiguousarray(codes, dtype=np.uint8)
+        if c.shape != (a.shape[0], self.m):
+            raise ValueError(f"codes shape {c.shape} != ({a.shape[0]}, "
+                             f"{self.m})")
+        rc = self._lib.ivfpq_add_encoded(
+            self._h, _i32p(a),
+            c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), a.shape[0],
+        )
+        if rc != 0:
+            raise ValueError("add_encoded: list id out of range")
 
     def search(
         self, queries: np.ndarray, k: int, nprobe: int = 8

@@ -119,8 +119,31 @@ class ANNRetriever:
             ix = IVFPQIndex(
                 emb.shape[1], nlist=nlist, m=m, nbits=self.cfg.ivfpq_nbits
             )
-            ix.train(emb)
-            ix.add(emb)
+            mode = self.cfg.ivfpq_build
+            if mode == "auto":
+                import jax
+
+                mode = "device" if jax.default_backend() != "cpu" else "host"
+            iters = self.cfg.ivfpq_train_iters
+            if mode == "device":
+                # accelerator-assisted: coarse + PQ codebooks trained and
+                # vectors encoded on device (blocked matmul kernels); the
+                # C++ tier only assembles lists and serves
+                from ..ops.kmeans import (
+                    ivfpq_encode_device,
+                    ivfpq_train_device,
+                )
+
+                coarse, books = ivfpq_train_device(
+                    emb, nlist, m, ksub=1 << self.cfg.ivfpq_nbits,
+                    iters=iters,
+                )
+                ix.set_trained(coarse, books)
+                assigns, codes = ivfpq_encode_device(emb, coarse, books)
+                ix.add_encoded(assigns, codes)
+            else:
+                ix.train(emb, iters=iters)
+                ix.add(emb)
             if self._refine > 1:
                 self._refine_emb = emb
         self._index = ix

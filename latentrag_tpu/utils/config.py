@@ -192,6 +192,13 @@ class RetrievalConfig:
     ivfpq_nlist: int = 4096
     ivfpq_m: int = 16
     ivfpq_nbits: int = 8
+    # 'host' = C++ Lloyd's (n·nlist·d per iteration — minutes past ~1M);
+    # 'device' = accelerator-trained coarse centroids + PQ codebooks +
+    # encoding (ops/kmeans.py, same L2/residual semantics, loaded into the
+    # C++ tier via set_trained/add_encoded); 'auto' = device when JAX runs
+    # on an accelerator
+    ivfpq_build: str = "host"
+    ivfpq_train_iters: int = 15
     # probed lists per query; 0 = auto (max(1, effective_nlist // 16))
     ivfpq_nprobe: int = 0
     # stage-2 refinement: oversample refine*k ADC candidates, exact-rescore

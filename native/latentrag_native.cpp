@@ -574,7 +574,7 @@ extern "C" {
 
 // bump whenever any exported signature or on-disk format changes; the
 // ctypes wrapper refuses to run against a mismatched build
-int latentrag_abi_version(void) { return 3; }
+int latentrag_abi_version(void) { return 4; }
 
 void* hnsw_new(int dim, int M, int ef_construction, unsigned seed) {
     auto* h = new HNSW();
@@ -772,6 +772,37 @@ void ivfpq_train(void* p, const float* data, int n, int iters,
         kmeans(sub.data(), n, ix->dsub, ix->ksub, iters, seed + s + 1,
                ix->codebooks.data() + (size_t)s * ix->ksub * ix->dsub);
     }
+}
+
+// Load externally-trained parameters (the TPU-assisted build:
+// ops/kmeans.py trains coarse centroids + PQ codebooks on device with the
+// same L2/residual semantics, then serves from this C++ tier).
+// coarse: nlist*dim floats; codebooks: m*ksub*dsub floats.
+void ivfpq_set_trained(void* p, const float* coarse,
+                       const float* codebooks) {
+    auto* ix = static_cast<IVFPQ*>(p);
+    std::memcpy(ix->coarse.data(), coarse,
+                sizeof(float) * ix->coarse.size());
+    std::memcpy(ix->codebooks.data(), codebooks,
+                sizeof(float) * ix->codebooks.size());
+}
+
+// Append vectors whose list assignment + PQ codes were computed
+// externally (device encode): assigns[n] list ids, codes[n*m] bytes.
+// Linear host work — no distance computation at all.
+int ivfpq_add_encoded(void* p, const int* assigns, const uint8_t* codes,
+                      int n) {
+    auto* ix = static_cast<IVFPQ*>(p);
+    for (int i = 0; i < n; ++i) {
+        int c = assigns[i];
+        if (c < 0 || c >= ix->nlist) return -1;
+        ix->list_ids[c].push_back(ix->count + i);
+        ix->list_codes[c].insert(ix->list_codes[c].end(),
+                                 codes + (size_t)i * ix->m,
+                                 codes + (size_t)(i + 1) * ix->m);
+    }
+    ix->count += n;
+    return 0;
 }
 
 void ivfpq_add(void* p, const float* data, int n) {
