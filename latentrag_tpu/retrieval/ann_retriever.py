@@ -89,14 +89,23 @@ class ANNRetriever:
                 mode = "knn" if jax.default_backend() != "cpu" else "beam"
             if mode == "knn":
                 # accelerator-assisted build: all-pairs k-NN on device
-                # (blocked matmul + top-k), linear host assembly in C++
-                from ..ops.knn import knn_graph
+                # (blocked matmul + top-k), linear host assembly in C++;
+                # with a multi-device runtime the kNN stage ring-rotates
+                # corpus shards over the mesh (one ICI trip, same output)
+                import jax
 
                 knn_k = self.cfg.hnsw_knn_k or 2 * self.cfg.hnsw_m
-                ids = knn_graph(
-                    emb, knn_k,
-                    metric="cosine" if self._normalize else "dot",
-                )
+                knn_metric = "cosine" if self._normalize else "dot"
+                if jax.device_count() > 1:
+                    from ..parallel import make_mesh, sharded_knn_graph
+
+                    ids = sharded_knn_graph(
+                        emb, knn_k, make_mesh(), metric=knn_metric
+                    )
+                else:
+                    from ..ops.knn import knn_graph
+
+                    ids = knn_graph(emb, knn_k, metric=knn_metric)
                 ix = HNSWIndex.from_knn(
                     emb, ids,
                     M=self.cfg.hnsw_m,
@@ -142,7 +151,19 @@ class ANNRetriever:
                 assigns, codes = ivfpq_encode_device(emb, coarse, books)
                 ix.add_encoded(assigns, codes)
             else:
-                ix.train(emb, iters=iters)
+                # CPU trainers survive large corpora only by subsampling
+                # (FAISS's max_points_per_centroid compromise): full-data
+                # Lloyd's at 200k x nlist=4096 measured 416 s on one core
+                # vs 0.2 s on device (docs/BACKENDS_200K.md). 64 points
+                # per centroid keeps host training minutes-bounded.
+                max_train = max(nlist * 64, 16384)
+                if emb.shape[0] > max_train:
+                    sel = np.random.default_rng(0).choice(
+                        emb.shape[0], max_train, replace=False
+                    )
+                    ix.train(np.ascontiguousarray(emb[sel]), iters=iters)
+                else:
+                    ix.train(emb, iters=iters)
                 ix.add(emb)
             if self._refine > 1:
                 self._refine_emb = emb

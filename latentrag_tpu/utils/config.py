@@ -184,20 +184,23 @@ class RetrievalConfig:
     hnsw_ef_construction: int = 200
     hnsw_ef_search: int = 64
     # 'beam' = classic per-insertion beam-search build; 'knn' = accelerator-
-    # assisted: all-pairs k-NN via the blocked matmul kernels (ops/knn.py),
-    # host assembly in C++ (the only build that scales to multi-M corpora);
-    # 'auto' = knn when JAX runs on an accelerator, beam otherwise
-    hnsw_build: str = "beam"
+    # assisted: all-pairs k-NN via the blocked matmul kernels (ops/knn.py,
+    # ring-sharded over the mesh when multiple devices exist), host
+    # assembly in C++ (the only build that scales to multi-M corpora:
+    # 26x at 1M, 19 min at 8.8M — docs/BACKENDS_200K.md);
+    # 'auto' (default) = knn when JAX runs on an accelerator, beam otherwise
+    hnsw_build: str = "auto"
     hnsw_knn_k: int = 0  # candidates/row for the knn build; 0 = 2*hnsw_m
     ivfpq_nlist: int = 4096
     ivfpq_m: int = 16
     ivfpq_nbits: int = 8
-    # 'host' = C++ Lloyd's (n·nlist·d per iteration — minutes past ~1M);
-    # 'device' = accelerator-trained coarse centroids + PQ codebooks +
-    # encoding (ops/kmeans.py, same L2/residual semantics, loaded into the
-    # C++ tier via set_trained/add_encoded); 'auto' = device when JAX runs
-    # on an accelerator
-    ivfpq_build: str = "host"
+    # 'host' = C++ Lloyd's (subsampled to 64 pts/centroid — full-data is
+    # minutes even at 200k); 'device' = accelerator-trained coarse
+    # centroids + PQ codebooks + encoding (ops/kmeans.py, same L2/residual
+    # semantics, loaded into the C++ tier via set_trained/add_encoded;
+    # 0.2 s full-data at 200k — docs/BACKENDS_200K.md); 'auto' (default) =
+    # device when JAX runs on an accelerator
+    ivfpq_build: str = "auto"
     ivfpq_train_iters: int = 15
     # probed lists per query; 0 = auto (max(1, effective_nlist // 16))
     ivfpq_nprobe: int = 0
