@@ -30,7 +30,7 @@ _LIB_PATH = os.path.join(_NATIVE_DIR, "liblatentrag_native.so")
 _lib = None
 
 
-ABI_VERSION = 4  # must match latentrag_abi_version() in the C++
+ABI_VERSION = 5  # must match latentrag_abi_version() in the C++
 
 
 def _load_library() -> ctypes.CDLL:
@@ -109,6 +109,11 @@ def _load_library() -> ctypes.CDLL:
         ctypes.c_void_p, f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         i32p, f32p,
     ]
+    lib.ivfpq_save.restype = ctypes.c_int
+    lib.ivfpq_save.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.ivfpq_load.restype = ctypes.c_void_p
+    lib.ivfpq_load.argtypes = [ctypes.c_char_p]
+    lib.ivfpq_params.argtypes = [ctypes.c_void_p, i32p]
     _lib = lib
     return lib
 
@@ -240,7 +245,8 @@ class HNSWIndex:
 class IVFPQIndex:
     """Inverted-file product-quantization index (residual encoding + ADC)."""
 
-    def __init__(self, dim: int, nlist: int = 64, m: int = 16, nbits: int = 8):
+    def __init__(self, dim: int, nlist: int = 64, m: int = 16, nbits: int = 8,
+                 _handle=None):
         if dim % m != 0:
             raise ValueError(f"dim {dim} not divisible by m {m}")
         self._lib = _load_library()
@@ -249,7 +255,7 @@ class IVFPQIndex:
         self.m = m
         self.ksub = 1 << nbits
         self.dsub = dim // m
-        self._h = self._lib.ivfpq_new(dim, nlist, m, nbits)
+        self._h = _handle or self._lib.ivfpq_new(dim, nlist, m, nbits)
 
     def __del__(self):
         if getattr(self, "_h", None):
@@ -291,6 +297,33 @@ class IVFPQIndex:
         )
         if rc != 0:
             raise ValueError("add_encoded: list id out of range")
+
+    def save(self, path: str) -> None:
+        """Binary persistence (FAISS ``write_index`` parity): params +
+        coarse centroids + codebooks + inverted lists."""
+        rc = self._lib.ivfpq_save(self._h, path.encode())
+        if rc != 0:
+            raise OSError(f"ivfpq_save failed for {path!r}")
+
+    @classmethod
+    def load(cls, path: str) -> "IVFPQIndex":
+        """Reload a saved index; corrupt/truncated files raise (the header
+        and payload sizes are validated before any allocation)."""
+        lib = _load_library()
+        h = lib.ivfpq_load(path.encode())
+        if not h:
+            raise OSError(f"ivfpq_load failed for {path!r} (missing or "
+                          f"corrupt)")
+        params = np.zeros(5, dtype=np.int32)
+        lib.ivfpq_params(h, _i32p(params))
+        dim, nlist, m, ksub = (int(v) for v in params[:4])
+        return cls(dim, nlist=nlist, m=m, nbits=int(ksub).bit_length() - 1,
+                   _handle=h)
+
+    def __len__(self) -> int:
+        params = np.zeros(5, dtype=np.int32)
+        self._lib.ivfpq_params(self._h, _i32p(params))
+        return int(params[4])
 
     def search(
         self, queries: np.ndarray, k: int, nprobe: int = 8

@@ -80,7 +80,13 @@ class ANNRetriever:
         self.doc_ids = (
             list(doc_ids) if doc_ids is not None else list(range(len(texts)))
         )
+        fp = self._fingerprint(emb)
         t0 = time.perf_counter()
+        if self._try_load(fp):
+            if self.kind == "ivfpq" and self._refine > 1:
+                self._refine_emb = emb
+            self.stats.add_build(time.perf_counter() - t0)
+            return
         if self.kind == "hnsw":
             mode = self.cfg.hnsw_build
             if mode == "auto":
@@ -169,6 +175,84 @@ class ANNRetriever:
                 self._refine_emb = emb
         self._index = ix
         self.stats.add_build(time.perf_counter() - t0)
+        self._save(fp)
+
+    # -- persistence (mirrors the dense tier / the reference's FAISS file +
+    #    .meta.json fingerprint discipline, FAISSEmbeddingRetriever.py:
+    #    114-137, 299-304): the expensive artifact (graph / trained lists)
+    #    reloads from disk when the fingerprint — build params AND a corpus
+    #    content digest — matches; anything else rebuilds cleanly. --------
+
+    def _index_file(self) -> str:
+        return f"{self.cfg.index_path}.{self.kind}"
+
+    def _fingerprint(self, emb: np.ndarray) -> dict:
+        from .dense import _corpus_digest
+
+        cfg = self.cfg
+        fp: dict = {
+            "kind": self.kind,
+            "metric": cfg.metric,
+            "normalize": self._normalize,
+            "dim": int(emb.shape[1]),
+            "n": int(emb.shape[0]),
+            "corpus_digest": _corpus_digest(emb, self.texts),
+        }
+        if self.kind == "hnsw":
+            fp.update(m=cfg.hnsw_m, ef_construction=cfg.hnsw_ef_construction)
+        else:
+            fp.update(nlist=cfg.ivfpq_nlist, pq_m=cfg.ivfpq_m,
+                      nbits=cfg.ivfpq_nbits)
+        return fp
+
+    def _try_load(self, fp: dict) -> bool:
+        import json
+        import os
+
+        if not self.cfg.index_path:
+            return False
+        path = self._index_file()
+        meta_path = path + ".meta.json"
+        if not (os.path.exists(path) and os.path.exists(meta_path)):
+            return False
+        try:
+            with open(meta_path) as f:
+                meta = json.load(f)
+            if meta.get("fingerprint") != fp:
+                log.info("%s index at %s: fingerprint mismatch, rebuilding",
+                         self.kind, path)
+                return False
+            if self.kind == "hnsw":
+                self._index = HNSWIndex.load(
+                    path, ef_search=self.cfg.hnsw_ef_search
+                )
+            else:
+                self._index = IVFPQIndex.load(path)
+            log.info("%s index loaded from %s (n=%d)", self.kind, path,
+                     fp["n"])
+            return True
+        except (OSError, ValueError, json.JSONDecodeError) as e:
+            log.warning("%s index at %s unreadable (%s); rebuilding",
+                        self.kind, path, e)
+            return False
+
+    def _save(self, fp: dict) -> None:
+        import json
+        import os
+
+        if not self.cfg.index_path:
+            return
+        path = self._index_file()
+        try:
+            parent = os.path.dirname(path)
+            if parent:
+                os.makedirs(parent, exist_ok=True)
+            self._index.save(path)
+            with open(path + ".meta.json", "w") as f:
+                json.dump({"fingerprint": fp}, f)
+        except OSError as e:  # persistence is best-effort, search still works
+            log.warning("could not persist %s index to %s: %s", self.kind,
+                        path, e)
 
     @property
     def is_built(self) -> bool:

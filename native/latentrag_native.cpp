@@ -574,7 +574,7 @@ extern "C" {
 
 // bump whenever any exported signature or on-disk format changes; the
 // ctypes wrapper refuses to run against a mismatched build
-int latentrag_abi_version(void) { return 4; }
+int latentrag_abi_version(void) { return 5; }
 
 void* hnsw_new(int dim, int M, int ef_construction, unsigned seed) {
     auto* h = new HNSW();
@@ -817,6 +817,109 @@ void ivfpq_add(void* p, const float* data, int n) {
                                  code.end());
     }
     ix->count += n;
+}
+
+// Persistence (FAISS write_index/read_index parity for the IVF-PQ tier):
+// header (magic, dim, nlist, m, ksub, count) + coarse + codebooks +
+// per-list (size, ids, codes). Same corrupt-header discipline as
+// hnsw_load: validate sizes against the file before any allocation.
+static const int IVFPQ_MAGIC = 0x49565051;  // "IVPQ"
+
+int ivfpq_save(void* p, const char* path) {
+    auto* ix = static_cast<IVFPQ*>(p);
+    FILE* f = std::fopen(path, "wb");
+    if (!f) return -1;
+    std::fwrite(&IVFPQ_MAGIC, 4, 1, f);
+    std::fwrite(&ix->dim, 4, 1, f);
+    std::fwrite(&ix->nlist, 4, 1, f);
+    std::fwrite(&ix->m, 4, 1, f);
+    std::fwrite(&ix->ksub, 4, 1, f);
+    std::fwrite(&ix->count, 4, 1, f);
+    std::fwrite(ix->coarse.data(), 4, ix->coarse.size(), f);
+    std::fwrite(ix->codebooks.data(), 4, ix->codebooks.size(), f);
+    for (int c = 0; c < ix->nlist; ++c) {
+        int sz = (int)ix->list_ids[c].size();
+        std::fwrite(&sz, 4, 1, f);
+        if (sz) {
+            std::fwrite(ix->list_ids[c].data(), 4, sz, f);
+            std::fwrite(ix->list_codes[c].data(), 1,
+                        (size_t)sz * ix->m, f);
+        }
+    }
+    std::fclose(f);
+    return 0;
+}
+
+void* ivfpq_load(const char* path) {
+    FILE* f = std::fopen(path, "rb");
+    if (!f) return nullptr;
+    int magic = 0, dim = 0, nlist = 0, m = 0, ksub = 0, count = 0;
+    bool ok = std::fread(&magic, 4, 1, f) == 1 &&
+              std::fread(&dim, 4, 1, f) == 1 &&
+              std::fread(&nlist, 4, 1, f) == 1 &&
+              std::fread(&m, 4, 1, f) == 1 &&
+              std::fread(&ksub, 4, 1, f) == 1 &&
+              std::fread(&count, 4, 1, f) == 1;
+    long here = std::ftell(f);
+    std::fseek(f, 0, SEEK_END);
+    long fsize = std::ftell(f);
+    std::fseek(f, here, SEEK_SET);
+    ok = ok && magic == IVFPQ_MAGIC && dim > 0 && dim <= (1 << 20) &&
+         m > 0 && m <= dim && dim % m == 0 && ksub > 0 && ksub <= 256 &&
+         nlist > 0 && nlist <= (1 << 24) && count >= 0;
+    if (ok) {
+        size_t need = (size_t)nlist * dim * 4 +
+                      (size_t)m * ksub * (dim / m) * 4 +
+                      (size_t)nlist * 4 + (size_t)count * (4 + m);
+        ok = fsize >= 0 && (size_t)(fsize - here) >= need;
+    }
+    if (!ok) {
+        std::fclose(f);
+        return nullptr;
+    }
+    auto* ix = new IVFPQ();
+    ix->dim = dim;
+    ix->nlist = nlist;
+    ix->m = m;
+    ix->ksub = ksub;
+    ix->dsub = dim / m;
+    ix->count = count;
+    ix->coarse.resize((size_t)nlist * dim);
+    ix->codebooks.resize((size_t)m * ksub * ix->dsub);
+    ix->list_ids.resize(nlist);
+    ix->list_codes.resize(nlist);
+    ok = std::fread(ix->coarse.data(), 4, ix->coarse.size(), f) ==
+             ix->coarse.size() &&
+         std::fread(ix->codebooks.data(), 4, ix->codebooks.size(), f) ==
+             ix->codebooks.size();
+    long total = 0;
+    for (int c = 0; ok && c < nlist; ++c) {
+        int sz = 0;
+        ok = std::fread(&sz, 4, 1, f) == 1 && sz >= 0 &&
+             (total += sz) <= count;
+        if (!ok || !sz) continue;
+        ix->list_ids[c].resize(sz);
+        ix->list_codes[c].resize((size_t)sz * m);
+        ok = std::fread(ix->list_ids[c].data(), 4, sz, f) == (size_t)sz &&
+             std::fread(ix->list_codes[c].data(), 1, (size_t)sz * m, f) ==
+                 (size_t)sz * m;
+    }
+    std::fclose(f);
+    if (!ok || total != count) {
+        delete ix;
+        return nullptr;
+    }
+    return ix;
+}
+
+// out5 = {dim, nlist, m, ksub, count}
+void ivfpq_params(void* p, int* out5) {
+    auto* ix = static_cast<IVFPQ*>(p);
+    out5[0] = ix->dim;
+    out5[1] = ix->nlist;
+    out5[2] = ix->m;
+    out5[3] = ix->ksub;
+    out5[4] = ix->count;
 }
 
 void ivfpq_search(void* p, const float* queries, int nq, int k, int nprobe,

@@ -149,7 +149,7 @@ def test_retriever_device_build_mode(rng):
 
     x, _ = _clustered(rng, 50, 4, 16, spread=0.1)
     x /= np.linalg.norm(x, axis=1, keepdims=True)
-    cfg = RetrievalConfig(
+    cfg = RetrievalConfig(index_path="", 
         backend="ivfpq", ivfpq_build="device", ivfpq_nlist=4, ivfpq_m=4,
         ivfpq_nprobe=4, metric="cosine",
     )

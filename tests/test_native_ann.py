@@ -216,11 +216,11 @@ class TestIVFPQRefine:
         # probe ALL lists so stage-1 coverage is total: what remains is
         # pure PQ quantization error — exactly what refinement must fix
         base = ANNRetriever(
-            RetrievalConfig(backend="ivfpq", ivfpq_nlist=16, ivfpq_m=8,
+            RetrievalConfig(index_path="", backend="ivfpq", ivfpq_nlist=16, ivfpq_m=8,
                             ivfpq_nprobe=16, ivfpq_refine=0), "ivfpq")
         base.build(corpus, texts)
         refined = ANNRetriever(
-            RetrievalConfig(backend="ivfpq", ivfpq_nlist=16, ivfpq_m=8,
+            RetrievalConfig(index_path="", backend="ivfpq", ivfpq_nlist=16, ivfpq_m=8,
                             ivfpq_nprobe=16, ivfpq_refine=8), "ivfpq")
         refined.build(corpus, texts)
 
@@ -245,7 +245,7 @@ class TestIVFPQRefine:
         c = rng.standard_normal((500, 16)).astype(np.float32)
         q = rng.standard_normal((20, 16)).astype(np.float32)
         r = ANNRetriever(
-            RetrievalConfig(backend="ivfpq", metric="euclidean",
+            RetrievalConfig(index_path="", backend="ivfpq", metric="euclidean",
                             ivfpq_nlist=8, ivfpq_m=8, ivfpq_nprobe=8,
                             ivfpq_refine=8), "ivfpq")
         r.build(c, [f"t{i}" for i in range(500)])
@@ -258,14 +258,14 @@ class TestIVFPQRefine:
         from latentrag_tpu.utils.config import RetrievalConfig
 
         r = ANNRetriever(
-            RetrievalConfig(backend="ivfpq", ivfpq_nlist=16,
+            RetrievalConfig(index_path="", backend="ivfpq", ivfpq_nlist=16,
                             ivfpq_m=8, ivfpq_nprobe=5), "ivfpq")
         r.build(corpus, [f"t{i}" for i in range(len(corpus))])
         assert r._nprobe == 5
         # auto mode derives from the EFFECTIVE nlist (capped at n/8),
         # never the raw config value
         auto = ANNRetriever(
-            RetrievalConfig(backend="ivfpq", ivfpq_nlist=4096,
+            RetrievalConfig(index_path="", backend="ivfpq", ivfpq_nlist=4096,
                             ivfpq_m=8, ivfpq_nprobe=0), "ivfpq")
         auto.build(corpus[:80], [f"t{i}" for i in range(80)])
         assert 1 <= auto._nprobe <= auto._index.nlist
@@ -277,7 +277,7 @@ class TestIVFPQRefine:
         rng = np.random.default_rng(4)
         c = _normed(rng, 24, 16)
         r = ANNRetriever(
-            RetrievalConfig(backend="ivfpq", ivfpq_nlist=2, ivfpq_m=8,
+            RetrievalConfig(index_path="", backend="ivfpq", ivfpq_nlist=2, ivfpq_m=8,
                             ivfpq_nprobe=2, ivfpq_refine=4), "ivfpq")
         r.build(c, [f"t{i}" for i in range(24)])
         s, i = r.search(_normed(rng, 3, 16), 30)
@@ -368,8 +368,98 @@ class TestKNNAssistedBuild:
         from latentrag_tpu.utils.config import RetrievalConfig
 
         r = ANNRetriever(
-            RetrievalConfig(backend="hnsw", hnsw_build="knn", hnsw_m=16),
+            RetrievalConfig(index_path="", backend="hnsw", hnsw_build="knn", hnsw_m=16),
             "hnsw")
         r.build(corpus, [f"t{i}" for i in range(len(corpus))])
         texts, _, _ = r.retrieve(corpus[7], top_k=3)
         assert texts[0] == "t7"
+
+
+class TestANNPersistence:
+    """FAISS write_index/.meta.json parity for the ANN tier: the expensive
+    artifact reloads when the fingerprint (params + corpus digest)
+    matches; mismatch or corruption rebuilds cleanly."""
+
+    def _data(self, n=400, d=16):
+        rng = np.random.default_rng(11)
+        c = rng.standard_normal((n, d)).astype(np.float32)
+        c /= np.linalg.norm(c, axis=1, keepdims=True)
+        return c, [f"t{i}" for i in range(n)]
+
+    @pytest.mark.parametrize("kind", ["hnsw", "ivfpq"])
+    def test_round_trip_skips_rebuild(self, tmp_path, kind, monkeypatch):
+        from latentrag_tpu.retrieval import ann_retriever as ar
+        from latentrag_tpu.utils.config import RetrievalConfig
+
+        c, texts = self._data()
+        cfg = RetrievalConfig(
+            backend=kind, index_path=str(tmp_path / "ix"),
+            hnsw_m=8, ivfpq_nlist=8, ivfpq_m=8, ivfpq_nprobe=8,
+        )
+        r1 = ar.ANNRetriever(cfg, kind)
+        r1.build(c, texts)
+        q = c[::37]
+        s1, i1 = r1.search(q, 5)
+
+        # any reconstruction attempt on the second build must blow up
+        monkeypatch.setattr(ar.HNSWIndex, "add",
+                            lambda *a, **k: 1 / 0)
+        monkeypatch.setattr(ar.HNSWIndex, "from_knn",
+                            lambda *a, **k: 1 / 0)
+        monkeypatch.setattr(ar.IVFPQIndex, "train",
+                            lambda *a, **k: 1 / 0)
+        monkeypatch.setattr(ar.IVFPQIndex, "set_trained",
+                            lambda *a, **k: 1 / 0)
+        r2 = ar.ANNRetriever(cfg, kind)
+        r2.build(c, texts)  # loads from disk
+        s2, i2 = r2.search(q, 5)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(s1, s2, atol=1e-6)
+
+    def test_corpus_change_rebuilds(self, tmp_path):
+        from latentrag_tpu.retrieval.ann_retriever import ANNRetriever
+        from latentrag_tpu.utils.config import RetrievalConfig
+
+        c, texts = self._data()
+        cfg = RetrievalConfig(backend="hnsw", hnsw_m=8,
+                              index_path=str(tmp_path / "ix"))
+        ANNRetriever(cfg, "hnsw").build(c, texts)
+        c2 = np.roll(c, 1, axis=0)  # different corpus, same shape
+        r = ANNRetriever(cfg, "hnsw")
+        r.build(c2, texts)
+        out = r.retrieve(c2[5], 1)
+        assert out[0][0] == "t5"
+
+    def test_corrupt_file_rebuilds(self, tmp_path):
+        from latentrag_tpu.retrieval.ann_retriever import ANNRetriever
+        from latentrag_tpu.utils.config import RetrievalConfig
+
+        c, texts = self._data()
+        cfg = RetrievalConfig(backend="ivfpq", ivfpq_nlist=8, ivfpq_m=8,
+                              ivfpq_nprobe=8,
+                              index_path=str(tmp_path / "ix"))
+        ANNRetriever(cfg, "ivfpq").build(c, texts)
+        with open(str(tmp_path / "ix.ivfpq"), "wb") as f:
+            f.write(b"garbage")
+        r = ANNRetriever(cfg, "ivfpq")
+        r.build(c, texts)
+        out = r.retrieve(c[7], 1)
+        assert out[0][0] == "t7"
+
+    def test_ivfpq_index_save_load_identity(self, tmp_path):
+        from latentrag_tpu.retrieval.ann import IVFPQIndex
+
+        c, _ = self._data(300, 16)
+        ix = IVFPQIndex(16, nlist=8, m=8, nbits=8)
+        ix.train(c)
+        ix.add(c)
+        path = str(tmp_path / "x.ivfpq")
+        ix.save(path)
+        ix2 = IVFPQIndex.load(path)
+        assert len(ix2) == len(ix) == 300
+        assert (ix2.nlist, ix2.m, ix2.ksub) == (8, 8, 256)
+        q = c[::29]
+        s1, i1 = ix.search(q, 5, nprobe=8)
+        s2, i2 = ix2.search(q, 5, nprobe=8)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(s1, s2, atol=1e-6)
