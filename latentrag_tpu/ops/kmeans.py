@@ -31,7 +31,7 @@ def kmeans(
     *,
     iters: int = 15,
     key: jax.Array,
-    block_size: int = 262144,
+    block_size: int = 131072,
 ) -> jax.Array:
     """[k, d] float32 centroids by Lloyd's iterations under L2.
 
@@ -89,7 +89,7 @@ def kmeans(
 
 @partial(jax.jit, static_argnames=("block_size",))
 def assign_clusters(
-    x: jax.Array, centroids: jax.Array, *, block_size: int = 262144
+    x: jax.Array, centroids: jax.Array, *, block_size: int = 131072
 ) -> jax.Array:
     """[n] int32 nearest-centroid (L2) ids, blocked like ``kmeans``."""
     n, d = x.shape
@@ -120,7 +120,7 @@ def ivfpq_train_device(
     ksub: int = 256,
     iters: int = 15,
     seed: int = 0,
-    block_size: int = 262144,
+    block_size: int = 131072,
 ):
     """Device-trained IVF-PQ parameters: (coarse [nlist,d], codebooks
     [m,ksub,dsub]) as host float32 — drop-in for the C++ tier via
@@ -146,7 +146,7 @@ def ivfpq_train_device(
     return np.asarray(coarse), np.asarray(jnp.stack(books))
 
 
-def ivfpq_encode_device(x, coarse, codebooks, *, block_size: int = 262144):
+def ivfpq_encode_device(x, coarse, codebooks, *, block_size: int = 131072):
     """Device assignment + PQ encoding: (assigns [n] int32, codes [n,m]
     uint8) as host arrays for ``IVFPQIndex.add_encoded``."""
     import numpy as np
@@ -156,24 +156,42 @@ def ivfpq_encode_device(x, coarse, codebooks, *, block_size: int = 262144):
     coarse = jnp.asarray(coarse)
     assigns = assign_clusters(x, coarse, block_size=block_size)
     resid = x.astype(jnp.float32) - coarse[assigns]
-    codes = pq_encode(resid, cb, m=int(cb.shape[0]))
+    codes = pq_encode(resid, cb, m=int(cb.shape[0]),
+                      block_size=min(block_size, 32768))
     return np.asarray(assigns), np.asarray(codes)
 
 
-@partial(jax.jit, static_argnames=("m",))
+@partial(jax.jit, static_argnames=("m", "block_size"))
 def pq_encode(
-    resid: jax.Array, codebooks: jax.Array, *, m: int
+    resid: jax.Array, codebooks: jax.Array, *, m: int,
+    block_size: int = 32768,
 ) -> jax.Array:
     """[n, m] uint8 PQ codes: per-subspace nearest codebook entry (L2).
 
     ``resid`` is [n, d] residuals (x - coarse centroid), ``codebooks`` is
-    [m, ksub, dsub] — the same layout the C++ tier stores.
+    [m, ksub, dsub] — the same layout the C++ tier stores. Rows are
+    processed in blocks like every other stage here: an unblocked
+    [n, m, ksub] score tensor is ~144 GB fp32 at the 8.8M parity scale
+    (the default 32k block keeps the per-block tensor at ~0.5 GB).
     """
     n, d = resid.shape
     dsub = d // m
-    r = resid.astype(jnp.float32).reshape(n, m, dsub)
     cb = codebooks.astype(jnp.float32)  # [m, ksub, dsub]
-    # scores[n, m, ksub] = r · cb - ||cb||²/2 per subspace
-    scores = jnp.einsum("nmd,mkd->nmk", r, cb) \
-        - 0.5 * jnp.sum(cb * cb, axis=2)[None, :, :]
-    return jnp.argmax(scores, axis=2).astype(jnp.uint8)
+    half_norm = 0.5 * jnp.sum(cb * cb, axis=2)  # [m, ksub]
+    pad = (-n) % block_size
+    r = resid.astype(jnp.float32)
+    if pad:
+        r = jnp.concatenate([r, jnp.zeros((pad, d), jnp.float32)])
+    n_blocks = r.shape[0] // block_size
+
+    def block_step(_, b):
+        rb = jax.lax.dynamic_slice_in_dim(
+            r, b * block_size, block_size, axis=0
+        ).reshape(block_size, m, dsub)
+        scores = jnp.einsum("nmd,mkd->nmk", rb, cb) - half_norm[None, :, :]
+        return None, jnp.argmax(scores, axis=2).astype(jnp.uint8)
+
+    _, out = jax.lax.scan(
+        block_step, None, jnp.arange(n_blocks, dtype=jnp.int32)
+    )
+    return out.reshape(-1, m)[:n]

@@ -37,10 +37,8 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.knn import strip_self
-from ..ops.topk import approx_topk, exact_topk
+from ..ops.topk import NEG_INF, approx_topk, exact_topk
 from .mesh import DATA_AXIS, shard_rows
-
-NEG_INF = float(-3.4e38)
 
 log = logging.getLogger("latentrag.parallel")
 

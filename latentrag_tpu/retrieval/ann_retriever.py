@@ -80,7 +80,8 @@ class ANNRetriever:
         self.doc_ids = (
             list(doc_ids) if doc_ids is not None else list(range(len(texts)))
         )
-        fp = self._fingerprint(emb)
+        mode = self._resolved_build_mode()
+        fp = self._fingerprint(emb, mode)
         t0 = time.perf_counter()
         if self._try_load(fp):
             if self.kind == "ivfpq" and self._refine > 1:
@@ -88,11 +89,6 @@ class ANNRetriever:
             self.stats.add_build(time.perf_counter() - t0)
             return
         if self.kind == "hnsw":
-            mode = self.cfg.hnsw_build
-            if mode == "auto":
-                import jax
-
-                mode = "knn" if jax.default_backend() != "cpu" else "beam"
             if mode == "knn":
                 # accelerator-assisted build: all-pairs k-NN on device
                 # (blocked matmul + top-k), linear host assembly in C++;
@@ -134,11 +130,6 @@ class ANNRetriever:
             ix = IVFPQIndex(
                 emb.shape[1], nlist=nlist, m=m, nbits=self.cfg.ivfpq_nbits
             )
-            mode = self.cfg.ivfpq_build
-            if mode == "auto":
-                import jax
-
-                mode = "device" if jax.default_backend() != "cpu" else "host"
             iters = self.cfg.ivfpq_train_iters
             if mode == "device":
                 # accelerator-assisted: coarse + PQ codebooks trained and
@@ -186,7 +177,22 @@ class ANNRetriever:
     def _index_file(self) -> str:
         return f"{self.cfg.index_path}.{self.kind}"
 
-    def _fingerprint(self, emb: np.ndarray) -> dict:
+    def _resolved_build_mode(self) -> str:
+        """'auto' resolved against the live backend — the RESOLVED mode
+        goes into the fingerprint, so a knn-built graph is never served
+        where beam (or host-trained lists where device) was requested,
+        and vice versa."""
+        mode = (self.cfg.hnsw_build if self.kind == "hnsw"
+                else self.cfg.ivfpq_build)
+        if mode == "auto":
+            import jax
+
+            on_acc = jax.default_backend() != "cpu"
+            mode = (("knn" if on_acc else "beam") if self.kind == "hnsw"
+                    else ("device" if on_acc else "host"))
+        return mode
+
+    def _fingerprint(self, emb: np.ndarray, mode: str) -> dict:
         from .dense import _corpus_digest
 
         cfg = self.cfg
@@ -196,13 +202,15 @@ class ANNRetriever:
             "normalize": self._normalize,
             "dim": int(emb.shape[1]),
             "n": int(emb.shape[0]),
+            "build": mode,
             "corpus_digest": _corpus_digest(emb, self.texts),
         }
         if self.kind == "hnsw":
-            fp.update(m=cfg.hnsw_m, ef_construction=cfg.hnsw_ef_construction)
+            fp.update(m=cfg.hnsw_m, ef_construction=cfg.hnsw_ef_construction,
+                      knn_k=cfg.hnsw_knn_k)
         else:
             fp.update(nlist=cfg.ivfpq_nlist, pq_m=cfg.ivfpq_m,
-                      nbits=cfg.ivfpq_nbits)
+                      nbits=cfg.ivfpq_nbits, iters=cfg.ivfpq_train_iters)
         return fp
 
     def _try_load(self, fp: dict) -> bool:

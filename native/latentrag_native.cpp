@@ -218,8 +218,8 @@ struct HNSW {
 
     // link node ``id`` (vector already stored, level pre-assigned) into the
     // graph; ``locked`` guards link-list access for concurrent inserts.
-    // ``merge_l0``: keep any pre-existing level-0 links (kNN-assembled
-    // builds) and merge the beam candidates into them instead of replacing.
+    // ``min_level``: lowest level to beam-link (kNN-assembled builds pass 1
+    // — their level-0 links already exist and stay untouched).
     void insert(int id, int lvl, Visited& vis, bool locked,
                 int min_level = 0) {
         const float* v = vec(id);
@@ -410,18 +410,69 @@ struct HNSW {
             shrink(cand, i, M0);
             links[0][i] = std::move(cand);
         });
-        // 3. hierarchy: beam-insert the level>=1 nodes on levels lvl..1,
-        //    merging their beam candidates into the kNN level-0 lists
+        // 3. hierarchy: beam-insert the level>=1 nodes on levels lvl..1
+        //    only — their level-0 links already come from exact k-NN, so
+        //    the level-0 beams (the expensive part) are skipped entirely
         std::vector<int> upper;
         for (int i = 0; i < nvec; ++i)
             if (lvls[i] >= 1) upper.push_back(i);
         if (upper.empty()) {
             entry = 0;
             max_level = 0;
-            return 0;
+        } else {
+            entry = upper[0];
+            max_level = lvls[upper[0]];
+            hierarchy_insert_all(upper, lvls, nthreads);
         }
-        entry = upper[0];
-        max_level = lvls[upper[0]];
+
+        // 4. navigability guarantee: a kNN-derived level-0 component whose
+        //    candidate lists are all intra-cluster AND that drew no
+        //    level>=1 member (probability ~e^{-s/M} for an s-row cluster)
+        //    is invisible to the hierarchical descent. Detect nodes not
+        //    reachable from the entry via any level's links, promote one
+        //    representative per island to level 1 (beam-inserted into the
+        //    upper graph only), and re-flood. Deterministic, linear, and
+        //    a no-op when random levels already cover every component.
+        {
+            std::vector<uint8_t> seen(nvec, 0);
+            std::vector<int> stack;
+            auto flood = [&] {
+                while (!stack.empty()) {
+                    int u = stack.back();
+                    stack.pop_back();
+                    for (auto& level : links)
+                        for (int v : level[u])
+                            if (v >= 0 && v < nvec && !seen[v]) {
+                                seen[v] = 1;
+                                stack.push_back(v);
+                            }
+                }
+            };
+            seen[entry] = 1;
+            stack.push_back(entry);
+            flood();
+            bool anchored = max_level >= 1;
+            for (int i = 0; i < nvec; ++i) {
+                if (seen[i]) continue;
+                if (!anchored) {
+                    // flat graph: give the main component a level-1
+                    // anchor first, so islands link to IT, not vice versa
+                    levels[entry] = std::max(levels[entry], 1);
+                    insert(entry, 1, seq_vis, false, /*min_level=*/1);
+                    anchored = true;
+                }
+                levels[i] = std::max(levels[i], 1);
+                insert(i, 1, seq_vis, false, /*min_level=*/1);
+                seen[i] = 1;
+                stack.push_back(i);
+                flood();
+            }
+        }
+        return 0;
+    }
+
+    void hierarchy_insert_all(const std::vector<int>& upper,
+                              const std::vector<int>& lvls, int nthreads) {
         if (nthreads == 1 || (int)upper.size() < 2) {
             for (size_t u = 1; u < upper.size(); ++u)
                 insert(upper[u], lvls[upper[u]], seq_vis, false,
@@ -443,7 +494,6 @@ struct HNSW {
             for (int t = 0; t < nt; ++t) pool.emplace_back(worker);
             for (auto& th : pool) th.join();
         }
-        return 0;
     }
 
     void search(const float* q, int k, int ef, int* out_ids,

@@ -463,3 +463,39 @@ class TestANNPersistence:
         s2, i2 = ix2.search(q, 5, nprobe=8)
         np.testing.assert_array_equal(i1, i2)
         np.testing.assert_allclose(s1, s2, atol=1e-6)
+
+
+class TestKnnBuildNavigability:
+    """A kNN-derived level-0 island (candidate lists fully intra-cluster,
+    no level>=1 member) must still be reachable: build_from_knn promotes
+    one representative per unreachable component to level 1."""
+
+    @pytest.mark.parametrize("seed", [1, 2, 3, 42, 99])
+    def test_engineered_island_is_searchable(self, seed):
+        from latentrag_tpu.retrieval.ann import HNSWIndex
+
+        rng = np.random.default_rng(seed)
+        d, n_main, n_isl = 8, 200, 3
+        main = rng.standard_normal((n_main, d)).astype(np.float32)
+        main /= np.linalg.norm(main, axis=1, keepdims=True)
+        # a far, tight island: unit vectors near an orthogonal pole
+        pole = np.zeros(d, np.float32)
+        pole[-1] = 1.0
+        isl = pole + 0.01 * rng.standard_normal((n_isl, d)).astype(np.float32)
+        isl /= np.linalg.norm(isl, axis=1, keepdims=True)
+        c = np.concatenate([main, isl])
+        # engineered candidate lists: main rows reference only main rows,
+        # island rows only each other - a guaranteed level-0 split
+        sims = main @ main.T
+        np.fill_diagonal(sims, -np.inf)
+        knn_main = np.argsort(-sims, axis=1)[:, :4].astype(np.int32)
+        knn_isl = np.array(
+            [[j for j in range(n_main, n_main + n_isl) if j != i]
+             + [-1] * (4 - n_isl + 1)
+             for i in range(n_main, n_main + n_isl)], np.int32)
+        knn = np.concatenate([knn_main, knn_isl])
+        ix = HNSWIndex.from_knn(c, knn, M=8, ef_construction=50,
+                                ef_search=32, seed=seed)
+        # query at the island pole: its true top-3 are the island rows
+        _, got = ix.search(pole[None, :], n_isl)
+        assert set(got[0]) == set(range(n_main, n_main + n_isl)), got[0]
