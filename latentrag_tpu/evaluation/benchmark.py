@@ -203,7 +203,8 @@ def run_benchmark(
                     }
                     va = per_query.get(a, {}).get(metric)
                     vb = per_query.get(b, {}).get(metric)
-                    if va is not None and vb is not None and len(va) == len(vb):
+                    if (n_resamples > 0 and va is not None
+                            and vb is not None and len(va) == len(vb)):
                         t = paired_bootstrap_test(
                             va, vb, n_resamples=n_resamples
                         )

@@ -196,18 +196,29 @@ class ANNRetriever:
         from .dense import _corpus_digest
 
         cfg = self.cfg
+        configured = (cfg.hnsw_build if self.kind == "hnsw"
+                      else cfg.ivfpq_build)
         fp: dict = {
             "kind": self.kind,
             "metric": cfg.metric,
             "normalize": self._normalize,
             "dim": int(emb.shape[1]),
             "n": int(emb.shape[0]),
-            "build": mode,
+            # under 'auto' the user accepts whichever construction the
+            # platform offers, so a graph built on one backend must keep
+            # serving on another (a TPU-built knn graph is a perfectly
+            # valid index on a CPU host — don't spend hours rebuilding
+            # it); an EXPLICIT beam/knn/host/device request pins the mode
+            "build": "auto" if configured == "auto" else mode,
             "corpus_digest": _corpus_digest(emb, self.texts),
         }
         if self.kind == "hnsw":
-            fp.update(m=cfg.hnsw_m, ef_construction=cfg.hnsw_ef_construction,
-                      knn_k=cfg.hnsw_knn_k)
+            fp.update(m=cfg.hnsw_m, ef_construction=cfg.hnsw_ef_construction)
+            if mode == "knn" and configured != "auto":
+                # effective value (0 sentinel means 2*M), and only where
+                # the knn build actually reads it — so touching the knob
+                # never invalidates a beam-built index
+                fp["knn_k"] = cfg.hnsw_knn_k or 2 * cfg.hnsw_m
         else:
             fp.update(nlist=cfg.ivfpq_nlist, pq_m=cfg.ivfpq_m,
                       nbits=cfg.ivfpq_nbits, iters=cfg.ivfpq_train_iters)

@@ -425,47 +425,74 @@ struct HNSW {
             hierarchy_insert_all(upper, lvls, nthreads);
         }
 
-        // 4. navigability guarantee: a kNN-derived level-0 component whose
-        //    candidate lists are all intra-cluster AND that drew no
-        //    level>=1 member (probability ~e^{-s/M} for an s-row cluster)
-        //    is invisible to the hierarchical descent. Detect nodes not
-        //    reachable from the entry via any level's links, promote one
-        //    representative per island to level 1 (beam-inserted into the
-        //    upper graph only), and re-flood. Deterministic, linear, and
-        //    a no-op when random levels already cover every component.
+        // 4. navigability guarantee: the level-0 beam explores ONLY
+        //    level-0 links, so the level-0 graph itself must be one
+        //    component — union-of-levels reachability is NOT enough (a
+        //    query descending into a level-0 island gets trapped there
+        //    regardless of ef). kNN-derived level-0 links are all
+        //    intra-cluster for a tight cluster, so: flood the level-0
+        //    graph from the entry; for each unreached component, beam its
+        //    representative against the reachable region and add
+        //    BIDIRECTIONAL level-0 links (beams can now enter and leave),
+        //    promote the representative to level 1 if nothing anchors it
+        //    (descent routing), and re-flood. Deterministic, linear, a
+        //    no-op when the kNN graph is already connected.
         {
             std::vector<uint8_t> seen(nvec, 0);
             std::vector<int> stack;
-            auto flood = [&] {
+            auto flood0 = [&] {
                 while (!stack.empty()) {
                     int u = stack.back();
                     stack.pop_back();
-                    for (auto& level : links)
-                        for (int v : level[u])
-                            if (v >= 0 && v < nvec && !seen[v]) {
-                                seen[v] = 1;
-                                stack.push_back(v);
-                            }
+                    for (int v : links[0][u])
+                        if (v >= 0 && v < nvec && !seen[v]) {
+                            seen[v] = 1;
+                            stack.push_back(v);
+                        }
                 }
             };
             seen[entry] = 1;
             stack.push_back(entry);
-            flood();
-            bool anchored = max_level >= 1;
+            flood0();
             for (int i = 0; i < nvec; ++i) {
                 if (seen[i]) continue;
-                if (!anchored) {
-                    // flat graph: give the main component a level-1
-                    // anchor first, so islands link to IT, not vice versa
-                    levels[entry] = std::max(levels[entry], 1);
-                    insert(entry, 1, seq_vis, false, /*min_level=*/1);
-                    anchored = true;
+                // bidirectional level-0 escape links against the region
+                // the beam can currently reach
+                auto cand = search_level(vec(i), entry, ef_construction,
+                                         0, seq_vis, false);
+                int added = 0;
+                for (auto it = cand.rbegin();
+                     it != cand.rend() && added < M; ++it, ++added) {
+                    int e = it->second;
+                    if (e == i) continue;
+                    auto& li = links[0][i];
+                    if (std::find(li.begin(), li.end(), e) == li.end())
+                        li.push_back(e);
+                    auto& le = links[0][e];
+                    if (std::find(le.begin(), le.end(), i) == le.end()) {
+                        le.push_back(i);
+                        shrink(le, e, M0);
+                    }
                 }
-                levels[i] = std::max(levels[i], 1);
-                insert(i, 1, seq_vis, false, /*min_level=*/1);
+                shrink(links[0][i], i, M0);
+                if (levels[i] < 1) {
+                    // descent routing: give the island a level-1 presence
+                    // when it has none (links may not have the level yet
+                    // if every random level was 0)
+                    if ((int)links.size() < 2) {
+                        links.resize(2);
+                        links[1].resize(nvec);
+                    }
+                    if (max_level < 1) {
+                        levels[entry] = std::max(levels[entry], 1);
+                        insert(entry, 1, seq_vis, false, /*min_level=*/1);
+                    }
+                    levels[i] = 1;
+                    insert(i, 1, seq_vis, false, /*min_level=*/1);
+                }
                 seen[i] = 1;
                 stack.push_back(i);
-                flood();
+                flood0();
             }
         }
         return 0;

@@ -499,3 +499,36 @@ class TestKnnBuildNavigability:
         # query at the island pole: its true top-3 are the island rows
         _, got = ix.search(pole[None, :], n_isl)
         assert set(got[0]) == set(range(n_main, n_main + n_isl)), got[0]
+
+    @pytest.mark.parametrize("seed", list(range(10)))
+    def test_flat_graph_island_promotion(self, seed):
+        """Tiny corpora often draw NO level>=1 node (probability
+        (1-1/M)^n), so island promotion must grow the links structure to
+        level 1 itself (regression: out-of-bounds links[1] access) and
+        the forced entry->island backlink must survive."""
+        from latentrag_tpu.retrieval.ann import HNSWIndex
+
+        rng = np.random.default_rng(seed)
+        d, n_main, n_isl = 8, 10, 3
+        main = rng.standard_normal((n_main, d)).astype(np.float32)
+        main /= np.linalg.norm(main, axis=1, keepdims=True)
+        pole = np.zeros(d, np.float32)
+        pole[-1] = 1.0
+        isl = pole + 0.01 * rng.standard_normal((n_isl, d)).astype(np.float32)
+        isl /= np.linalg.norm(isl, axis=1, keepdims=True)
+        c = np.concatenate([main, isl])
+        sims = main @ main.T
+        np.fill_diagonal(sims, -np.inf)
+        knn_main = np.argsort(-sims, axis=1)[:, :4].astype(np.int32)
+        knn_isl = np.array(
+            [[j for j in range(n_main, n_main + n_isl) if j != i]
+             + [-1] * (4 - n_isl + 1)
+             for i in range(n_main, n_main + n_isl)], np.int32)
+        ix = HNSWIndex.from_knn(c, np.concatenate([knn_main, knn_isl]),
+                                M=8, ef_construction=20, ef_search=16,
+                                seed=seed)
+        _, got = ix.search(pole[None, :], n_isl)
+        assert set(got[0]) == set(range(n_main, n_main + n_isl)), got[0]
+        # and the main component stays searchable too
+        _, got_m = ix.search(main[:1], 1)
+        assert got_m[0][0] == 0
