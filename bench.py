@@ -205,7 +205,7 @@ def main() -> int:
         q2 = queries[:1024]
         if on_tpu:
             dt2, _ = bench_device(
-                search, q2, corpus2, r_small=4, r_big=36,
+                search, q2, corpus2, r_small=8, r_big=220,
             )
         else:
             dt2 = bench_call(

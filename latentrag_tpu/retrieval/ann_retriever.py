@@ -168,6 +168,53 @@ class ANNRetriever:
         self.stats.add_build(time.perf_counter() - t0)
         self._save(fp)
 
+    def add(
+        self,
+        embeddings: np.ndarray,
+        texts: Sequence[str],
+        doc_ids: Sequence | None = None,
+    ) -> None:
+        """Incrementally append documents to a built index (same surface
+        as ``DenseRetriever.add``). HNSW beam-inserts into the existing
+        graph (including a kNN-assembled one); IVF-PQ encodes against the
+        already-trained centroids/codebooks — neither retrains. The
+        persisted index + fingerprint are refreshed to the grown corpus.
+        """
+        if self._index is None:
+            raise RuntimeError("add() before build()")
+        emb = np.ascontiguousarray(embeddings, dtype=np.float32)
+        if emb.ndim != 2 or emb.shape[1] != self._index.dim:
+            raise ValueError(f"expected [n, {self._index.dim}] embeddings")
+        if self._normalize:
+            emb = _normalize_rows(emb)
+        base = len(self.texts)
+        self.texts.extend(texts)
+        self.doc_ids.extend(
+            doc_ids if doc_ids is not None
+            else range(base, base + len(texts))
+        )
+        t0 = time.perf_counter()
+        self._index.add(emb)
+        if self.kind == "ivfpq" and self._refine_emb is not None:
+            self._refine_emb = np.concatenate([self._refine_emb, emb])
+        self.stats.add_build(time.perf_counter() - t0)
+        if self.cfg.index_path:
+            if self.kind == "ivfpq" and self._refine_emb is not None:
+                # the refine buffer IS the full prepared corpus, so the
+                # grown index gets a real fingerprint: a later build()
+                # over the same full corpus reloads it
+                self._save(self._fingerprint(
+                    self._refine_emb, self._resolved_build_mode()))
+            else:
+                # without the full corpus in hand (HNSW keeps vectors
+                # C++-side) a grown index cannot claim equivalence to any
+                # single build(corpus) call — persist it for manual
+                # load()/crash recovery, with a sidecar that never
+                # matches a computed fingerprint (forces a clean rebuild
+                # on the next factory build)
+                self._save({"incremental": True, "kind": self.kind,
+                            "n": len(self.texts)})
+
     # -- persistence (mirrors the dense tier / the reference's FAISS file +
     #    .meta.json fingerprint discipline, FAISSEmbeddingRetriever.py:
     #    114-137, 299-304): the expensive artifact (graph / trained lists)

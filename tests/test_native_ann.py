@@ -532,3 +532,86 @@ class TestKnnBuildNavigability:
         # and the main component stays searchable too
         _, got_m = ix.search(main[:1], 1)
         assert got_m[0][0] == 0
+
+
+class TestANNIncrementalAdd:
+    """DenseRetriever.add parity for the ANN tiers: append without
+    retraining; persistence stays coherent (a grown HNSW index never
+    masquerades as a fresh build; a grown IVF-PQ index with the refine
+    buffer gets a real full-corpus fingerprint)."""
+
+    def _data(self, rng, n, d=16):
+        c = rng.standard_normal((n, d)).astype(np.float32)
+        return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+    @pytest.mark.parametrize("kind", ["hnsw", "ivfpq"])
+    def test_add_then_retrieve(self, tmp_path, kind):
+        from latentrag_tpu.retrieval.ann_retriever import ANNRetriever
+        from latentrag_tpu.utils.config import RetrievalConfig
+
+        rng = np.random.default_rng(3)
+        base, extra = self._data(rng, 300), self._data(rng, 40)
+        cfg = RetrievalConfig(backend=kind, hnsw_m=8, ivfpq_nlist=8,
+                              ivfpq_m=8, ivfpq_nprobe=8,
+                              index_path=str(tmp_path / "ix"))
+        r = ANNRetriever(cfg, kind)
+        r.build(base, [f"b{i}" for i in range(300)])
+        r.add(extra, [f"x{i}" for i in range(40)])
+        assert len(r.texts) == 340
+        out = r.retrieve(extra[7], 1)
+        assert out[0][0] == "x7"
+        out = r.retrieve(base[11], 1)
+        assert out[0][0] == "b11"
+
+    def test_grown_hnsw_never_reloads_as_fresh(self, tmp_path):
+        from latentrag_tpu.retrieval.ann_retriever import ANNRetriever
+        from latentrag_tpu.utils.config import RetrievalConfig
+
+        rng = np.random.default_rng(4)
+        base, extra = self._data(rng, 200), self._data(rng, 20)
+        cfg = RetrievalConfig(backend="hnsw", hnsw_m=8,
+                              index_path=str(tmp_path / "ix"))
+        r = ANNRetriever(cfg, "hnsw")
+        r.build(base, [f"b{i}" for i in range(200)])
+        r.add(extra, [f"x{i}" for i in range(20)])
+        # a later factory build over the ORIGINAL corpus must rebuild,
+        # not serve the grown index
+        r2 = ANNRetriever(cfg, "hnsw")
+        r2.build(base, [f"b{i}" for i in range(200)])
+        assert len(r2.texts) == 200
+        out = r2.retrieve(base[5], 1)
+        assert out[0][0] == "b5"
+
+    def test_grown_ivfpq_with_refine_reloads_for_full_corpus(
+            self, tmp_path, monkeypatch):
+        from latentrag_tpu.retrieval import ann_retriever as ar
+        from latentrag_tpu.utils.config import RetrievalConfig
+
+        rng = np.random.default_rng(5)
+        base, extra = self._data(rng, 300), self._data(rng, 30)
+        cfg = RetrievalConfig(backend="ivfpq", ivfpq_nlist=8, ivfpq_m=8,
+                              ivfpq_nprobe=8, ivfpq_refine=4,
+                              index_path=str(tmp_path / "ix"))
+        r = ar.ANNRetriever(cfg, "ivfpq")
+        r.build(base, [f"b{i}" for i in range(300)])
+        r.add(extra, [f"x{i}" for i in range(30)])
+        s_before, i_before = r.search(extra[:4], 3)
+        full = np.concatenate([base, extra])
+        texts = [f"b{i}" for i in range(300)] + [f"x{i}" for i in range(30)]
+        # a build over the full grown corpus must LOAD the grown index
+        monkeypatch.setattr(ar.IVFPQIndex, "train", lambda *a, **k: 1 / 0)
+        monkeypatch.setattr(ar.IVFPQIndex, "set_trained",
+                            lambda *a, **k: 1 / 0)
+        r2 = ar.ANNRetriever(cfg, "ivfpq")
+        r2.build(full, texts)
+        s2, i2 = r2.search(extra[:4], 3)
+        np.testing.assert_array_equal(i_before, i2)
+
+    def test_add_before_build_raises(self):
+        from latentrag_tpu.retrieval.ann_retriever import ANNRetriever
+        from latentrag_tpu.utils.config import RetrievalConfig
+
+        r = ANNRetriever(RetrievalConfig(backend="hnsw", index_path=""),
+                         "hnsw")
+        with pytest.raises(RuntimeError, match="before build"):
+            r.add(np.zeros((2, 8), np.float32), ["a", "b"])
