@@ -66,10 +66,12 @@ def test_serve_jsonl_roundtrip(tmp_path, capsys):
         rc = serve.main(["--ae_type", "none", "--set"]
                         + _overrides(tmp_path) + ["retrieval.index_path="])
     assert rc == 0
+    # stdout is the JSONL response channel: EVERY non-empty line must be
+    # valid JSON (logs go to stderr — a log line here is a protocol bug)
     lines = [
         json.loads(line)
         for line in capsys.readouterr().out.strip().splitlines()
-        if line.startswith("{")
+        if line.strip()
     ]
     assert len(lines) == 3
     assert len(lines[0]["results"][0]["hits"]) == 3
