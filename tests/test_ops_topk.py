@@ -308,3 +308,21 @@ def test_binary_topk_block_scan(rng):
                        atol=1e-3)
     for a, b in zip(np.asarray(i1), np.asarray(i0)):
         assert set(a) == set(b)
+
+
+def test_sq8_topk_many_block_scan(rng):
+    """sq8_topk's >16-block regime (block scan) ranks like single-block."""
+    from latentrag_tpu.ops.quantization import sq8_quantize, sq8_topk
+
+    n, d, k = 9000, 16, 7
+    c = rng.standard_normal((n, d)).astype(np.float32)
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    q = rng.standard_normal((5, d)).astype(np.float32)
+    codes, scale = sq8_quantize(jnp.asarray(c))
+    s1, i1 = sq8_topk(jnp.asarray(q), codes, scale, k=k, block_size=512)
+    s0, i0 = sq8_topk(jnp.asarray(q), codes, scale, k=k,
+                      block_size=1 << 20)
+    for a, b in zip(np.asarray(i1), np.asarray(i0)):
+        assert set(a) == set(b)
+    np.testing.assert_allclose(np.sort(np.asarray(s1), axis=1),
+                               np.sort(np.asarray(s0), axis=1), atol=1e-4)
