@@ -26,6 +26,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from .topk import blocked_topk
+
 BITS = 32
 
 
@@ -88,51 +90,12 @@ def binary_topk(
     if n <= block_size:
         return block_topk(packed, 0, k)
 
-    # Plain scan, ONE block per step. Measured (r3, in-program-loop
-    # methodology, docs/ROOFLINE.md "scan vs unroll"): for this
-    # unpack+matmul kernel any unrolling of the scan body LOSES — 100M:
-    # scan 73.7 ms vs 8-way-unrolled two-level 115.5 ms; 32M: scan 25.7 ms
-    # vs 16-block fully-unrolled 39.3 ms. The bf16 path's unroll rationale
-    # does not transfer: the VPU unpack chain schedules worse when eight
-    # copies compete for VMEM, while a single-block body keeps unpack →
-    # matmul → approx_max_k fused tile-wise. Full blocks are dynamic-sliced
-    # from the closed-over corpus (a reshaped scan operand would
-    # materialise a full copy); the remainder block is handled unrolled
-    # after the scan, so no pad rows ever exist.
-    n_super = n // block_size
-    nq = q.shape[0]
-    init = (
-        jnp.full((nq, k), -3.4e38, dtype=jnp.float32),
-        jnp.zeros((nq, k), dtype=jnp.int32),
-    )
-
-    def body(carry, b_idx):
-        run_s, run_i = carry
-        base = b_idx * block_size
-        blk = jax.lax.dynamic_slice_in_dim(packed, base, block_size, axis=0)
-        s, i = block_topk(blk, base, k)
-        cat_s = jnp.concatenate([run_s, s], axis=1)
-        cat_i = jnp.concatenate([run_i, i], axis=1)
-        new_s, sel = jax.lax.top_k(cat_s, k)
-        return (new_s, jnp.take_along_axis(cat_i, sel, axis=1)), None
-
-    (top_s, top_i), _ = jax.lax.scan(
-        body, init, jnp.arange(n_super, dtype=jnp.int32)
-    )
-
-    tail_start = n_super * block_size
-    parts_s, parts_i = [top_s], [top_i]
-    b = tail_start
-    while b < n:
-        e = min(b + block_size, n)
-        blk = jax.lax.slice_in_dim(packed, b, e, axis=0)
-        s, i = block_topk(blk, b, min(k, e - b))
-        parts_s.append(s)
-        parts_i.append(i)
-        b = e
-    if len(parts_s) > 1:
-        cat_s = jnp.concatenate(parts_s, axis=1)
-        cat_i = jnp.concatenate(parts_i, axis=1)
-        top_s, sel = jax.lax.top_k(cat_s, k)
-        top_i = jnp.take_along_axis(cat_i, sel, axis=1)
-    return top_s, top_i
+    # unroll_limit=0: ALWAYS scan one block per step. Measured (r3,
+    # in-program methodology, docs/ROOFLINE.md "scan vs unroll"): for this
+    # unpack+matmul kernel any unrolling LOSES — 100M: scan 73.7 ms vs
+    # 8-way-unrolled 115.5 ms; 32M: scan 25.7 ms vs 16-block unrolled
+    # 39.3 ms. The VPU unpack chain schedules worse when unrolled copies
+    # compete for VMEM; a single-block body keeps unpack → matmul →
+    # approx_max_k fused tile-wise.
+    return blocked_topk(block_topk, packed, k, block_size, q.shape[0],
+                        unroll_limit=0)

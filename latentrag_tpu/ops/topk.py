@@ -90,6 +90,76 @@ def exact_topk(
     return top_s, top_i
 
 
+def _merge_topk(parts_s, parts_i, k):
+    """Concat per-block candidates and keep the global best k."""
+    cat_s = jnp.concatenate(parts_s, axis=1)
+    cat_i = jnp.concatenate(parts_i, axis=1)
+    top_s, sel = jax.lax.top_k(cat_s, min(k, cat_s.shape[1]))
+    return top_s, jnp.take_along_axis(cat_i, sel, axis=1)
+
+
+def blocked_topk(block_fn, corpus, k, block_size, nq, *, unroll_limit=16):
+    """Shared block-merge driver for every tiered top-k kernel (bf16
+    ``approx_topk``, int8 ``sq8_topk``, 1-bit ``binary_topk``).
+
+    ``block_fn(block_rows, base, kk) -> (scores [nq, kk], GLOBAL ids)``
+    scores one corpus block. Up to ``unroll_limit`` blocks unroll in the
+    trace over static slices of the ORIGINAL operand (no padded copy, no
+    validity mask — the remainder gets its own smaller block, so pad rows
+    never exist); past the limit a ``lax.scan`` runs one full block per
+    step over dynamic slices to bound program size, with the remainder
+    unrolled after the scan and merged once. Measured (r3, in-program
+    methodology, docs/ROOFLINE.md "scan vs unroll"): scan ≈ unrolled for
+    the bf16 matmul at >=1M-row blocks (within 4%) and 35-55% FASTER for
+    the binary unpack kernel (which passes ``unroll_limit=0``) — the
+    round-1 "scan defeats fusion ~3x" figure was a dispatch artifact.
+    """
+    n_total = corpus.shape[0]
+    if n_total <= unroll_limit * block_size:
+        parts_s, parts_i = [], []
+        b = 0
+        while b < n_total:
+            e = min(b + block_size, n_total)
+            blk = jax.lax.slice_in_dim(corpus, b, e, axis=0)
+            s, i = block_fn(blk, b, min(k, e - b))
+            parts_s.append(s)
+            parts_i.append(i)
+            b = e
+        return _merge_topk(parts_s, parts_i, k)
+
+    n_super = n_total // block_size
+    init = (
+        jnp.full((nq, k), NEG_INF, dtype=jnp.float32),
+        jnp.zeros((nq, k), dtype=jnp.int32),
+    )
+
+    def scan_body(carry, b_idx):
+        run_s, run_i = carry
+        base = b_idx * block_size
+        # dynamic slice of the CLOSED-OVER corpus: a reshape-into-xs scan
+        # operand forces XLA to materialise a full corpus copy (OOM at
+        # 32M x 64 bf16 on one chip)
+        blk = jax.lax.dynamic_slice_in_dim(corpus, base, block_size, axis=0)
+        s, i = block_fn(blk, base, k)
+        return _merge_topk([run_s, s], [run_i, i], k), None
+
+    (top_s, top_i), _ = jax.lax.scan(
+        scan_body, init, jnp.arange(n_super, dtype=jnp.int32)
+    )
+    parts_s, parts_i = [top_s], [top_i]
+    b = n_super * block_size
+    while b < n_total:
+        e = min(b + block_size, n_total)
+        blk = jax.lax.slice_in_dim(corpus, b, e, axis=0)
+        s, i = block_fn(blk, b, min(k, e - b))
+        parts_s.append(s)
+        parts_i.append(i)
+        b = e
+    if len(parts_s) > 1:
+        top_s, top_i = _merge_topk(parts_s, parts_i, k)
+    return top_s, top_i
+
+
 @partial(
     jax.jit, static_argnames=("k", "metric", "block_size", "recall_target")
 )
@@ -153,94 +223,15 @@ def approx_topk(
         )
         return finalize(s), i
 
-    # Few blocks: unroll in the trace. Full blocks slice the ORIGINAL
-    # corpus (no padded copy, no validity mask); the remainder gets its own
-    # (smaller) block, so no pad rows ever exist. Measured r3 (in-program
-    # methodology, docs/ROOFLINE.md "scan vs unroll"): at >=1M-row blocks
-    # unrolling is only ~4% faster than a lax.scan over blocks (8M x 64
-    # 1024q: 11.75 vs 12.25 ms) — the earlier "scan defeats fusion, ~3x"
-    # figure was an artifact of dispatch-gapped timing. Unrolled kept here
-    # for the small win; the >16-block path below scans.
-    if n_total <= 16 * block_size:
-        n_full = n_total // block_size
-        parts_s, parts_i = [], []
-        for b in range(n_full):
-            blk = jax.lax.slice_in_dim(
-                corpus, b * block_size, (b + 1) * block_size, axis=0
-            )
-            s = block_scores(blk)
-            bs_, bl = jax.lax.approx_max_k(s, k, recall_target=recall_target)
-            parts_s.append(bs_)
-            parts_i.append(bl + b * block_size)
-        rem = n_total - n_full * block_size
-        if rem:
-            blk = jax.lax.slice_in_dim(corpus, n_full * block_size, n_total,
-                                       axis=0)
-            s = block_scores(blk)
-            k_rem = min(k, rem)
-            bs_, bl = jax.lax.approx_max_k(
-                s, k_rem, recall_target=recall_target
-            )
-            parts_s.append(bs_)
-            parts_i.append(bl + n_full * block_size)
-        cat_s = jnp.concatenate(parts_s, axis=1)
-        cat_i = jnp.concatenate(parts_i, axis=1)
-        top_s, sel = jax.lax.top_k(cat_s, k)
-        return finalize(top_s), jnp.take_along_axis(cat_i, sel, axis=1)
-
-    # Many blocks (>16): lax.scan, one block per step, to bound program
-    # size. Measured r3 (docs/ROOFLINE.md "scan vs unroll"): at this scale
-    # the regime is HBM-bandwidth-bound for small query batches (32M x 64
-    # bf16 256q: 14.2 ms = 282 GB/s) and scan matches an unrolled two-level
-    # formulation within noise even compute-bound (1024q: 48.3 ms both, 91
-    # TFLOP/s) — so the simplest formulation wins. Blocks are
-    # dynamic-sliced from the CLOSED-OVER corpus: a reshape-into-xs
-    # formulation forces XLA to materialise a full corpus copy (OOM at
-    # 32M x 64 bf16 on one chip). The remainder block is handled unrolled
-    # after the scan, so no pad rows ever exist.
-    n_super = n_total // block_size
-    nq = q.shape[0]
-    init = (
-        jnp.full((nq, k), NEG_INF, dtype=jnp.float32),
-        jnp.zeros((nq, k), dtype=jnp.int32),
-    )
-
-    def scan_body(carry, b_idx):
-        run_s, run_i = carry
-        base = b_idx * block_size
-        blk = jax.lax.dynamic_slice_in_dim(corpus, base, block_size, axis=0)
-        bs_, bl = jax.lax.approx_max_k(
-            block_scores(blk), k, recall_target=recall_target
+    def block_fn(blk, base, kk):
+        s, i = jax.lax.approx_max_k(
+            block_scores(blk), kk, recall_target=recall_target
         )
-        cat_s = jnp.concatenate([run_s, bs_], axis=1)
-        cat_i = jnp.concatenate([run_i, bl + base], axis=1)
-        new_s, sel = jax.lax.top_k(cat_s, k)
-        new_i = jnp.take_along_axis(cat_i, sel, axis=1)
-        return (new_s, new_i), None
+        return s, i + base
 
-    (top_s, top_i), _ = jax.lax.scan(
-        scan_body, init, jnp.arange(n_super, dtype=jnp.int32)
+    top_s, top_i = blocked_topk(
+        block_fn, corpus, k, block_size, q.shape[0]
     )
-
-    # tail: the remaining (possibly partial) blocks, unrolled
-    tail_start = n_super * block_size
-    parts_s, parts_i = [top_s], [top_i]
-    b = tail_start
-    while b < n_total:
-        e = min(b + block_size, n_total)
-        blk = jax.lax.slice_in_dim(corpus, b, e, axis=0)
-        kb = min(k, e - b)
-        bs_, bl = jax.lax.approx_max_k(
-            block_scores(blk), kb, recall_target=recall_target
-        )
-        parts_s.append(bs_)
-        parts_i.append(bl + b)
-        b = e
-    if len(parts_s) > 1:
-        cat_s = jnp.concatenate(parts_s, axis=1)
-        cat_i = jnp.concatenate(parts_i, axis=1)
-        top_s, sel = jax.lax.top_k(cat_s, k)
-        top_i = jnp.take_along_axis(cat_i, sel, axis=1)
     return finalize(top_s), top_i
 
 
