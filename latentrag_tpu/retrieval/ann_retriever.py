@@ -177,8 +177,10 @@ class ANNRetriever:
         """Incrementally append documents to a built index (same surface
         as ``DenseRetriever.add``). HNSW beam-inserts into the existing
         graph (including a kNN-assembled one); IVF-PQ encodes against the
-        already-trained centroids/codebooks — neither retrains. The
-        persisted index + fingerprint are refreshed to the grown corpus.
+        already-trained centroids/codebooks — neither retrains. The grown
+        index persists under an ``incremental`` sidecar usable for manual
+        ``load()``; the next factory build rebuilds cleanly (a grown
+        index is not equivalent to a fresh full-corpus build).
         """
         if self._index is None:
             raise RuntimeError("add() before build()")
@@ -199,21 +201,17 @@ class ANNRetriever:
             self._refine_emb = np.concatenate([self._refine_emb, emb])
         self.stats.add_build(time.perf_counter() - t0)
         if self.cfg.index_path:
-            if self.kind == "ivfpq" and self._refine_emb is not None:
-                # the refine buffer IS the full prepared corpus, so the
-                # grown index gets a real fingerprint: a later build()
-                # over the same full corpus reloads it
-                self._save(self._fingerprint(
-                    self._refine_emb, self._resolved_build_mode()))
-            else:
-                # without the full corpus in hand (HNSW keeps vectors
-                # C++-side) a grown index cannot claim equivalence to any
-                # single build(corpus) call — persist it for manual
-                # load()/crash recovery, with a sidecar that never
-                # matches a computed fingerprint (forces a clean rebuild
-                # on the next factory build)
-                self._save({"incremental": True, "kind": self.kind,
-                            "n": len(self.texts)})
+            # a grown index is NOT equivalent to a fresh build over the
+            # full corpus (HNSW: vectors live C++-side so the digest
+            # cannot be recomputed; IVF-PQ: centroids/codebooks and the
+            # effective nlist were trained on the BASE corpus only — a
+            # fresh build over the grown corpus would retrain them).
+            # Persist it for manual load()/crash recovery under a sidecar
+            # that never matches a computed fingerprint, so the next
+            # factory build rebuilds cleanly instead of silently serving
+            # base-corpus quantizers.
+            self._save({"incremental": True, "kind": self.kind,
+                        "n": len(self.texts)})
 
     # -- persistence (mirrors the dense tier / the reference's FAISS file +
     #    .meta.json fingerprint discipline, FAISSEmbeddingRetriever.py:
@@ -225,10 +223,11 @@ class ANNRetriever:
         return f"{self.cfg.index_path}.{self.kind}"
 
     def _resolved_build_mode(self) -> str:
-        """'auto' resolved against the live backend — the RESOLVED mode
-        goes into the fingerprint, so a knn-built graph is never served
-        where beam (or host-trained lists where device) was requested,
-        and vice versa."""
+        """'auto' resolved against the live backend. The fingerprint
+        stores the resolved mode only for EXPLICIT beam/knn/host/device
+        requests (pinning them); a configured 'auto' is stored as 'auto'
+        so an index built on one backend keeps serving on another — see
+        ``_fingerprint``."""
         mode = (self.cfg.hnsw_build if self.kind == "hnsw"
                 else self.cfg.ivfpq_build)
         if mode == "auto":

@@ -457,7 +457,15 @@ struct HNSW {
             for (int i = 0; i < nvec; ++i) {
                 if (seen[i]) continue;
                 // bidirectional level-0 escape links against the region
-                // the beam can currently reach
+                // the beam can currently reach. The BEST candidate pair
+                // is linked both ways WITHOUT shrink — for a large island
+                // (s > M0 rows) every escape link is the least-similar
+                // entry in a saturated list and the diversity heuristic
+                // would prune all of them on both sides, silently undoing
+                // the guarantee; one forced edge per side is a bounded
+                // overflow (1 per island) that makes connectivity
+                // structural. Remaining candidates are added best-effort
+                // under the normal capacity rules.
                 auto cand = search_level(vec(i), entry, ef_construction,
                                          0, seq_vis, false);
                 int added = 0;
@@ -471,10 +479,18 @@ struct HNSW {
                     auto& le = links[0][e];
                     if (std::find(le.begin(), le.end(), i) == le.end()) {
                         le.push_back(i);
-                        shrink(le, e, M0);
+                        if (added > 0) shrink(le, e, M0);
                     }
                 }
-                shrink(links[0][i], i, M0);
+                if ((int)links[0][i].size() > M0) {
+                    // shrink i's list but re-guarantee the forced edge
+                    int anchor = cand.empty() ? -1 : cand.back().second;
+                    shrink(links[0][i], i, M0);
+                    auto& li = links[0][i];
+                    if (anchor >= 0 && anchor != i &&
+                        std::find(li.begin(), li.end(), anchor) == li.end())
+                        li.push_back(anchor);
+                }
                 if (levels[i] < 1) {
                     // descent routing: give the island a level-1 presence
                     // when it has none (links may not have the level yet

@@ -582,8 +582,10 @@ class TestANNIncrementalAdd:
         out = r2.retrieve(base[5], 1)
         assert out[0][0] == "b5"
 
-    def test_grown_ivfpq_with_refine_reloads_for_full_corpus(
-            self, tmp_path, monkeypatch):
+    def test_grown_ivfpq_rebuilds_with_full_corpus_training(self, tmp_path):
+        """A grown IVF-PQ index keeps centroids/codebooks trained on the
+        BASE corpus only, so it must never masquerade as a fresh build
+        over the full corpus — the next factory build retrains."""
         from latentrag_tpu.retrieval import ann_retriever as ar
         from latentrag_tpu.utils.config import RetrievalConfig
 
@@ -595,17 +597,15 @@ class TestANNIncrementalAdd:
         r = ar.ANNRetriever(cfg, "ivfpq")
         r.build(base, [f"b{i}" for i in range(300)])
         r.add(extra, [f"x{i}" for i in range(30)])
-        s_before, i_before = r.search(extra[:4], 3)
         full = np.concatenate([base, extra])
         texts = [f"b{i}" for i in range(300)] + [f"x{i}" for i in range(30)]
-        # a build over the full grown corpus must LOAD the grown index
-        monkeypatch.setattr(ar.IVFPQIndex, "train", lambda *a, **k: 1 / 0)
-        monkeypatch.setattr(ar.IVFPQIndex, "set_trained",
-                            lambda *a, **k: 1 / 0)
         r2 = ar.ANNRetriever(cfg, "ivfpq")
-        r2.build(full, texts)
-        s2, i2 = r2.search(extra[:4], 3)
-        np.testing.assert_array_equal(i_before, i2)
+        r2.build(full, texts)  # rebuild (sidecar marked incremental)
+        out = r2.retrieve(extra[7], 1)
+        assert out[0][0] == "x7"
+        # and the grown index file remains manually loadable
+        from latentrag_tpu.retrieval.ann import IVFPQIndex
+        assert len(IVFPQIndex.load(str(tmp_path / "ix.ivfpq"))) == 330
 
     def test_add_before_build_raises(self):
         from latentrag_tpu.retrieval.ann_retriever import ANNRetriever
@@ -615,3 +615,35 @@ class TestANNIncrementalAdd:
                          "hnsw")
         with pytest.raises(RuntimeError, match="before build"):
             r.add(np.zeros((2, 8), np.float32), ["a", "b"])
+
+
+    def test_large_island_keeps_level0_escape(self):
+        """Island larger than M0: the diversity shrink would prune every
+        escape link on both sides; the forced anchor pair must survive so
+        main-side beams can still enter the island (and leave it)."""
+        from latentrag_tpu.retrieval.ann import HNSWIndex
+
+        rng = np.random.default_rng(9)
+        d, n_main, n_isl = 8, 300, 40  # M=8 -> M0=16 < island size
+        main = rng.standard_normal((n_main, d)).astype(np.float32)
+        main /= np.linalg.norm(main, axis=1, keepdims=True)
+        pole = np.zeros(d, np.float32)
+        pole[-1] = 1.0
+        isl = pole + 0.01 * rng.standard_normal((n_isl, d)).astype(np.float32)
+        isl /= np.linalg.norm(isl, axis=1, keepdims=True)
+        c = np.concatenate([main, isl])
+        sims_m = main @ main.T
+        np.fill_diagonal(sims_m, -np.inf)
+        knn_main = np.argsort(-sims_m, axis=1)[:, :16].astype(np.int32)
+        sims_i = isl @ isl.T
+        np.fill_diagonal(sims_i, -np.inf)
+        knn_isl = (np.argsort(-sims_i, axis=1)[:, :16] + n_main).astype(
+            np.int32)
+        ix = HNSWIndex.from_knn(c, np.concatenate([knn_main, knn_isl]),
+                                M=8, ef_construction=50, ef_search=64,
+                                seed=9)
+        _, got = ix.search(pole[None, :], 10)
+        isl_ids = set(range(n_main, n_main + n_isl))
+        assert len(set(got[0]) & isl_ids) == 10, got[0]
+        _, got_m = ix.search(main[:1], 1)
+        assert got_m[0][0] == 0
