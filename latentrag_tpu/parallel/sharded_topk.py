@@ -35,6 +35,7 @@ def make_sharded_topk(
     block_size: int = 1048576,
     recall_target: float = 0.99,
     axis: str = "data",
+    d: int | None = None,
 ):
     """Build a jitted ``(queries, corpus_sharded, n_valid) -> (scores, idx)``.
 
@@ -56,6 +57,23 @@ def make_sharded_topk(
         def local_search(q, c_shard, scale):
             return sq8_topk(
                 q, c_shard, scale, k=local_k, block_size=block_size,
+                recall_target=recall_target,
+            )
+
+    elif backend == "binary":
+        # stage 1 of the 1-bit cascade: asymmetric sign-bit scoring over
+        # the PACKED uint32 shard ([N/P, d/32] — same row sharding as
+        # SQ8); the caller rescores the gathered candidates host-side.
+        # ``d`` is the true vector dim (packed stores carry d/32 words).
+        from ..ops.binary import binary_topk
+
+        if d is None:
+            raise ValueError("backend='binary' requires d (true vector dim)")
+
+        def local_search(q, c_shard, scale):
+            del scale
+            return binary_topk(
+                q, c_shard, d=d, k=local_k, block_size=block_size,
                 recall_target=recall_target,
             )
 

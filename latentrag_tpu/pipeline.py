@@ -18,6 +18,7 @@ Parity with the reference orchestrator (``main.py`` ``PipelineRunner``
 
 from __future__ import annotations
 
+import asyncio
 import logging
 import os
 import time
@@ -83,7 +84,9 @@ def _hf_checkpoint_usable(ecfg) -> bool:
     return bool(getattr(ecfg, "hub_fallback", False))
 
 
-def default_encoder(cfg: Config, corpus: Sequence[str]) -> SentenceEncoder:
+def default_encoder(
+    cfg: Config, corpus: Sequence[str], mesh=None
+) -> SentenceEncoder:
     """Build the sentence encoder: converted weights + checkpoint vocab when
     present, otherwise a corpus-trained tokenizer + deterministic init.
 
@@ -143,7 +146,7 @@ def default_encoder(cfg: Config, corpus: Sequence[str]) -> SentenceEncoder:
         probe = SentenceEncoder(tokenizer, cfg.encoder)
         params = load_params(weights, probe.params)
         log.info("loaded encoder weights: %s", weights)
-    return SentenceEncoder(tokenizer, cfg.encoder, params=params)
+    return SentenceEncoder(tokenizer, cfg.encoder, params=params, mesh=mesh)
 
 
 class PipelineRunner:
@@ -170,7 +173,7 @@ class PipelineRunner:
 
     def _ensure_compressor(self, corpus: Sequence[str]) -> EmbeddingCompressor:
         if self._compressor is None:
-            encoder = default_encoder(self.cfg, corpus)
+            encoder = default_encoder(self.cfg, corpus, mesh=self.mesh)
             self._compressor = EmbeddingCompressor(
                 encoder,
                 autoencoder=self._autoencoder,
@@ -343,10 +346,14 @@ class PipelineRunner:
     def _run_generation(
         self, queries, texts, doc_ids, chunk_idx, doc_top, retriever
     ) -> dict[str, Any]:
+        """Context selection is a host loop; the completions themselves run
+        through ``generate_batch_async`` — N serial network round trips
+        collapse to ceil(N / concurrency) waves while answer order stays
+        query order (``asyncio.gather`` preserves it)."""
         gen = self._ensure_generator()
         max_chunks = self.cfg.retrieval.max_chunks_per_doc
-        answers = []
-        for qi, query in enumerate(queries):
+        docs_per_query: list[list[str]] = []
+        for qi in range(len(queries)):
             per_doc: dict[int, int] = {}
             chosen: list[str] = []
             top_docs = set(doc_top[qi].tolist())
@@ -360,7 +367,18 @@ class PipelineRunner:
                     continue
                 per_doc[did] = per_doc.get(did, 0) + 1
                 chosen.append(texts[j])
-            answers.append(gen.generate(query, chosen))
+            docs_per_query.append(chosen)
+        concurrency = max(1, self.cfg.generation.concurrency)
+        if concurrency == 1:
+            answers = [
+                gen.generate(q, d) for q, d in zip(queries, docs_per_query)
+            ]
+        else:
+            answers = asyncio.run(
+                gen.generate_batch_async(
+                    list(queries), docs_per_query, concurrency=concurrency
+                )
+            )
         return {"answers": answers}
 
     # ------------------------------------------------------------- run card

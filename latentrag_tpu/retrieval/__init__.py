@@ -3,7 +3,7 @@ from .bm25 import BM25Retriever, tokenize
 from .dense import DenseRetriever, make_fingerprint
 from .dpr import DPRRetriever
 from .embedder import EmbeddingCompressor
-from .factory import build_retriever
+from .factory import build_retriever, load_retriever
 
 __all__ = [
     "BaseRetriever",
@@ -15,4 +15,5 @@ __all__ = [
     "DPRRetriever",
     "EmbeddingCompressor",
     "build_retriever",
+    "load_retriever",
 ]

@@ -313,11 +313,71 @@ class ANNRetriever:
             if parent:
                 os.makedirs(parent, exist_ok=True)
             self._index.save(path)
+            # texts/doc_ids ride the sidecar (the dense tier's meta.json
+            # convention) so ``load_persisted`` can serve without the
+            # original corpus; the refine corpus persists as its own npy
+            # (mmap-loaded on warm boot — only candidate rows are read)
+            if self._refine_emb is not None:
+                np.save(path + ".refine.npy", self._refine_emb)
             with open(path + ".meta.json", "w") as f:
-                json.dump({"fingerprint": fp}, f)
+                json.dump({"fingerprint": fp, "texts": self.texts,
+                           "doc_ids": self.doc_ids}, f)
         except OSError as e:  # persistence is best-effort, search still works
             log.warning("could not persist %s index to %s: %s", self.kind,
                         path, e)
+
+    def load_persisted(self) -> bool:
+        """Warm boot: load index + texts/doc_ids straight from disk with NO
+        embeddings in hand (so no digest verification — the caller trusts
+        the store it pointed at). Returns False when the store is absent,
+        unreadable, or predates texts-in-meta persistence."""
+        import json
+        import os
+
+        if not self.cfg.index_path:
+            return False
+        path = self._index_file()
+        meta_path = path + ".meta.json"
+        if not (os.path.exists(path) and os.path.exists(meta_path)):
+            return False
+        try:
+            with open(meta_path) as f:
+                meta = json.load(f)
+            if "texts" not in meta:
+                log.info(
+                    "%s store at %s predates texts-in-meta persistence; "
+                    "cold boot required", self.kind, path,
+                )
+                return False
+            if self.kind == "hnsw":
+                self._index = HNSWIndex.load(
+                    path, ef_search=self.cfg.hnsw_ef_search
+                )
+            else:
+                self._index = IVFPQIndex.load(path)
+            self.texts = list(meta["texts"])
+            self.doc_ids = list(meta["doc_ids"])
+            if self._refine > 1:
+                rpath = path + ".refine.npy"
+                if os.path.exists(rpath):
+                    self._refine_emb = np.load(rpath, mmap_mode="r")
+                else:
+                    log.warning(
+                        "%s: ivfpq_refine=%d requested but %s is missing — "
+                        "serving UNREFINED ADC scores (rebuild to restore "
+                        "refinement)", path, self._refine, rpath,
+                    )
+            log.info("%s index warm-loaded from %s (n=%d)", self.kind, path,
+                     len(self.texts))
+            return True
+        except (OSError, ValueError, json.JSONDecodeError) as e:
+            log.warning("%s index at %s unreadable (%s); warm boot failed",
+                        self.kind, path, e)
+            return False
+
+    @property
+    def dim(self) -> int:
+        return int(self._index.dim) if self._index is not None else 0
 
     @property
     def is_built(self) -> bool:
@@ -372,11 +432,13 @@ class ANNRetriever:
         ids = np.take_along_axis(
             np.take_along_axis(cand, sel, axis=1), order, axis=1
         )
+        # keep -inf for empty slots — same sentinel convention as the plain
+        # IVF-PQ and HNSW paths, so callers merging/thresholding raw scores
+        # can never rank an (id -1) slot above a genuine negative-score hit
         ids = np.where(np.isfinite(scores), ids, -1)
-        scores = np.where(np.isfinite(scores), scores, 0.0)
         if k_out < k:  # pad to the requested width with sentinels
             pad = ((0, 0), (0, k - k_out))
-            scores = np.pad(scores, pad)
+            scores = np.pad(scores, pad, constant_values=-np.inf)
             ids = np.pad(ids, pad, constant_values=-1)
         return scores, ids.astype(np.int32)
 

@@ -38,6 +38,69 @@ def build_retriever(
         ann.build(embeddings, texts, doc_ids)
         return ann
 
+    return _dense_retriever(
+        cfg, embeddings, texts, doc_ids, mesh=mesh,
+        embedding_model=embedding_model, ae_type=ae_type,
+        latent_dim=latent_dim, chunking=chunking,
+    )
+
+
+def load_retriever(
+    cfg: RetrievalConfig,
+    *,
+    mesh=None,
+    expect: dict | None = None,
+):
+    """Warm boot: reconstruct a retriever purely from its persisted store —
+    no embeddings, no corpus encode (the reference's mmap-load story,
+    ``FAISSEmbeddingRetriever.py:65-69``, which its pipeline never uses
+    because build() always re-encodes). Returns ``None`` when no loadable
+    store exists or the persisted provenance contradicts ``expect`` —
+    callers then fall back to the cold ``build_retriever`` path.
+
+    ``expect`` maps fingerprint keys (``embedding_model``, ``ae_type``, …)
+    to the values the caller is serving with; a stored value of ``None``
+    (legacy store) is treated as a wildcard.
+    """
+    if not cfg.index_path:
+        return None
+    if cfg.backend in ("hnsw", "ivfpq"):
+        from .ann_retriever import ANNRetriever
+
+        ann = ANNRetriever(cfg, cfg.backend)
+        return ann if ann.load_persisted() else None
+    backend = {
+        "dense": cfg.kernel,
+        "bruteforce": "xla_exact",
+    }.get(cfg.backend, "auto")
+    retriever = DenseRetriever(
+        metric=cfg.metric,
+        backend=backend,
+        block_size=cfg.block_size,
+        recall_target=cfg.recall_target,
+        store_dtype=cfg.store_dtype,
+        binary_oversample=cfg.binary_oversample,
+        index_path=cfg.index_path,
+        mesh=mesh if cfg.shard_corpus else None,
+    )
+    if not retriever.is_built:
+        return None
+    fp = retriever.fingerprint or {}
+    for key, want in (expect or {}).items():
+        have = fp.get(key)
+        if have is not None and have != want:
+            log.warning(
+                "persisted index %s=%r contradicts requested %r; "
+                "falling back to cold build", key, have, want,
+            )
+            return None
+    return retriever
+
+
+def _dense_retriever(
+    cfg, embeddings, texts, doc_ids, *, mesh, embedding_model, ae_type,
+    latent_dim, chunking,
+):
     backend = {
         "dense": cfg.kernel,
         "bruteforce": "xla_exact",

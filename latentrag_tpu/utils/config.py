@@ -219,6 +219,9 @@ class GenerationConfig:
     max_tokens: int = 256
     max_context_tokens: int = 2048
     system_prompt_path: str = "./configs/prompts/system_prompt.txt"
+    # in-flight completion requests for the batched pipeline path; 1 falls
+    # back to a strictly sequential loop
+    concurrency: int = 8
 
 
 @dataclass(frozen=True)

@@ -437,6 +437,17 @@ struct HNSW {
         //    promote the representative to level 1 if nothing anchors it
         //    (descent routing), and re-flood. Deterministic, linear, a
         //    no-op when the kNN graph is already connected.
+        //    The repair itself can undo itself within a pass: a later
+        //    island's escape links may land on a node e holding an earlier
+        //    island's forced edge, and the shrink(le, e, M0) on the extra
+        //    (added > 0) links can evict that forced edge, silently
+        //    re-disconnecting the earlier island. So the whole repair runs
+        //    to a FIXPOINT: re-flood from scratch after each pass; pass 0
+        //    adds up to M escape links per island (recall-friendly), every
+        //    later pass adds ONLY the single forced edge pair with no
+        //    shrink anywhere — no pass >= 1 can evict another repair, each
+        //    merges >= 1 component, so termination is structural (usually
+        //    1 extra confirming pass).
         {
             std::vector<uint8_t> seen(nvec, 0);
             std::vector<int> stack;
@@ -451,64 +462,75 @@ struct HNSW {
                         }
                 }
             };
-            seen[entry] = 1;
-            stack.push_back(entry);
-            flood0();
-            for (int i = 0; i < nvec; ++i) {
-                if (seen[i]) continue;
-                // bidirectional level-0 escape links against the region
-                // the beam can currently reach. The BEST candidate pair
-                // is linked both ways WITHOUT shrink — for a large island
-                // (s > M0 rows) every escape link is the least-similar
-                // entry in a saturated list and the diversity heuristic
-                // would prune all of them on both sides, silently undoing
-                // the guarantee; one forced edge per side is a bounded
-                // overflow (1 per island) that makes connectivity
-                // structural. Remaining candidates are added best-effort
-                // under the normal capacity rules.
-                auto cand = search_level(vec(i), entry, ef_construction,
-                                         0, seq_vis, false);
-                int added = 0;
-                for (auto it = cand.rbegin();
-                     it != cand.rend() && added < M; ++it, ++added) {
-                    int e = it->second;
-                    if (e == i) continue;
-                    auto& li = links[0][i];
-                    if (std::find(li.begin(), li.end(), e) == li.end())
-                        li.push_back(e);
-                    auto& le = links[0][e];
-                    if (std::find(le.begin(), le.end(), i) == le.end()) {
-                        le.push_back(i);
-                        if (added > 0) shrink(le, e, M0);
-                    }
-                }
-                if ((int)links[0][i].size() > M0) {
-                    // shrink i's list but re-guarantee the forced edge
-                    int anchor = cand.empty() ? -1 : cand.back().second;
-                    shrink(links[0][i], i, M0);
-                    auto& li = links[0][i];
-                    if (anchor >= 0 && anchor != i &&
-                        std::find(li.begin(), li.end(), anchor) == li.end())
-                        li.push_back(anchor);
-                }
-                if (levels[i] < 1) {
-                    // descent routing: give the island a level-1 presence
-                    // when it has none (links may not have the level yet
-                    // if every random level was 0)
-                    if ((int)links.size() < 2) {
-                        links.resize(2);
-                        links[1].resize(nvec);
-                    }
-                    if (max_level < 1) {
-                        levels[entry] = std::max(levels[entry], 1);
-                        insert(entry, 1, seq_vis, false, /*min_level=*/1);
-                    }
-                    levels[i] = 1;
-                    insert(i, 1, seq_vis, false, /*min_level=*/1);
-                }
-                seen[i] = 1;
-                stack.push_back(i);
+            for (int pass = 0;; ++pass) {
+                std::fill(seen.begin(), seen.end(), 0);
+                stack.clear();
+                seen[entry] = 1;
+                stack.push_back(entry);
                 flood0();
+                bool all_reached = true;
+                for (int i = 0; i < nvec; ++i) {
+                    if (seen[i]) continue;
+                    all_reached = false;
+                    // bidirectional level-0 escape links against the region
+                    // the beam can currently reach. The BEST candidate pair
+                    // is linked both ways WITHOUT shrink — for a large
+                    // island (s > M0 rows) every escape link is the
+                    // least-similar entry in a saturated list and the
+                    // diversity heuristic would prune all of them on both
+                    // sides, silently undoing the guarantee; one forced
+                    // edge per side is a bounded overflow (1 per island)
+                    // that makes connectivity structural. Remaining
+                    // candidates are added best-effort under the normal
+                    // capacity rules (pass 0 only — see fixpoint note).
+                    auto cand = search_level(vec(i), entry, ef_construction,
+                                             0, seq_vis, false);
+                    int want = pass == 0 ? M : 1;
+                    int added = 0;
+                    for (auto it = cand.rbegin();
+                         it != cand.rend() && added < want; ++it, ++added) {
+                        int e = it->second;
+                        if (e == i) continue;
+                        auto& li = links[0][i];
+                        if (std::find(li.begin(), li.end(), e) == li.end())
+                            li.push_back(e);
+                        auto& le = links[0][e];
+                        if (std::find(le.begin(), le.end(), i) == le.end()) {
+                            le.push_back(i);
+                            if (added > 0) shrink(le, e, M0);
+                        }
+                    }
+                    if (pass == 0 && (int)links[0][i].size() > M0) {
+                        // shrink i's list but re-guarantee the forced edge
+                        int anchor = cand.empty() ? -1 : cand.back().second;
+                        shrink(links[0][i], i, M0);
+                        auto& li = links[0][i];
+                        if (anchor >= 0 && anchor != i &&
+                            std::find(li.begin(), li.end(), anchor) ==
+                                li.end())
+                            li.push_back(anchor);
+                    }
+                    if (levels[i] < 1) {
+                        // descent routing: give the island a level-1
+                        // presence when it has none (links may not have
+                        // the level yet if every random level was 0)
+                        if ((int)links.size() < 2) {
+                            links.resize(2);
+                            links[1].resize(nvec);
+                        }
+                        if (max_level < 1) {
+                            levels[entry] = std::max(levels[entry], 1);
+                            insert(entry, 1, seq_vis, false,
+                                   /*min_level=*/1);
+                        }
+                        levels[i] = 1;
+                        insert(i, 1, seq_vis, false, /*min_level=*/1);
+                    }
+                    seen[i] = 1;
+                    stack.push_back(i);
+                    flood0();
+                }
+                if (all_reached) break;
             }
         }
         return 0;
@@ -886,9 +908,13 @@ void ivfpq_set_trained(void* p, const float* coarse,
 int ivfpq_add_encoded(void* p, const int* assigns, const uint8_t* codes,
                       int n) {
     auto* ix = static_cast<IVFPQ*>(p);
+    // validate every list id BEFORE mutating anything — failing mid-loop
+    // would leave earlier rows appended while count stays unchanged, and a
+    // retry would then hand out duplicate ids
+    for (int i = 0; i < n; ++i)
+        if (assigns[i] < 0 || assigns[i] >= ix->nlist) return -1;
     for (int i = 0; i < n; ++i) {
         int c = assigns[i];
-        if (c < 0 || c >= ix->nlist) return -1;
         ix->list_ids[c].push_back(ix->count + i);
         ix->list_codes[c].insert(ix->list_codes[c].end(),
                                  codes + (size_t)i * ix->m,

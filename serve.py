@@ -7,6 +7,15 @@ line out. Protocol:
   {"query": "...", "k": 5}                  -> retrieval
   {"query": "...", "k": 5, "generate": true} -> retrieval + LLM answer
   {"queries": ["...", "..."], "k": 5}       -> one batched device call
+  {"add": {"texts": ["..."], "doc_ids": [..]}} -> incremental index growth
+
+Boot modes: when ``retrieval.index_path`` holds a loadable persisted index,
+the server WARM-boots from it — texts + vectors come straight off disk and
+the corpus is never re-encoded (the reference's mmap-load capability,
+``FAISSEmbeddingRetriever.py:65-69``, which its own pipeline never exploits
+because build() always re-encodes). ``--cold-boot`` forces the full
+dataset-load + encode + build path; it runs automatically when no store
+exists or the store's provenance contradicts the serving config.
 
 Usage:
   echo '{"query": "what do telescopes observe?"}' | \
@@ -16,11 +25,11 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import asyncio
 import json
 import sys
 import time
 
-from latentrag_tpu.data import get_examples, load_evaluation_data
 from latentrag_tpu.pipeline import PipelineRunner
 from latentrag_tpu.utils import (
     apply_overrides,
@@ -28,26 +37,39 @@ from latentrag_tpu.utils import (
     init_logger,
     load_config,
 )
-from latentrag_tpu.retrieval import build_retriever
+from latentrag_tpu.retrieval import build_retriever, load_retriever
 
 
-def main(argv=None) -> int:
-    p = argparse.ArgumentParser(description="latentrag-tpu query server")
-    p.add_argument("--config", default=None)
-    p.add_argument("--ae_type", default="none")
-    p.add_argument("--generate", action="store_true")
-    p.add_argument("--set", nargs="*", default=[], metavar="a.b=v")
-    args = p.parse_args(argv)
-
-    cfg = apply_overrides(load_config(args.config), args.set)
-    # stdout is the JSONL response channel — keep log lines on stderr
-    loggers = init_logger(cfg.logging, stream=sys.stderr)
-
-    examples = get_examples(cfg)
-    _, corpus, _ = load_evaluation_data(examples)
+def boot(cfg, args, loggers):
+    """Returns (runner, compressor, retriever, mode)."""
     runner = PipelineRunner(
         cfg, ae_type=canonical_ae_type(args.ae_type), generate=args.generate
     )
+    retriever = None
+    if not args.cold_boot:
+        ae = runner.ae_type if runner.ae_type != "none" else None
+        retriever = load_retriever(
+            cfg.retrieval,
+            expect={"embedding_model": cfg.encoder.name, "ae_type": ae},
+        )
+    if retriever is not None:
+        # encoder/AE still load (queries need encoding) but the corpus
+        # text feeding the tokenizer fallback comes from the store itself
+        compressor = runner._ensure_compressor(retriever.texts)
+        dim = getattr(retriever, "dim", 0)
+        if dim and dim != compressor.output_dim:
+            loggers.main.warning(
+                "persisted index dim %d != encoder output %d; cold boot",
+                dim, compressor.output_dim,
+            )
+            retriever = None
+    if retriever is not None:
+        return runner, compressor, retriever, "warm"
+
+    from latentrag_tpu.data import get_examples, load_evaluation_data
+
+    examples = get_examples(cfg)
+    _, corpus, _ = load_evaluation_data(examples)
     compressor = runner._ensure_compressor(corpus)
     corpus_emb = compressor.encode_text(corpus)
     retriever = build_retriever(
@@ -56,8 +78,31 @@ def main(argv=None) -> int:
         ae_type=runner.ae_type if runner.ae_type != "none" else None,
         latent_dim=compressor.output_dim,
     )
+    return runner, compressor, retriever, "cold"
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="latentrag-tpu query server")
+    p.add_argument("--config", default=None)
+    p.add_argument("--ae_type", default="none")
+    p.add_argument("--generate", action="store_true")
+    p.add_argument(
+        "--cold-boot", action="store_true",
+        help="force dataset load + corpus re-encode even when a persisted "
+             "index is loadable",
+    )
+    p.add_argument("--set", nargs="*", default=[], metavar="a.b=v")
+    args = p.parse_args(argv)
+
+    cfg = apply_overrides(load_config(args.config), args.set)
+    # stdout is the JSONL response channel — keep log lines on stderr
+    loggers = init_logger(cfg.logging, stream=sys.stderr)
+
+    t_boot = time.perf_counter()
+    runner, compressor, retriever, mode = boot(cfg, args, loggers)
     loggers.main.info(
-        "serving: corpus=%d dim=%d ae=%s", len(corpus),
+        "%s boot in %.1fs: corpus=%d dim=%d ae=%s", mode,
+        time.perf_counter() - t_boot, len(retriever.texts),
         compressor.output_dim, runner.ae_type,
     )
 
@@ -66,9 +111,9 @@ def main(argv=None) -> int:
     # live request. Use the RAW default k — it is the jit cache key, so
     # min()-clamping here would compile a different program than the one
     # live requests hit.
-    if corpus:
+    if retriever.texts:
         t0 = time.perf_counter()
-        warm_emb = compressor.encode_text([corpus[0]])
+        warm_emb = compressor.encode_text([retriever.texts[0]])
         retriever.search(warm_emb, cfg.retrieval.top_k)
         retriever.get_stats(reset=True)  # exclude warmup from serving stats
         loggers.main.info(
@@ -81,6 +126,25 @@ def main(argv=None) -> int:
             continue
         try:
             req = json.loads(line)
+            if "add" in req:
+                spec = req["add"]
+                texts = spec.get("texts")
+                if not isinstance(texts, list) or not texts:
+                    raise ValueError(
+                        '"add.texts" must be a non-empty list of strings'
+                    )
+                t0 = time.perf_counter()
+                emb = compressor.encode_text(texts)
+                retriever.add(emb, texts, spec.get("doc_ids"))
+                out = {
+                    "added": len(texts),
+                    "n_total": len(retriever.texts),
+                    "latency_ms": round(
+                        (time.perf_counter() - t0) * 1000, 3
+                    ),
+                }
+                print(json.dumps(out), flush=True)
+                continue
             queries = req.get("queries")
             if queries is None:
                 queries = [req["query"]]
@@ -103,13 +167,21 @@ def main(argv=None) -> int:
                     for rank, j in enumerate(idx[qi])
                     if j >= 0
                 ]
-                item = {"query": query, "hits": hits}
-                if req.get("generate") and args.generate:
-                    gen = runner._ensure_generator()
-                    item["answer"] = gen.generate(
-                        query, [h["text"] for h in hits]
+                results.append({"query": query, "hits": hits})
+            if req.get("generate") and args.generate:
+                gen = runner._ensure_generator()
+                docs = [[h["text"] for h in r["hits"]] for r in results]
+                if len(results) > 1:  # overlap in-flight completions
+                    answers = asyncio.run(
+                        gen.generate_batch_async(
+                            queries, docs,
+                            concurrency=max(1, cfg.generation.concurrency),
+                        )
                     )
-                results.append(item)
+                else:
+                    answers = [gen.generate(queries[0], docs[0])]
+                for r, a in zip(results, answers):
+                    r["answer"] = a
             out = {
                 "results": results,
                 "latency_ms": round(latency_ms, 3),

@@ -80,6 +80,73 @@ def test_serve_jsonl_roundtrip(tmp_path, capsys):
     assert "error" in lines[2]
 
 
+def test_serve_warm_boot_skips_corpus_encode(tmp_path, capsys, monkeypatch):
+    """With a persisted index, serve must boot WITHOUT re-encoding the
+    corpus (VERDICT r3 item 5): only the warmup probe and live queries may
+    pass through the encoder."""
+    import serve
+    from latentrag_tpu.retrieval.embedder import EmbeddingCompressor
+
+    # cold boot once: builds + persists the index
+    with patch.object(sys, "stdin", io.StringIO("")):
+        assert serve.main(
+            ["--ae_type", "none", "--set"] + _overrides(tmp_path)
+        ) == 0
+    capsys.readouterr()
+
+    encoded: list[int] = []
+    orig = EmbeddingCompressor.encode_text
+
+    def spy(self, texts):
+        texts = list(texts)
+        encoded.append(len(texts))
+        return orig(self, texts)
+
+    monkeypatch.setattr(EmbeddingCompressor, "encode_text", spy)
+    payload = json.dumps(
+        {"query": "what do telescopes observe?", "k": 3}
+    ) + "\n"
+    with patch.object(sys, "stdin", io.StringIO(payload)):
+        assert serve.main(
+            ["--ae_type", "none", "--set"] + _overrides(tmp_path)
+        ) == 0
+    # 1 warmup probe text + 1 query text — the corpus never re-encodes
+    assert sum(encoded) <= 2, encoded
+    lines = [
+        json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+        if line.strip()
+    ]
+    hits = lines[0]["results"][0]["hits"]
+    assert len(hits) == 3
+    assert all(h["text"] for h in hits)  # texts served from the store
+
+
+def test_serve_add_protocol_grows_index(tmp_path, capsys):
+    import serve
+
+    marker = "zzqx unique quasar document"
+    payload = (
+        json.dumps({"add": {"texts": [marker], "doc_ids": [999]}}) + "\n"
+        + json.dumps({"query": marker, "k": 1}) + "\n"
+        + json.dumps({"add": {"texts": []}}) + "\n"
+    )
+    with patch.object(sys, "stdin", io.StringIO(payload)):
+        assert serve.main(
+            ["--ae_type", "none", "--set"] + _overrides(tmp_path)
+        ) == 0
+    lines = [
+        json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+        if line.strip()
+    ]
+    assert lines[0]["added"] == 1 and lines[0]["n_total"] > 1
+    # identical text -> cosine 1.0 -> the added doc must win top-1
+    assert lines[1]["results"][0]["hits"][0]["doc_id"] == 999
+    assert lines[1]["results"][0]["hits"][0]["text"] == marker
+    assert "error" in lines[2]  # empty add rejected
+
+
 def test_main_profile_flag_writes_trace(tmp_path):
     from main import main
 

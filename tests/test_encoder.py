@@ -71,6 +71,47 @@ def test_long_input_truncated(encoder):
     assert np.isfinite(out).all()
 
 
+def test_mesh_data_parallel_encode_matches_single_device(
+    encoder, eight_devices
+):
+    """Mesh-DP corpus encoding (VERDICT r3 item 1): replicated params +
+    batch-sharded inputs over the 8-device mesh must reproduce the
+    single-device embeddings bit-for-bit (per-row computation is
+    independent — the SPMD program has no collectives)."""
+    from latentrag_tpu.parallel import make_mesh
+
+    texts = [
+        f"the quick brown fox number {i} jumps over the lazy dog"
+        for i in range(37)  # odd count: exercises pad-to-mesh-multiple
+    ]
+    single = encoder.encode_batch(texts)
+    meshed = SentenceEncoder(
+        encoder.tokenizer, SMALL_CFG, params=encoder.params,
+        mesh=make_mesh(8),
+    )
+    out = meshed.encode_batch(texts)
+    assert out.shape == single.shape
+    np.testing.assert_array_equal(out, single)
+
+
+def test_mesh_encoder_scales_chunk_size(encoder, eight_devices):
+    """The host-visible chunk is per-device batch x mesh size, so each
+    device keeps the measured-optimal batch."""
+    from latentrag_tpu.parallel import make_mesh
+
+    meshed = SentenceEncoder(
+        encoder.tokenizer, SMALL_CFG, params=encoder.params,
+        mesh=make_mesh(8),
+    )
+    calls = []
+    orig = meshed._encode_chunk
+    meshed._encode_chunk = lambda t: (calls.append(len(t)), orig(t))[1]
+    n = SMALL_CFG.batch_size * 8 + 3
+    out = meshed.encode_batch([f"text {i}" for i in range(n)])
+    assert out.shape[0] == n
+    assert calls == [SMALL_CFG.batch_size * 8, 3]
+
+
 def test_bert_layer_matches_torch(rng):
     """Differential check of the transformer math against torch on random
     weights — the oracle pattern guarding the HF conversion mapping."""

@@ -285,6 +285,70 @@ class TestIVFPQRefine:
         assert (i < 24).all()
         valid = i >= 0
         assert valid.sum(axis=1).min() >= 1
+        # empty slots keep the -inf sentinel (same convention as the plain
+        # IVF-PQ / HNSW paths) so raw-score merges can never rank them
+        # above a genuine negative-score hit
+        assert np.isneginf(s[~valid]).all()
+
+
+class TestWarmLoad:
+    """``load_persisted``: reconstruct a serving ANN retriever from disk
+    with no embeddings in hand (serve.py warm boot)."""
+
+    def test_hnsw_load_persisted_round_trip(self, tmp_path):
+        from latentrag_tpu.retrieval.ann_retriever import ANNRetriever
+        from latentrag_tpu.utils.config import RetrievalConfig
+
+        rng = np.random.default_rng(11)
+        c = _normed(rng, 300, 16)
+        q = _normed(rng, 10, 16)
+        cfg = RetrievalConfig(
+            index_path=str(tmp_path / "ix"), backend="hnsw", hnsw_m=8
+        )
+        built = ANNRetriever(cfg, "hnsw")
+        built.build(c, [f"t{i}" for i in range(300)],
+                    doc_ids=[i * 7 for i in range(300)])
+        s0, i0 = built.search(q, 5)
+
+        warm = ANNRetriever(cfg, "hnsw")
+        assert warm.load_persisted()
+        assert warm.texts == built.texts
+        assert warm.doc_ids == built.doc_ids
+        assert warm.dim == 16
+        s1, i1 = warm.search(q, 5)
+        np.testing.assert_array_equal(i0, i1)
+        np.testing.assert_allclose(s0, s1, atol=1e-6)
+
+    def test_ivfpq_load_persisted_keeps_refinement(self, tmp_path):
+        from latentrag_tpu.retrieval.ann_retriever import ANNRetriever
+        from latentrag_tpu.utils.config import RetrievalConfig
+
+        rng = np.random.default_rng(12)
+        c = _normed(rng, 400, 16)
+        q = _normed(rng, 10, 16)
+        cfg = RetrievalConfig(
+            index_path=str(tmp_path / "ix"), backend="ivfpq",
+            ivfpq_nlist=8, ivfpq_m=8, ivfpq_nprobe=8, ivfpq_refine=4,
+        )
+        built = ANNRetriever(cfg, "ivfpq")
+        built.build(c, [f"t{i}" for i in range(400)])
+        s0, i0 = built.search(q, 5)
+
+        warm = ANNRetriever(cfg, "ivfpq")
+        assert warm.load_persisted()
+        assert warm._refine_emb is not None  # refine corpus warm-loaded
+        s1, i1 = warm.search(q, 5)
+        np.testing.assert_array_equal(i0, i1)
+        np.testing.assert_allclose(s0, s1, atol=1e-5)
+
+    def test_load_persisted_absent_store_returns_false(self, tmp_path):
+        from latentrag_tpu.retrieval.ann_retriever import ANNRetriever
+        from latentrag_tpu.utils.config import RetrievalConfig
+
+        cfg = RetrievalConfig(
+            index_path=str(tmp_path / "nothing"), backend="hnsw"
+        )
+        assert not ANNRetriever(cfg, "hnsw").load_persisted()
 
 
 class TestKNNAssistedBuild:

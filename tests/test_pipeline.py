@@ -114,6 +114,65 @@ def test_generation_path_with_fake_client(cfg, eval_data):
     assert result["answers"] == ["stub answer"] * 5
 
 
+def test_generation_batch_overlaps_and_preserves_order(cfg, eval_data):
+    """--generate runs completions through generate_batch_async: calls must
+    OVERLAP (a sequential loop would deadlock this client and hit the wait
+    timeout) while answers stay in query order."""
+    import threading
+
+    from latentrag_tpu.generation import RAGGenerator
+
+    queries, corpus, relevant = eval_data
+    queries, relevant = queries[:6], relevant[:6]
+    overlap_seen = threading.Event()
+    lock = threading.Lock()
+    active = {"n": 0, "max": 0}
+
+    def client(messages, llm):
+        with lock:
+            active["n"] += 1
+            active["max"] = max(active["max"], active["n"])
+            if active["n"] >= 2:
+                overlap_seen.set()
+        ok = overlap_seen.wait(timeout=30)
+        with lock:
+            active["n"] -= 1
+        prompt = messages[1]["content"]
+        q = prompt.rsplit("Question: ", 1)[1].split("\n")[0]
+        return f"ans::{q}" if ok else "timeout"
+
+    runner = PipelineRunner(
+        cfg, ae_type="none", generate=True,
+        generator=RAGGenerator(client_fn=client),
+    )
+    result = runner.process(queries, corpus, relevant)
+    assert active["max"] >= 2  # in-flight calls genuinely overlapped
+    assert result["answers"] == [f"ans::{q}" for q in queries]
+
+
+def test_generation_concurrency_one_is_sequential(cfg, eval_data):
+    from latentrag_tpu.generation import RAGGenerator
+
+    queries, corpus, relevant = eval_data
+    queries, relevant = queries[:3], relevant[:3]
+    active = {"n": 0, "max": 0}
+
+    def client(messages, llm):
+        active["n"] += 1
+        active["max"] = max(active["max"], active["n"])
+        active["n"] -= 1
+        return "s"
+
+    c2 = apply_overrides(cfg, ["generation.concurrency=1"])
+    runner = PipelineRunner(
+        c2, ae_type="none", generate=True,
+        generator=RAGGenerator(client_fn=client),
+    )
+    result = runner.process(queries, corpus, relevant)
+    assert active["max"] == 1
+    assert result["answers"] == ["s"] * 3
+
+
 def test_load_autoencoder_missing_checkpoint_raises(cfg):
     c2 = dataclasses.replace(cfg)
     with pytest.raises(FileNotFoundError):

@@ -143,6 +143,40 @@ def test_factory_builds_with_full_fingerprint(rng, tmp_path):
     assert r.is_built
 
 
+def test_load_retriever_warm_boot(rng, tmp_path):
+    """load_retriever reconstructs a serving retriever from disk with no
+    embeddings (serve.py warm boot); provenance contradictions fall back
+    to None (cold build)."""
+    from latentrag_tpu.retrieval import load_retriever
+
+    cfg = RetrievalConfig(backend="dense", kernel="xla_exact",
+                          index_path=str(tmp_path / "idx"))
+    corpus = _normed(rng, 40, 8)
+    built = build_retriever(
+        corpus, [f"t{i}" for i in range(40)], None, cfg,
+        embedding_model="mini", ae_type="cae", latent_dim=8,
+    )
+    s0, i0 = built.search(corpus[:4], 3)
+
+    warm = load_retriever(cfg, expect={"embedding_model": "mini",
+                                       "ae_type": "cae"})
+    assert warm is not None and warm.is_built
+    assert warm.texts == built.texts
+    s1, i1 = warm.search(corpus[:4], 3)
+    np.testing.assert_array_equal(i0, i1)
+    np.testing.assert_allclose(s0, s1, rtol=1e-5, atol=1e-5)
+
+    # contradicting provenance -> refuse to warm-boot
+    assert load_retriever(
+        cfg, expect={"embedding_model": "other-model"}
+    ) is None
+    # no store at all -> None
+    assert load_retriever(
+        RetrievalConfig(backend="dense", index_path=str(tmp_path / "none"))
+    ) is None
+    assert load_retriever(RetrievalConfig(backend="dense")) is None
+
+
 class TestBM25:
     CORPUS = [
         "the cat sat on the mat",
