@@ -130,7 +130,10 @@ class DenseRetriever:
     # binary store: _corpus_dev holds the PACKED sign bits (uint32
     # [N, D/32]) — the only device-resident piece — while the SQ8
     # rescore codes stay HOST-side so HBM = D/8 bytes/vector (the
-    # whole point of the tier: corpora too big for an int8 store)
+    # whole point of the tier: corpora too big for an int8 store).
+    # With a mesh the packed bits row-shard over "data" exactly like the
+    # SQ8 tier (stage 1 per shard + all-gather; stage 2 stays host-side),
+    # scaling the ~100M/chip capacity by the mesh size.
     _rescore_host: Any = None  # np.int8 [N, D] (binary store only)
     _dim: int = 0  # true vector dim (packed stores have D/32 words)
     binary_oversample: int = 8  # cascade stage-1 candidates per k
@@ -144,11 +147,6 @@ class DenseRetriever:
     def _validate_binary_combo(self):
         if self.metric not in ("cosine", "dot"):
             raise ValueError("binary store supports cosine/dot only")
-        if self.mesh is not None:
-            raise NotImplementedError(
-                "binary store is single-device; shard the int8 tier "
-                "for mesh deployments"
-            )
 
     def __post_init__(self):
         if self.backend not in BACKENDS:
@@ -436,32 +434,56 @@ class DenseRetriever:
         backend = self._resolve_backend()
         rt = self._effective_recall_target(k)
         if self._rescore_host is not None:  # binary cascade store
-            from ..ops.binary import binary_topk
-
             ok = min(self.binary_oversample * k, self._corpus_n)
-            _, cand = binary_topk(
-                q_prepared, self._corpus_dev, d=self._dim, k=ok,
-                block_size=self.block_size,
-                recall_target=rt,
-            )
+            if self.mesh is not None:
+                # stage 1 sharded: packed sign bits row-sharded over the
+                # mesh ([N/P, d/32] — the same layout as the SQ8 tier),
+                # per-shard asymmetric scoring with the P-1 over-candidate
+                # discipline, one all-gather of [P, Q, ok] candidates
+                key = (ok, "binary")
+                fn = self._sharded_cache.get(key)
+                if fn is None:
+                    fn = self._make_sharded(
+                        self.mesh, k=ok, metric=self.metric,
+                        backend="binary", block_size=self.block_size,
+                        recall_target=rt, d=self._dim,
+                    )
+                    self._sharded_cache[key] = fn
+                _, cand = fn(
+                    q_prepared, self._corpus_dev, jnp.int32(self._corpus_n)
+                )
+            else:
+                from ..ops.binary import binary_topk
+
+                _, cand = binary_topk(
+                    q_prepared, self._corpus_dev, d=self._dim, k=ok,
+                    block_size=self.block_size,
+                    recall_target=rt,
+                )
             # stage 2 on host: gather + exact SQ8 rescore of the tiny
-            # candidate set (Q x ok x D flops) — keeps HBM = packed bits
+            # candidate set (Q x ok x D flops) — keeps HBM = packed bits.
+            # The sharded stage 1 can emit -1 sentinels (shards smaller
+            # than their local candidate quota); mask them to -inf so they
+            # never displace genuine candidates.
             cand = np.asarray(cand)
-            rows = self._rescore_host[cand].astype(np.float32)
+            valid = cand >= 0
+            rows = self._rescore_host[np.where(valid, cand, 0)].astype(
+                np.float32
+            )
             qf = np.asarray(q_prepared, dtype=np.float32)
             dots = np.einsum("qd,qkd->qk", qf, rows) * float(
                 self._corpus_scale
             )
+            dots = np.where(valid, dots, -np.inf)
             k_out = min(k, ok)
             sel = np.argpartition(-dots, k_out - 1, axis=1)[:, :k_out]
             ssel = np.take_along_axis(dots, sel, axis=1)
             order = np.argsort(-ssel, axis=1)
-            return (
-                np.take_along_axis(ssel, order, axis=1),
-                np.take_along_axis(
-                    np.take_along_axis(cand, sel, axis=1), order, axis=1
-                ),
+            out_s = np.take_along_axis(ssel, order, axis=1)
+            out_i = np.take_along_axis(
+                np.take_along_axis(cand, sel, axis=1), order, axis=1
             )
+            return out_s, np.where(np.isfinite(out_s), out_i, -1)
         if self._corpus_scale is not None and self.mesh is None:  # int8 store
             from ..ops.quantization import sq8_topk
 
@@ -557,7 +579,28 @@ class DenseRetriever:
 
     def _save(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
-        if self.mesh is not None:
+        if self._rescore_host is not None:  # binary store (mesh or not)
+            # packed bits persist VERBATIM: re-deriving them from the
+            # dequantized corpus flips sign bits of near-zero negatives
+            # (code 0 reloads as +0.0), so save/load would not be
+            # rank-stable otherwise. Sharded stores gather through numpy —
+            # the packed bits are d/32 words/vector, 16x smaller than the
+            # bf16 corpus, and this is a single-controller path (each
+            # multi-process rank re-shards on load instead).
+            np.save(
+                os.path.join(path, "binary_packed.npy"),
+                np.asarray(self._corpus_dev)[: self._corpus_n],
+            )
+            np.save(
+                os.path.join(path, "sq8_scale.npy"),
+                np.asarray(self._corpus_scale, dtype=np.float32),
+            )
+            np.save(
+                os.path.join(path, "corpus.npy"),
+                self._rescore_host[: self._corpus_n].astype(np.float32)
+                * float(self._corpus_scale),
+            )
+        elif self.mesh is not None:
             # sharded corpora write through Orbax: each process persists its
             # own shards — no host gather (crawls through slow links, and
             # multi-host arrays aren't fully addressable anyway)
@@ -573,24 +616,6 @@ class DenseRetriever:
                     os.path.join(path, "sq8_scale.npy"),
                     np.asarray(self._corpus_scale, dtype=np.float32),
                 )
-        elif self._rescore_host is not None:  # binary store
-            # packed bits persist VERBATIM: re-deriving them from the
-            # dequantized corpus flips sign bits of near-zero negatives
-            # (code 0 reloads as +0.0), so save/load would not be
-            # rank-stable otherwise
-            np.save(
-                os.path.join(path, "binary_packed.npy"),
-                np.asarray(self._corpus_dev)[: self._corpus_n],
-            )
-            np.save(
-                os.path.join(path, "sq8_scale.npy"),
-                np.asarray(self._corpus_scale, dtype=np.float32),
-            )
-            np.save(
-                os.path.join(path, "corpus.npy"),
-                self._rescore_host[: self._corpus_n].astype(np.float32)
-                * float(self._corpus_scale),
-            )
         else:
             corpus = np.asarray(self._corpus_dev, dtype=np.float32)
             if self._corpus_scale is not None:  # persist dequantized fp32
@@ -693,7 +718,14 @@ class DenseRetriever:
                     bitorder="little",
                 ).view(np.uint32)[:, :, 0]
                 prepared = jnp.asarray(words)
-            self._corpus_dev = jax.device_put(prepared)
+            if self.mesh is not None:
+                from ..parallel import make_sharded_topk, shard_rows
+
+                self._corpus_dev = shard_rows(prepared, self.mesh)
+                self._sharded_cache = {}
+                self._make_sharded = make_sharded_topk
+            else:
+                self._corpus_dev = jax.device_put(prepared)
             log.info("index loaded from %s (n=%d)", path, self._corpus_n)
             return
 

@@ -412,11 +412,59 @@ def test_binary_cascade_store(rng, tmp_path):
     texts, _, _ = rb.retrieve(extra[3], top_k=1)
     assert texts[0] == "x3"
 
-    # exact-oracle and mesh requests are rejected up front
+    # exact-oracle requests are rejected up front (quantized store)
     with pytest.raises(ValueError):
         DenseRetriever(backend="xla_exact", store_dtype="binary").build(
             corpus[:50], [f"t{i}" for i in range(50)]
         )
+
+
+def test_binary_cascade_sharded_matches_single_device(rng, eight_devices,
+                                                      tmp_path):
+    """Mesh-sharded 1-bit cascade (VERDICT r3 item 4): packed sign bits
+    row-sharded over the 8-device mesh, per-shard stage 1 + all-gather,
+    host SQ8 rescore — results must match the single-device cascade."""
+    from latentrag_tpu.parallel import make_mesh
+
+    g = rng.standard_normal((1003, 12)).astype(np.float32)  # odd: pad rows
+    proj = rng.standard_normal((12, 32)).astype(np.float32)
+    corpus = g @ proj
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    queries = corpus[:12] + 0.01 * rng.standard_normal((12, 32)).astype(
+        np.float32
+    )
+    texts = [f"t{i}" for i in range(1003)]
+
+    r0 = DenseRetriever(backend="xla", store_dtype="binary")
+    r0.build(corpus, texts)
+    s0, i0 = r0.search(queries, 5)
+
+    path = str(tmp_path / "idxbinmesh")
+    r1 = DenseRetriever(backend="xla", store_dtype="binary",
+                        mesh=make_mesh(8), index_path=path)
+    r1.build(corpus, texts)
+    assert r1._corpus_dev.dtype == jnp.uint32  # HBM = packed words only
+    s1, i1 = r1.search(queries, 5)
+    # stage-2 rescoring is exact fp32 over the candidate union; stage-1
+    # candidate sets may differ at the margin between the merged-shard
+    # and single-device scans, so compare top-1 + score sets, not order
+    np.testing.assert_array_equal(i0[:, 0], i1[:, 0])
+    np.testing.assert_allclose(s0[:, 0], s1[:, 0], atol=1e-5)
+    overlap = np.mean([len(set(a) & set(b)) / 5 for a, b in zip(i0, i1)])
+    assert overlap >= 0.9, overlap
+
+    # persistence round-trip back INTO a mesh layout
+    r2 = DenseRetriever(backend="xla", store_dtype="binary",
+                        mesh=make_mesh(8), index_path=path)
+    assert r2.is_built and r2._rescore_host is not None
+    s2, i2 = r2.search(queries, 5)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+    # incremental add re-shards and serves the new rows
+    extra = -corpus[:8]
+    r1.add(extra, [f"x{i}" for i in range(8)])
+    texts_out, _, _ = r1.retrieve(extra[3], top_k=1)
+    assert texts_out[0] == "x3"
 
 
 def test_binary_store_via_config(rng):
