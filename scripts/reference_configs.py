@@ -44,6 +44,8 @@ def main(argv=None) -> int:
     p.add_argument("--scale8m", action="store_true",
                    help="also run the 8.8M x 64 SQ8 single-chip row "
                         "(TPU only — 8.8M rows on CPU would take hours)")
+    p.add_argument("--only_scale", action="store_true",
+                   help="skip the trained configs 1-4 (scale rows only)")
     p.add_argument("--hidden", type=int, default=96,
                    help="encoder dim (384 with converted real weights)")
     args = p.parse_args(argv)
@@ -80,46 +82,49 @@ def main(argv=None) -> int:
         f"paths.logs_dir={wd}/logs", f"logging.log_file={wd}/logs/run.log",
     ]
 
-    enc_main(["--epochs", str(args.encoder_epochs), "--batch_size", "64",
-              "--max_length", "64", "--set"] + base)
-    for ae in ("vae", "dae", "cae"):
-        ae_main(["--ae_type", ae, "--epochs", str(args.ae_epochs),
-                 "--set"] + base)
-
-    cfg0 = apply_overrides(load_config(None), base)
-    examples = get_examples(cfg0)
-    queries, corpus, relevant = load_evaluation_data(examples)
-    print(f"[refconfigs] |queries|={len(queries)} |corpus|={len(corpus)}",
-          file=sys.stderr)
-
     rows: list[tuple[str, dict]] = []
+    if not args.only_scale:
+        enc_main(["--epochs", str(args.encoder_epochs), "--batch_size",
+                  "64", "--max_length", "64", "--set"] + base)
+        for ae in ("vae", "dae", "cae"):
+            ae_main(["--ae_type", ae, "--epochs", str(args.ae_epochs),
+                     "--set"] + base)
 
-    def run(label, extra, ae):
-        cfg = apply_overrides(load_config(None), base + extra)
-        runner = PipelineRunner(cfg, ae_type=ae)
-        res = runner.process(queries, corpus, relevant)
-        rows.append((label, res["retrieval_metrics"]))
-        return res
+        cfg0 = apply_overrides(load_config(None), base)
+        examples = get_examples(cfg0)
+        queries, corpus, relevant = load_evaluation_data(examples)
+        print(f"[refconfigs] |queries|={len(queries)} |corpus|="
+              f"{len(corpus)}", file=sys.stderr)
 
-    # 1. uncompressed brute-force cosine
-    run("1. none / exact cosine", ["retrieval.kernel=xla_exact"], "none")
-    # 2. DAE h->h/3, cosine (recall gap vs config 1)
-    run(f"2. dae {h}->{latent_third} cosine",
-        ["retrieval.kernel=xla_exact"], "dae")
-    # 3. VAE latent, euclidean and mahalanobis
-    run("3a. vae euclidean",
-        ["retrieval.kernel=xla_exact", "retrieval.metric=euclidean"], "vae")
-    run("3b. vae mahalanobis",
-        ["retrieval.kernel=xla_exact", "retrieval.metric=mahalanobis"], "vae")
-    # 4. CAE vs BM25
-    run("4a. cae cosine", ["retrieval.kernel=xla_exact"], "cae")
-    bm = BM25Retriever()
-    bm.build_index(corpus)
-    _, bi = bm.search(queries, 10)
-    rows.append((
-        "4b. bm25",
-        evaluate_retrieval([r.tolist() for r in bi], list(relevant)),
-    ))
+        def run(label, extra, ae):
+            cfg = apply_overrides(load_config(None), base + extra)
+            runner = PipelineRunner(cfg, ae_type=ae)
+            res = runner.process(queries, corpus, relevant)
+            rows.append((label, res["retrieval_metrics"]))
+            return res
+
+        # 1. uncompressed brute-force cosine
+        run("1. none / exact cosine", ["retrieval.kernel=xla_exact"],
+            "none")
+        # 2. DAE h->h/3, cosine (recall gap vs config 1)
+        run(f"2. dae {h}->{latent_third} cosine",
+            ["retrieval.kernel=xla_exact"], "dae")
+        # 3. VAE latent, euclidean and mahalanobis
+        run("3a. vae euclidean",
+            ["retrieval.kernel=xla_exact", "retrieval.metric=euclidean"],
+            "vae")
+        run("3b. vae mahalanobis",
+            ["retrieval.kernel=xla_exact", "retrieval.metric=mahalanobis"],
+            "vae")
+        # 4. CAE vs BM25
+        run("4a. cae cosine", ["retrieval.kernel=xla_exact"], "cae")
+        bm = BM25Retriever()
+        bm.build_index(corpus)
+        _, bi = bm.search(queries, 10)
+        rows.append((
+            "4b. bm25",
+            evaluate_retrieval([r.tolist() for r in bi], list(relevant)),
+        ))
 
     # 5. sharded latent index with all-gather merge — REAL metrics + QPS
     # (VERDICT r3 weak 5): queries are noise-perturbed corpus rows, so the

@@ -114,6 +114,25 @@ def test_generation_path_with_fake_client(cfg, eval_data):
     assert result["answers"] == ["stub answer"] * 5
 
 
+def test_pipeline_mesh_end_to_end(cfg, eval_data, eight_devices):
+    """PipelineRunner(mesh=...): corpus ENCODING is mesh-data-parallel and
+    the index shards over the same mesh (shard_corpus=true) — metrics must
+    equal the single-device run (encode is bit-identical; sharded exact
+    top-k merges to the oracle)."""
+    from latentrag_tpu.parallel import make_mesh
+
+    queries, corpus, relevant = eval_data
+    single = PipelineRunner(cfg, ae_type="none").process(
+        queries, corpus, relevant
+    )
+    c2 = apply_overrides(cfg, ["retrieval.shard_corpus=true"])
+    meshed = PipelineRunner(c2, ae_type="none", mesh=make_mesh(8)).process(
+        queries, corpus, relevant
+    )
+    assert meshed["retrieval_metrics"] == single["retrieval_metrics"]
+    assert meshed["retrieved_doc_ids"] == single["retrieved_doc_ids"]
+
+
 def test_generation_batch_overlaps_and_preserves_order(cfg, eval_data):
     """--generate runs completions through generate_batch_async: calls must
     OVERLAP (a sequential loop would deadlock this client and hit the wait
