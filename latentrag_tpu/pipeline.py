@@ -369,6 +369,10 @@ class PipelineRunner:
                 chosen.append(texts[j])
             docs_per_query.append(chosen)
         concurrency = max(1, self.cfg.generation.concurrency)
+        # duck-typed stand-ins (tests, custom generators) may implement
+        # only generate(); batch them sequentially
+        if not hasattr(gen, "generate_batch_async"):
+            concurrency = 1
         if concurrency == 1:
             answers = [
                 gen.generate(q, d) for q, d in zip(queries, docs_per_query)

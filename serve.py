@@ -42,14 +42,26 @@ from latentrag_tpu.retrieval import build_retriever, load_retriever
 
 def boot(cfg, args, loggers):
     """Returns (runner, compressor, retriever, mode)."""
+    mesh = None
+    if cfg.retrieval.shard_corpus:
+        import jax
+
+        from latentrag_tpu.parallel import make_mesh
+
+        if jax.device_count() > 1:
+            mesh = make_mesh()
+            loggers.main.info(
+                "serving sharded over %d devices", mesh.size
+            )
     runner = PipelineRunner(
-        cfg, ae_type=canonical_ae_type(args.ae_type), generate=args.generate
+        cfg, ae_type=canonical_ae_type(args.ae_type),
+        generate=args.generate, mesh=mesh,
     )
     retriever = None
     if not args.cold_boot:
         ae = runner.ae_type if runner.ae_type != "none" else None
         retriever = load_retriever(
-            cfg.retrieval,
+            cfg.retrieval, mesh=mesh,
             expect={"embedding_model": cfg.encoder.name, "ae_type": ae},
         )
     if retriever is not None:
