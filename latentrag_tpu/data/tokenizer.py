@@ -223,7 +223,54 @@ class WordPieceTokenizer:
         texts: Sequence[str],
         max_length: int = 256,
     ) -> tuple["np.ndarray", "np.ndarray"]:
-        """Padded [B, L] (ids, attention_mask) int32 arrays for the encoder."""
+        """Padded [B, L] (ids, attention_mask) int32 arrays for the encoder.
+
+        Hot path: the C++ ASCII WordPiece in ``native/`` (~40x the pure
+        Python rate on this host — the device encoder outruns the Python
+        tokenizer by 7-13x otherwise, ROOFLINE r4). Rows containing any
+        non-ASCII byte, and environments where the native build is
+        unavailable, fall back to the Python implementation; for ASCII
+        input both paths are differentially tested equal.
+        """
+        import numpy as np
+
+        texts = list(texts)
+        h = self._native_handle()
+        if h is None or not texts:
+            return self._encode_batch_py(texts, max_length)
+        import ctypes
+        import os
+
+        from .native_tokenizer import get_lib
+
+        lib = get_lib()
+        n = len(texts)
+        data = [t.encode("utf-8") for t in texts]
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum([len(d) for d in data], out=offs[1:])
+        blob = b"".join(data)
+        ids = np.full((n, max_length), self.pad_id, dtype=np.int32)
+        mask = np.zeros((n, max_length), dtype=np.int32)
+        ok = np.zeros(n, dtype=np.uint8)
+        lib.wp_encode_batch(
+            h, blob, offs.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+            n, max_length,
+            ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            mask.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            ok.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            os.cpu_count() or 1,
+        )
+        for i in np.nonzero(ok == 0)[0]:  # non-ASCII rows: Python path
+            e = self.encode(texts[i], max_length=max_length)
+            ids[i, : len(e.ids)] = e.ids
+            mask[i, : len(e.ids)] = 1
+        ln = max(int(mask.sum(axis=1).max()), 1)
+        return (
+            np.ascontiguousarray(ids[:, :ln]),
+            np.ascontiguousarray(mask[:, :ln]),
+        )
+
+    def _encode_batch_py(self, texts, max_length):
         import numpy as np
 
         encs = [self.encode(t, max_length=max_length) for t in texts]
@@ -234,6 +281,35 @@ class WordPieceTokenizer:
             ids[i, : len(e.ids)] = e.ids
             mask[i, : len(e.ids)] = 1
         return ids, mask
+
+    def _native_handle(self):
+        """Lazy per-instance C++ vocab handle; None when unavailable."""
+        cached = getattr(self, "_wp_handle", None)
+        if cached is not None:
+            return cached or None  # False sentinel -> None
+        try:
+            from .native_tokenizer import create_handle
+
+            self._wp_handle = create_handle(self)
+        except Exception as e:
+            import logging
+
+            logging.getLogger("latentrag.data").info(
+                "native tokenizer unavailable (%s); using the Python path",
+                e,
+            )
+            self._wp_handle = False
+        return self._wp_handle or None
+
+    def __del__(self):  # release the C++ vocab (guarded: interp shutdown)
+        h = getattr(self, "_wp_handle", None)
+        if h:
+            try:
+                from .native_tokenizer import free_handle
+
+                free_handle(h)
+            except Exception:
+                pass
 
     def decode_tokens(self, ids: Sequence[int]) -> list[str]:
         return [self.inv_vocab.get(i, UNK) for i in ids]

@@ -30,7 +30,7 @@ _LIB_PATH = os.path.join(_NATIVE_DIR, "liblatentrag_native.so")
 _lib = None
 
 
-ABI_VERSION = 5  # must match latentrag_abi_version() in the C++
+ABI_VERSION = 6  # must match latentrag_abi_version() in the C++
 
 
 def _load_library() -> ctypes.CDLL:

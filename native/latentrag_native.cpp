@@ -27,7 +27,9 @@
 #include <mutex>
 #include <queue>
 #include <random>
+#include <string>
 #include <thread>
+#include <unordered_map>
 #include <vector>
 
 namespace {
@@ -681,6 +683,126 @@ struct IVFPQ {
     }
 };
 
+// --------------------------------------------------------------- WordPiece
+// ASCII fast path for WordPiece encode_batch (data/tokenizer.py). The
+// device encoder now runs 17-32k sentences/s; the pure-Python tokenizer
+// measures ~2.4k/s on this host — the end-to-end bottleneck (ROOFLINE r4).
+// The reference outsources this to HF fast tokenizers (Rust,
+// utils/chunk_utils.py:114-121 — SURVEY §2.4 item 4 prescribes a C++
+// WordPiece). Semantics contract: for PURE-ASCII text this reproduces the
+// Python implementation EXACTLY (ASCII never NFD-decomposes, its only Zs
+// is space, its controls are caught by the <32/127 ranges, tolower is the
+// full lowercase map) — any text containing a non-ASCII byte is left to
+// the Python path (ascii_ok[i] = 0), so parity is structural, not
+// approximate. Offsets are not produced here; the chunkers keep the
+// Python offset-mapped encode().
+
+struct WPVocab {
+    // word-initial pieces and ##continuation pieces (## stripped)
+    std::unordered_map<std::string, int> full, cont;
+    int pad_id, unk_id, cls_id, sep_id;
+    int max_word_chars;
+    bool lowercase;
+};
+
+namespace wp {
+
+inline bool is_ws(unsigned char c) {
+    return c == ' ' || c == '\t' || c == '\n' || c == '\r';
+}
+inline bool is_ctrl(unsigned char c) {
+    if (c == '\t' || c == '\n' || c == '\r') return false;
+    return c < 32 || c == 127;
+}
+inline bool is_punct(unsigned char c) {
+    return (c >= 33 && c <= 47) || (c >= 58 && c <= 64) ||
+           (c >= 91 && c <= 96) || (c >= 123 && c <= 126);
+}
+
+// greedy longest-match-first WordPiece of ``word``; appends piece ids to
+// ``out``. Returns false if unencodable (caller emits one UNK).
+inline bool wordpiece(const WPVocab& v, const std::string& word,
+                      std::vector<int>& out) {
+    if ((int)word.size() > v.max_word_chars) return false;
+    size_t n0 = out.size();
+    size_t start = 0;
+    while (start < word.size()) {
+        size_t end = word.size();
+        int id = -1;
+        while (start < end) {
+            const std::string sub = word.substr(start, end - start);
+            const auto& m = start > 0 ? v.cont : v.full;
+            auto it = m.find(sub);
+            if (it != m.end()) {
+                id = it->second;
+                break;
+            }
+            --end;
+        }
+        if (id < 0) {
+            out.resize(n0);
+            return false;
+        }
+        out.push_back(id);
+        start = end;
+    }
+    return true;
+}
+
+// encode one ASCII text: [CLS] + body (whole-word truncation at
+// max_length-2, mirroring Python's break-on-budget) + [SEP]
+inline int encode_ascii(const WPVocab& v, const char* s, size_t len,
+                        int max_length, int* ids, int* mask) {
+    std::vector<int> toks;
+    toks.reserve(max_length);
+    toks.push_back(v.cls_id);
+    const int budget = max_length - 2;
+    std::string word;
+    std::vector<int> pieces;
+    auto flush_word = [&]() -> bool {  // false = budget hit, stop
+        if (word.empty()) return true;
+        pieces.clear();
+        if (!wordpiece(v, word, pieces)) {
+            pieces.assign(1, v.unk_id);
+        }
+        if ((int)(toks.size() - 1 + pieces.size()) > budget) return false;
+        toks.insert(toks.end(), pieces.begin(), pieces.end());
+        word.clear();
+        return true;
+    };
+    bool open = true;
+    for (size_t i = 0; i < len && open; ++i) {
+        unsigned char c = (unsigned char)s[i];
+        if (c == 0 || is_ctrl(c)) continue;
+        if (is_ws(c)) {
+            open = flush_word();
+            if (open) word.clear();
+            continue;
+        }
+        char nc = v.lowercase && c >= 'A' && c <= 'Z' ? (char)(c + 32)
+                                                      : (char)c;
+        if (is_punct(c)) {
+            open = flush_word();
+            if (!open) break;
+            word.assign(1, nc);
+            open = flush_word();
+            if (open) word.clear();
+            continue;
+        }
+        word.push_back(nc);
+    }
+    if (open) flush_word();
+    toks.push_back(v.sep_id);
+    int n = (int)toks.size();
+    for (int i = 0; i < n; ++i) {
+        ids[i] = toks[i];
+        mask[i] = 1;
+    }
+    return n;
+}
+
+}  // namespace wp
+
 }  // namespace
 
 // ------------------------------------------------------------- C ABI layer
@@ -689,7 +811,77 @@ extern "C" {
 
 // bump whenever any exported signature or on-disk format changes; the
 // ctypes wrapper refuses to run against a mismatched build
-int latentrag_abi_version(void) { return 5; }
+int latentrag_abi_version(void) { return 6; }
+
+// --- WordPiece fast path ------------------------------------------------
+
+// vocab_blob: concatenated utf-8 tokens; offs: n_tokens+1 byte offsets.
+// Token index == vocab id (the Python vocab dict is id-dense).
+void* wp_create(const char* vocab_blob, const long long* offs, int n_tokens,
+                int pad_id, int unk_id, int cls_id, int sep_id,
+                int lowercase, int max_word_chars) {
+    auto* v = new WPVocab();
+    v->pad_id = pad_id;
+    v->unk_id = unk_id;
+    v->cls_id = cls_id;
+    v->sep_id = sep_id;
+    v->lowercase = lowercase != 0;
+    v->max_word_chars = max_word_chars;
+    v->full.reserve((size_t)n_tokens);
+    for (int i = 0; i < n_tokens; ++i) {
+        const char* b = vocab_blob + offs[i];
+        size_t len = (size_t)(offs[i + 1] - offs[i]);
+        if (len >= 2 && b[0] == '#' && b[1] == '#') {
+            if (len > 2) v->cont.emplace(std::string(b + 2, len - 2), i);
+        } else if (len > 0) {
+            v->full.emplace(std::string(b, len), i);
+        }
+    }
+    return v;
+}
+
+void wp_free(void* p) { delete static_cast<WPVocab*>(p); }
+
+// texts: blob + n_texts+1 byte offsets. out_ids/out_mask: [n_texts *
+// max_length], caller-prefilled with pad_id / 0. ascii_ok[i] is set to 1
+// when row i was encoded here, 0 when the text contains a non-ASCII byte
+// (caller falls back to the Python path for that row).
+void wp_encode_batch(void* p, const char* blob, const long long* offs,
+                     int n_texts, int max_length, int* out_ids,
+                     int* out_mask, unsigned char* ascii_ok, int nthreads) {
+    auto* v = static_cast<WPVocab*>(p);
+    auto body = [&](int i) {
+        const char* s = blob + offs[i];
+        size_t len = (size_t)(offs[i + 1] - offs[i]);
+        for (size_t j = 0; j < len; ++j) {
+            if ((unsigned char)s[j] >= 0x80) {
+                ascii_ok[i] = 0;
+                return;
+            }
+        }
+        ascii_ok[i] = 1;
+        wp::encode_ascii(*v, s, len, max_length,
+                         out_ids + (size_t)i * max_length,
+                         out_mask + (size_t)i * max_length);
+    };
+    if (nthreads <= 1 || n_texts < 64) {
+        for (int i = 0; i < n_texts; ++i) body(i);
+        return;
+    }
+    std::atomic<int> next{0};
+    auto worker = [&] {
+        for (;;) {
+            int i = next.fetch_add(1);
+            if (i >= n_texts) break;
+            body(i);
+        }
+    };
+    std::vector<std::thread> pool;
+    int nt = std::min(nthreads, n_texts);
+    pool.reserve(nt);
+    for (int t = 0; t < nt; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+}
 
 void* hnsw_new(int dim, int M, int ef_construction, unsigned seed) {
     auto* h = new HNSW();

@@ -203,3 +203,59 @@ def test_hf_differential_fuzz(tmp_path):
         assert enc.offsets[1:-1] == [
             tuple(o) for o in h["offset_mapping"][1:-1]
         ], repr(text)
+
+
+class TestNativeFastPath:
+    """C++ ASCII WordPiece (native/latentrag_native.cpp wp_*): exact
+    parity with the Python path on ASCII; non-ASCII rows fall back."""
+
+    CASES = [
+        "", "   ", "plain ascii words here",
+        "hello,world!!and--more...punct", "MiXeD CaSe TEXT",
+        "tab\tsep\nnewline\rcr", "x" * 99, "y" * 101,  # max_word_chars edge
+        "word " * 500,  # truncation
+        "digits 1234 and 5,678.90 mixed in",
+        "[CLS] literal specials [SEP]",  # punct-split, never special
+        "Café naïve résumé",  # non-ASCII -> Python fallback row
+        "mixed ascii then café",
+        "\x00null\x01ctrl chars\x7f",
+    ]
+
+    def test_differential_vs_python(self, tok):
+        if tok._native_handle() is None:
+            pytest.skip("native library unavailable")
+        for ml in (8, 32, 64, 256):
+            i1, m1 = tok.encode_batch(self.CASES, max_length=ml)
+            i2, m2 = tok._encode_batch_py(self.CASES, ml)
+            np.testing.assert_array_equal(i1, i2)
+            np.testing.assert_array_equal(m1, m2)
+
+    def test_differential_fuzz(self, tok):
+        if tok._native_handle() is None:
+            pytest.skip("native library unavailable")
+        rng = np.random.default_rng(7)
+        alphabet = list("abcdefgh qu.ick!bro,wn ZQX 01")
+        texts = [
+            "".join(rng.choice(alphabet, size=rng.integers(0, 120)))
+            for _ in range(300)
+        ]
+        i1, m1 = tok.encode_batch(texts, max_length=48)
+        i2, m2 = tok._encode_batch_py(texts, 48)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_array_equal(m1, m2)
+
+    def test_vocab_file_parity(self, tmp_path):
+        # from_vocab_file path (BERT vocab.txt layout) drives C++ too
+        chars = "abcdefghijklmnopqrstuvwxyz"
+        vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+        vocab += list(chars) + [f"##{c}" for c in chars] + ["hello", "##llo"]
+        p = tmp_path / "vocab.txt"
+        p.write_text("\n".join(vocab) + "\n")
+        t = WordPieceTokenizer.from_vocab_file(str(p))
+        if t._native_handle() is None:
+            pytest.skip("native library unavailable")
+        texts = ["hello fellow", "abc xyz hello"]
+        i1, m1 = t.encode_batch(texts, max_length=16)
+        i2, m2 = t._encode_batch_py(texts, 16)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_array_equal(m1, m2)
