@@ -32,6 +32,13 @@ def get_lib():
         ctypes.c_int, ctypes.c_int,
     ]
     lib.wp_free.argtypes = [ctypes.c_void_p]
+    lib.wp_encode_offsets.restype = ctypes.c_int
+    lib.wp_encode_offsets.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_longlong,
+        ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+    ]
     lib.wp_encode_batch.restype = None
     lib.wp_encode_batch.argtypes = [
         ctypes.c_void_p, ctypes.c_char_p, llp, ctypes.c_int, ctypes.c_int,
@@ -73,3 +80,28 @@ def create_handle(tok) -> int:
 
 def free_handle(h) -> None:
     get_lib().wp_free(h)
+
+
+def encode_offsets(h, text: str, add_specials: bool, max_length):
+    """(ids, starts, ends) via C++, or None when the text has non-ASCII
+    bytes (caller uses the Python path). Raises only on binding errors."""
+    lib = get_lib()
+    data = text.encode("utf-8")
+    cap = (max_length if max_length else len(data) + 2) + 2
+    ip = ctypes.POINTER(ctypes.c_int)
+    while True:
+        ids = np.empty(cap, dtype=np.int32)
+        starts = np.empty(cap, dtype=np.int32)
+        ends = np.empty(cap, dtype=np.int32)
+        n = lib.wp_encode_offsets(
+            h, data, len(data), 1 if add_specials else 0,
+            max_length or 0,
+            ids.ctypes.data_as(ip), starts.ctypes.data_as(ip),
+            ends.ctypes.data_as(ip), cap,
+        )
+        if n == -1:
+            return None
+        if n == -2:  # cap too small (cannot normally happen: tokens<=chars)
+            cap *= 2
+            continue
+        return ids[:n], starts[:n], ends[:n]

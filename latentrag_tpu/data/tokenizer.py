@@ -177,6 +177,26 @@ class WordPieceTokenizer:
         add_special_tokens: bool = True,
         max_length: int | None = None,
     ) -> Encoding:
+        # C++ fast path for ASCII (exact parity, differential-tested);
+        # the Python body below stays the offset-mapped reference and
+        # handles Unicode
+        if text.isascii():
+            h = self._native_handle()
+            if h is not None:
+                from .native_tokenizer import encode_offsets
+
+                out = encode_offsets(h, text, add_special_tokens, max_length)
+                if out is not None:
+                    nids, starts, ends = out
+                    return Encoding(
+                        ids=nids.tolist(),
+                        tokens=[
+                            self.inv_vocab.get(i, UNK) for i in nids.tolist()
+                        ],
+                        offsets=list(
+                            zip(starts.tolist(), ends.tolist())
+                        ),
+                    )
         ids: list[int] = []
         tokens: list[str] = []
         offsets: list[tuple[int, int]] = []

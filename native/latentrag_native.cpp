@@ -749,6 +749,115 @@ inline bool wordpiece(const WPVocab& v, const std::string& word,
     return true;
 }
 
+// offset-mapped variant of the greedy match: emits (id, piece_char_len)
+// so the caller can compute original-text spans via the word's
+// original-index map (exactly Python encode()'s span arithmetic)
+inline bool wordpiece_spans(const WPVocab& v, const std::string& word,
+                            std::vector<std::pair<int, int>>& out) {
+    if ((int)word.size() > v.max_word_chars) return false;
+    size_t n0 = out.size();
+    size_t start = 0;
+    while (start < word.size()) {
+        size_t end = word.size();
+        int id = -1;
+        while (start < end) {
+            const std::string sub = word.substr(start, end - start);
+            const auto& m = start > 0 ? v.cont : v.full;
+            auto it = m.find(sub);
+            if (it != m.end()) {
+                id = it->second;
+                break;
+            }
+            --end;
+        }
+        if (id < 0) {
+            out.resize(n0);
+            return false;
+        }
+        out.emplace_back(id, (int)(end - start));
+        start = end;
+    }
+    return true;
+}
+
+// offset-mapped single-text encode (the chunkers' contract): token ids +
+// [start, end) char spans into the ORIGINAL text. Control chars are
+// skipped but their positions preserved via the per-char index map, so
+// spans land on original indices exactly like the Python path. Returns
+// token count, or -2 when cap is too small (caller grows).
+inline int encode_offsets_ascii(const WPVocab& v, const char* s, size_t len,
+                                bool add_specials, int max_length,
+                                int* ids, int* starts, int* ends, int cap) {
+    int n = 0;
+    auto push = [&](int id, int st, int en) -> bool {
+        if (n >= cap) return false;
+        ids[n] = id;
+        starts[n] = st;
+        ends[n] = en;
+        ++n;
+        return true;
+    };
+    if (add_specials && !push(v.cls_id, 0, 0)) return -2;
+    const long long budget =
+        max_length > 0 ? (long long)max_length - (add_specials ? 2 : 0)
+                       : (long long)1 << 60;
+    std::string word;
+    std::vector<int> idxs;  // original index of each normalized char
+    std::vector<std::pair<int, int>> pieces;
+    bool open = true, overflow = false;
+    auto flush_word = [&]() {
+        if (word.empty()) return;
+        pieces.clear();
+        bool enc = wordpiece_spans(v, word, pieces);
+        long long body = n - (add_specials ? 1 : 0);
+        long long npieces = enc ? (long long)pieces.size() : 1;
+        if (body + npieces > budget) {
+            open = false;
+            return;
+        }
+        if (!enc) {
+            if (!push(v.unk_id, idxs.front(), idxs.back() + 1))
+                overflow = true;
+        } else {
+            size_t pos = 0;
+            for (auto& [id, plen] : pieces) {
+                size_t last = std::min(pos + (size_t)plen, word.size()) - 1;
+                if (!push(id, idxs[pos], idxs[last] + 1)) {
+                    overflow = true;
+                    break;
+                }
+                pos += (size_t)plen;
+            }
+        }
+        word.clear();
+        idxs.clear();
+    };
+    for (size_t i = 0; i < len && open && !overflow; ++i) {
+        unsigned char c = (unsigned char)s[i];
+        if (c == 0 || is_ctrl(c)) continue;
+        if (is_ws(c)) {
+            flush_word();
+            continue;
+        }
+        char nc = v.lowercase && c >= 'A' && c <= 'Z' ? (char)(c + 32)
+                                                      : (char)c;
+        if (is_punct(c)) {
+            flush_word();
+            if (!open || overflow) break;
+            word.assign(1, nc);
+            idxs.assign(1, (int)i);
+            flush_word();
+            continue;
+        }
+        word.push_back(nc);
+        idxs.push_back((int)i);
+    }
+    if (open && !overflow) flush_word();
+    if (add_specials && !overflow)
+        overflow = !push(v.sep_id, (int)len, (int)len);
+    return overflow ? -2 : n;
+}
+
 // encode one ASCII text: [CLS] + body (whole-word truncation at
 // max_length-2, mirroring Python's break-on-budget) + [SEP]
 inline int encode_ascii(const WPVocab& v, const char* s, size_t len,
@@ -841,6 +950,20 @@ void* wp_create(const char* vocab_blob, const long long* offs, int n_tokens,
 }
 
 void wp_free(void* p) { delete static_cast<WPVocab*>(p); }
+
+// offset-mapped single-text encode (the chunkers' path). Returns the
+// token count; -1 = text contains non-ASCII bytes (caller uses the
+// Python path); -2 = cap too small (caller grows and retries).
+int wp_encode_offsets(void* p, const char* s, long long len,
+                      int add_specials, int max_length, int* out_ids,
+                      int* out_starts, int* out_ends, int cap) {
+    auto* v = static_cast<WPVocab*>(p);
+    for (long long j = 0; j < len; ++j)
+        if ((unsigned char)s[j] >= 0x80) return -1;
+    return wp::encode_offsets_ascii(*v, s, (size_t)len, add_specials != 0,
+                                    max_length, out_ids, out_starts,
+                                    out_ends, cap);
+}
 
 // texts: blob + n_texts+1 byte offsets. out_ids/out_mask: [n_texts *
 // max_length], caller-prefilled with pad_id / 0. ascii_ok[i] is set to 1

@@ -259,3 +259,27 @@ class TestNativeFastPath:
         i2, m2 = t._encode_batch_py(texts, 16)
         np.testing.assert_array_equal(i1, i2)
         np.testing.assert_array_equal(m1, m2)
+
+    def test_offsets_differential_vs_python(self, tok):
+        """encode() (the chunkers' offset-mapped contract) through the C++
+        path: ids, tokens AND offsets equal the Python reference."""
+        h = tok._native_handle()
+        if h is None:
+            pytest.skip("native library unavailable")
+        cases = [
+            "", "   ", "a,b!c mixed", "x" * 99, "y" * 101, "word " * 300,
+            "tab\tsep\nnl", "CTRL\x01chars\x7fhere", "ab\x01cd",
+            "The quick brown fox; jumps, over!? the lazy dog.",
+        ]
+        for text in cases:
+            for sp in (True, False):
+                for ml in (None, 8, 48):
+                    tok._wp_handle = False  # force the Python reference
+                    ref = tok.encode(text, add_special_tokens=sp,
+                                     max_length=ml)
+                    tok._wp_handle = h
+                    got = tok.encode(text, add_special_tokens=sp,
+                                     max_length=ml)
+                    assert got.ids == ref.ids
+                    assert got.tokens == ref.tokens
+                    assert got.offsets == ref.offsets
