@@ -8,6 +8,7 @@ line out. Protocol:
   {"query": "...", "k": 5, "generate": true} -> retrieval + LLM answer
   {"queries": ["...", "..."], "k": 5}       -> one batched device call
   {"add": {"texts": ["..."], "doc_ids": [..]}} -> incremental index growth
+  {"stats": true[, "reset": true]}          -> serving stats + index info
 
 Boot modes: when ``retrieval.index_path`` holds a loadable persisted index,
 the server WARM-boots from it — texts + vectors come straight off disk and
@@ -138,6 +139,17 @@ def main(argv=None) -> int:
             continue
         try:
             req = json.loads(line)
+            if req.get("stats"):
+                st = retriever.get_stats(reset=bool(req.get("reset")))
+                out = {
+                    "stats": st,
+                    "n_docs": len(retriever.texts),
+                    "boot": mode,
+                    "ae_type": runner.ae_type,
+                    "dim": compressor.output_dim,
+                }
+                print(json.dumps(out), flush=True)
+                continue
             if "add" in req:
                 spec = req["add"]
                 texts = spec.get("texts")

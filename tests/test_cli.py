@@ -228,6 +228,30 @@ def test_serve_add_protocol_grows_index(tmp_path, capsys):
     assert "error" in lines[2]  # empty add rejected
 
 
+def test_serve_stats_protocol(tmp_path, capsys):
+    import serve
+
+    payload = (
+        json.dumps({"query": "telescopes", "k": 2}) + "\n"
+        + json.dumps({"stats": True, "reset": True}) + "\n"
+        + json.dumps({"stats": True}) + "\n"
+    )
+    with patch.object(sys, "stdin", io.StringIO(payload)):
+        assert serve.main(
+            ["--ae_type", "none", "--set"] + _overrides(tmp_path)
+            + ["retrieval.index_path="]
+        ) == 0
+    lines = [
+        json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+        if line.strip()
+    ]
+    st = lines[1]
+    assert st["boot"] == "cold" and st["n_docs"] > 0 and st["dim"] == 32
+    assert st["stats"]["search_calls"] == 1  # the one query above
+    assert lines[2]["stats"]["search_calls"] == 0  # reset took effect
+
+
 def test_main_profile_flag_writes_trace(tmp_path):
     from main import main
 
