@@ -269,12 +269,16 @@ class WordPieceTokenizer:
         offs = np.zeros(n + 1, dtype=np.int64)
         np.cumsum([len(d) for d in data], out=offs[1:])
         blob = b"".join(data)
-        ids = np.full((n, max_length), self.pad_id, dtype=np.int32)
-        mask = np.zeros((n, max_length), dtype=np.int32)
+        # CLS+SEP always emit, so rows are >= 2 tokens wide even under
+        # max_length < 2 (the Python path behaves the same); the buffer
+        # stride must cover them or rows would overrun each other
+        stride = max(max_length, 2)
+        ids = np.full((n, stride), self.pad_id, dtype=np.int32)
+        mask = np.zeros((n, stride), dtype=np.int32)
         ok = np.zeros(n, dtype=np.uint8)
         lib.wp_encode_batch(
             h, blob, offs.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
-            n, max_length,
+            n, stride,
             ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
             mask.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
             ok.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),

@@ -71,6 +71,8 @@ class ANNRetriever:
         embeddings: np.ndarray,
         texts: Sequence[str],
         doc_ids: Sequence | None = None,
+        embedding_model: str | None = None,
+        ae_type: str | None = None,
         **_: object,
     ) -> None:
         emb = np.ascontiguousarray(embeddings, dtype=np.float32)
@@ -82,6 +84,11 @@ class ANNRetriever:
         )
         mode = self._resolved_build_mode()
         fp = self._fingerprint(emb, mode)
+        # encoder/AE provenance rides the fingerprint (same discipline as
+        # the dense tier): a warm boot under a different encoder or
+        # autoencoder must refuse to serve this index
+        fp["embedding_model"] = embedding_model
+        fp["ae_type"] = ae_type
         t0 = time.perf_counter()
         if self._try_load(fp):
             if self.kind == "ivfpq" and self._refine > 1:
@@ -316,21 +323,33 @@ class ANNRetriever:
             # texts/doc_ids ride the sidecar (the dense tier's meta.json
             # convention) so ``load_persisted`` can serve without the
             # original corpus; the refine corpus persists as its own npy
-            # (mmap-loaded on warm boot — only candidate rows are read)
+            # (mmap-loaded on warm boot — only candidate rows are read).
+            # Both write tmp-then-rename so a crash mid-write can never
+            # destroy the previously valid sidecar. Note add() persistence
+            # is O(corpus) disk I/O per call (same convention as the dense
+            # tier's corpus.npy rewrite) — batch adds where that matters.
             if self._refine_emb is not None:
-                np.save(path + ".refine.npy", self._refine_emb)
-            with open(path + ".meta.json", "w") as f:
+                np.save(path + ".refine.npy.tmp.npy", self._refine_emb)
+                os.replace(path + ".refine.npy.tmp.npy",
+                           path + ".refine.npy")
+            tmp = path + ".meta.json.tmp"
+            with open(tmp, "w") as f:
                 json.dump({"fingerprint": fp, "texts": self.texts,
                            "doc_ids": self.doc_ids}, f)
+            os.replace(tmp, path + ".meta.json")
         except OSError as e:  # persistence is best-effort, search still works
             log.warning("could not persist %s index to %s: %s", self.kind,
                         path, e)
 
-    def load_persisted(self) -> bool:
+    def load_persisted(self, expect: dict | None = None) -> bool:
         """Warm boot: load index + texts/doc_ids straight from disk with NO
         embeddings in hand (so no digest verification — the caller trusts
-        the store it pointed at). Returns False when the store is absent,
-        unreadable, or predates texts-in-meta persistence."""
+        the store it pointed at). ``expect`` maps fingerprint keys
+        (``embedding_model``, ``ae_type``, ...) to the values the caller
+        serves with; a stored value of None (legacy store) is a wildcard,
+        a stored contradiction refuses the warm boot. Returns False when
+        the store is absent, unreadable, provenance-contradicted, or
+        predates texts-in-meta persistence."""
         import json
         import os
 
@@ -349,6 +368,15 @@ class ANNRetriever:
                     "cold boot required", self.kind, path,
                 )
                 return False
+            fp = meta.get("fingerprint") or {}
+            for key, want in (expect or {}).items():
+                have = fp.get(key)
+                if have is not None and have != want:
+                    log.warning(
+                        "%s store %s=%r contradicts requested %r; warm "
+                        "boot refused", path, key, have, want,
+                    )
+                    return False
             if self.kind == "hnsw":
                 self._index = HNSWIndex.load(
                     path, ef_search=self.cfg.hnsw_ef_search
@@ -410,37 +438,20 @@ class ANNRetriever:
 
     def _search_ivfpq_refined(self, q: np.ndarray, k: int):
         """Two-stage IVF-PQ: oversampled ADC candidates -> exact fp32
-        rescore -> re-sort. Empty slots (id -1) are masked and can never
-        displace real candidates; outputs keep the -1 sentinel when fewer
-        than k candidates exist."""
+        rescore -> re-sort (``retrieval.rescore`` — shared with the binary
+        tier's stage 2). Empty slots (id -1) are masked and can never
+        displace real candidates; outputs keep the -inf/-1 sentinels when
+        fewer than k candidates exist."""
+        from .rescore import exact_rescore_topk
+
         n = self._refine_emb.shape[0]
         k1 = min(self._refine * k, n)
         _, cand = self._index.search(q, k1, nprobe=self._nprobe)
-        valid = cand >= 0
-        rows = self._refine_emb[np.where(valid, cand, 0)]  # [Q, k1, d]
-        exact = np.einsum("qd,qkd->qk", q, rows.astype(np.float32))
-        if self.cfg.metric == "euclidean":
-            q_sq = np.sum(q * q, axis=1, keepdims=True)
-            c_sq = np.sum(rows * rows, axis=2)
-            exact = 2.0 * exact - c_sq - q_sq  # -||q-c||^2, higher=better
-        exact = np.where(valid, exact, -np.inf)
-        k_out = min(k, k1)
-        sel = np.argpartition(-exact, k_out - 1, axis=1)[:, :k_out]
-        ssel = np.take_along_axis(exact, sel, axis=1)
-        order = np.argsort(-ssel, axis=1)
-        scores = np.take_along_axis(ssel, order, axis=1).astype(np.float32)
-        ids = np.take_along_axis(
-            np.take_along_axis(cand, sel, axis=1), order, axis=1
+        return exact_rescore_topk(
+            q, lambda idx: self._refine_emb[idx], cand, k,
+            metric=self.cfg.metric if self.cfg.metric == "euclidean"
+            else "dot",
         )
-        # keep -inf for empty slots — same sentinel convention as the plain
-        # IVF-PQ and HNSW paths, so callers merging/thresholding raw scores
-        # can never rank an (id -1) slot above a genuine negative-score hit
-        ids = np.where(np.isfinite(scores), ids, -1)
-        if k_out < k:  # pad to the requested width with sentinels
-            pad = ((0, 0), (0, k - k_out))
-            scores = np.pad(scores, pad, constant_values=-np.inf)
-            ids = np.pad(ids, pad, constant_values=-1)
-        return scores, ids.astype(np.int32)
 
     def retrieve(self, query_emb: np.ndarray, top_k: int = 5):
         q = np.asarray(query_emb, dtype=np.float32)

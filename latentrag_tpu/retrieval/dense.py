@@ -439,8 +439,12 @@ class DenseRetriever:
                 # stage 1 sharded: packed sign bits row-sharded over the
                 # mesh ([N/P, d/32] — the same layout as the SQ8 tier),
                 # per-shard asymmetric scoring with the P-1 over-candidate
-                # discipline, one all-gather of [P, Q, ok] candidates
-                key = (ok, "binary")
+                # discipline, one all-gather of [P, Q, ok] candidates.
+                # rt is part of the key: ok can clamp at _corpus_n for
+                # DIFFERENT requested k (hence different auto-policy rt),
+                # so (ok,) alone would serve one regime's program to the
+                # other
+                key = (ok, "binary", rt)
                 fn = self._sharded_cache.get(key)
                 if fn is None:
                     fn = self._make_sharded(
@@ -460,30 +464,18 @@ class DenseRetriever:
                     block_size=self.block_size,
                     recall_target=rt,
                 )
-            # stage 2 on host: gather + exact SQ8 rescore of the tiny
-            # candidate set (Q x ok x D flops) — keeps HBM = packed bits.
-            # The sharded stage 1 can emit -1 sentinels (shards smaller
-            # than their local candidate quota); mask them to -inf so they
-            # never displace genuine candidates.
-            cand = np.asarray(cand)
-            valid = cand >= 0
-            rows = self._rescore_host[np.where(valid, cand, 0)].astype(
-                np.float32
+            # stage 2 on host: exact SQ8 rescore of the tiny candidate set
+            # (Q x ok x D flops) — keeps HBM = packed bits. Shared with
+            # the IVF-PQ refinement stage; -1 sentinels from the sharded
+            # stage 1 are masked there.
+            from .rescore import exact_rescore_topk
+
+            return exact_rescore_topk(
+                np.asarray(q_prepared, dtype=np.float32),
+                lambda idx: self._rescore_host[idx],
+                np.asarray(cand), k,
+                metric="dot", scale=float(self._corpus_scale),
             )
-            qf = np.asarray(q_prepared, dtype=np.float32)
-            dots = np.einsum("qd,qkd->qk", qf, rows) * float(
-                self._corpus_scale
-            )
-            dots = np.where(valid, dots, -np.inf)
-            k_out = min(k, ok)
-            sel = np.argpartition(-dots, k_out - 1, axis=1)[:, :k_out]
-            ssel = np.take_along_axis(dots, sel, axis=1)
-            order = np.argsort(-ssel, axis=1)
-            out_s = np.take_along_axis(ssel, order, axis=1)
-            out_i = np.take_along_axis(
-                np.take_along_axis(cand, sel, axis=1), order, axis=1
-            )
-            return out_s, np.where(np.isfinite(out_s), out_i, -1)
         if self._corpus_scale is not None and self.mesh is None:  # int8 store
             from ..ops.quantization import sq8_topk
 

@@ -35,7 +35,10 @@ def build_retriever(
         from .ann_retriever import ANNRetriever
 
         ann = ANNRetriever(cfg, cfg.backend)
-        ann.build(embeddings, texts, doc_ids)
+        ann.build(
+            embeddings, texts, doc_ids,
+            embedding_model=embedding_model, ae_type=ae_type,
+        )
         return ann
 
     return _dense_retriever(
@@ -68,7 +71,7 @@ def load_retriever(
         from .ann_retriever import ANNRetriever
 
         ann = ANNRetriever(cfg, cfg.backend)
-        return ann if ann.load_persisted() else None
+        return ann if ann.load_persisted(expect=expect) else None
     backend = {
         "dense": cfg.kernel,
         "bruteforce": "xla_exact",

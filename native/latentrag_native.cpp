@@ -969,6 +969,9 @@ int wp_encode_offsets(void* p, const char* s, long long len,
 // max_length], caller-prefilled with pad_id / 0. ascii_ok[i] is set to 1
 // when row i was encoded here, 0 when the text contains a non-ASCII byte
 // (caller falls back to the Python path for that row).
+// CONTRACT: max_length (the row stride) must be >= 2 — CLS+SEP always
+// emit, so a 1-wide row would overrun into its neighbour. The Python
+// wrapper allocates max(max_length, 2) and slices afterwards.
 void wp_encode_batch(void* p, const char* blob, const long long* offs,
                      int n_texts, int max_length, int* out_ids,
                      int* out_mask, unsigned char* ascii_ok, int nthreads) {

@@ -173,29 +173,36 @@ def main(argv=None) -> int:
     # msmarco_v5e8 configuration's quantized tier measured for real
     # (on-chip only; the mesh path above is its CPU dryrun)
     if args.scale8m:
-        from latentrag_tpu.retrieval.dense import DenseRetriever
+        # everything stays ON DEVICE (CLAUDE.md: host<->device transfers
+        # crawl through the relay; generate + quantize + search on chip,
+        # fetch only the [1024, 10] result ids)
+        from latentrag_tpu.ops.quantization import sq8_quantize, sq8_topk
 
         n8 = 8_841_823
         lat8 = l2_normalize(jax.random.normal(
-            jax.random.PRNGKey(2), (n8, 64), jnp.bfloat16))
+            jax.random.PRNGKey(2), (n8, 64), jnp.float32))
         src8 = np.arange(1024) * (n8 // 1024)
         q8 = l2_normalize(
-            lat8[src8].astype(jnp.float32)
-            + 0.05 * jax.random.normal(  # ~0.93 cosine to source
+            lat8[np.asarray(src8)]
+            + 0.05 * jax.random.normal(  # ~0.96 cosine to source
                 jax.random.PRNGKey(3), (1024, 64), jnp.float32)
         )
-        r8 = DenseRetriever(backend="xla", store_dtype="int8")
-        r8.build(np.asarray(lat8, dtype=np.float32),
-                 [""] * n8, sanity_check=False)
-        _, i8 = r8.search(np.asarray(q8), 10)  # warm + compile
+        codes8, scale8 = sq8_quantize(lat8)
+        del lat8  # free the fp32 corpus before the search allocates
+        _, i8 = sq8_topk(q8, codes8, scale8, k=10, recall_target=0.95)
+        i8 = np.asarray(i8)  # warm + compile + fetch
         m8 = evaluate_retrieval([r.tolist() for r in i8], src8.tolist())
-        t0 = _time.perf_counter()
         reps8 = 5
+        t0 = _time.perf_counter()
         for _ in range(reps8):
-            s8, i8 = r8.search(np.asarray(q8), 10)
+            s8, _ = sq8_topk(q8, codes8, scale8, k=10, recall_target=0.95)
+        np.asarray(s8[0, 0])  # force completion through the relay
         qps8 = 1024 * reps8 / (_time.perf_counter() - t0)
         m8["QPS"] = {"mean": qps8, "std": 0.0}
-        rows.append(("6. msmarco-scale 8.8Mx64 SQ8 one chip", m8))
+        rows.append((
+            "6. msmarco-scale 8.8Mx64 SQ8 one chip (host-dispatched QPS)",
+            m8,
+        ))
 
     print(f"\n# BASELINE.json reproduction configs — dataset "
           f"{args.dataset}, encoder {h}-d (trained offline)\n")

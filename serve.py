@@ -76,6 +76,10 @@ def boot(cfg, args, loggers):
                 dim, compressor.output_dim,
             )
             retriever = None
+            # the compressor above may carry a tokenizer trained on the
+            # STALE store's texts — the cold path must rebuild from the
+            # configured corpus, exactly as a plain --cold-boot run would
+            runner._compressor = None
     if retriever is not None:
         return runner, compressor, retriever, "warm"
 
@@ -87,6 +91,7 @@ def boot(cfg, args, loggers):
     corpus_emb = compressor.encode_text(corpus)
     retriever = build_retriever(
         corpus_emb, corpus, None, cfg.retrieval,
+        mesh=mesh,
         embedding_model=cfg.encoder.name,
         ae_type=runner.ae_type if runner.ae_type != "none" else None,
         latent_dim=compressor.output_dim,

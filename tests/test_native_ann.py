@@ -341,6 +341,31 @@ class TestWarmLoad:
         np.testing.assert_array_equal(i0, i1)
         np.testing.assert_allclose(s0, s1, atol=1e-5)
 
+    def test_load_persisted_refuses_contradicted_provenance(self, tmp_path):
+        """A warm boot under a different encoder/AE must refuse: same-dim
+        latents from different models would otherwise serve plausible but
+        WRONG rankings (the dense tier refuses via its fingerprint)."""
+        from latentrag_tpu.retrieval.ann_retriever import ANNRetriever
+        from latentrag_tpu.utils.config import RetrievalConfig
+
+        rng = np.random.default_rng(13)
+        c = _normed(rng, 200, 16)
+        cfg = RetrievalConfig(
+            index_path=str(tmp_path / "ix"), backend="hnsw", hnsw_m=8
+        )
+        built = ANNRetriever(cfg, "hnsw")
+        built.build(c, [f"t{i}" for i in range(200)],
+                    embedding_model="mini", ae_type="vae")
+
+        ok = ANNRetriever(cfg, "hnsw")
+        assert ok.load_persisted(expect={"embedding_model": "mini",
+                                         "ae_type": "vae"})
+        refused = ANNRetriever(cfg, "hnsw")
+        assert not refused.load_persisted(expect={"ae_type": "dae"})
+        # stored None (legacy / direct builds) is a wildcard
+        wild = ANNRetriever(cfg, "hnsw")
+        assert wild.load_persisted(expect={"latent_dim": 64})
+
     def test_load_persisted_absent_store_returns_false(self, tmp_path):
         from latentrag_tpu.retrieval.ann_retriever import ANNRetriever
         from latentrag_tpu.utils.config import RetrievalConfig
