@@ -12,9 +12,13 @@
 // pre-normalize for cosine); higher score = better. Thread-safety: batch
 // add/search fan out over std::thread workers (striped per-node link locks,
 // hnswlib-style) when given nthreads > 1; a built index is safe for
-// concurrent read-only searches. Level assignment stays sequential from the
-// seeded rng, so level structure is deterministic regardless of thread
-// count (link sets can differ under concurrency).
+// concurrent read-only searches. NOT safe: search overlapping add_batch on
+// the SAME index — add_batch resizes the vector store, invalidating reader
+// pointers (TSAN-verified; `make tsan`). Callers must serialize add vs
+// search per index (serve.py's sequential request loop does). Level
+// assignment stays sequential from the seeded rng, so level structure is
+// deterministic regardless of thread count (link sets can differ under
+// concurrency).
 
 #include <algorithm>
 #include <atomic>
