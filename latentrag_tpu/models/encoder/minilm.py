@@ -232,25 +232,34 @@ class SentenceEncoder:
     def name(self) -> str:
         return self.cfg.name
 
-    def encode_batch(self, texts) -> np.ndarray:
+    def encode_batch(self, texts, device: bool = False):
         """Encode any number of texts; inputs beyond ``cfg.batch_size`` are
         processed in config-sized device batches (a single giant call would
         otherwise bucket the whole corpus up to the next power of two —
-        wasted FLOPs and, at scale, VMEM pressure)."""
+        wasted FLOPs and, at scale, VMEM pressure).
+
+        ``device=True`` returns a DEVICE array ([N, dim] fp32) with no
+        host fetch — per-chunk results concatenate on device, so a corpus
+        encode feeding a device-resident index never round-trips the
+        embedding matrix through the host link (at MS-MARCO scale that is
+        ~13 GB each way; through a remote-TPU tunnel, hours).
+        """
         texts = list(texts)
         if not texts:
-            return np.zeros((0, self.dim), np.float32)
+            z = np.zeros((0, self.dim), np.float32)
+            return jnp.asarray(z) if device else z
         # with a mesh each device keeps the measured-optimal per-device
         # batch; the host-visible chunk scales with the device count
         bs = self.cfg.batch_size * (self.mesh.size if self.mesh else 1)
-        if len(texts) > bs:
-            return np.concatenate([
-                self._encode_chunk(texts[i : i + bs])
-                for i in range(0, len(texts), bs)
-            ])
-        return self._encode_chunk(texts)
+        chunks = [
+            self._encode_chunk(texts[i : i + bs], device=device)
+            for i in range(0, len(texts), bs)
+        ]
+        if len(chunks) == 1:
+            return chunks[0]
+        return (jnp.concatenate if device else np.concatenate)(chunks)
 
-    def _encode_chunk(self, texts) -> np.ndarray:
+    def _encode_chunk(self, texts, device: bool = False):
         ids, mask = self.tokenizer.encode_batch(
             list(texts), max_length=self.cfg.max_length
         )
@@ -270,6 +279,8 @@ class SentenceEncoder:
                          constant_values=self.tokenizer.pad_id)
             mask = np.pad(mask, ((0, nb - n), (0, 0)))
         out = self._apply(self.params, jnp.asarray(ids), jnp.asarray(mask))
+        if device:
+            return out[:n].astype(jnp.float32)
         return np.asarray(out[:n], dtype=np.float32)
 
     def encode_ids(self, input_ids: jax.Array, attention_mask: jax.Array):

@@ -234,12 +234,17 @@ class PipelineRunner:
             texts = list(corpus)
             doc_ids = list(range(len(corpus)))
 
-        # 2. encode corpus + queries (batched on device)
+        # 2. encode corpus + queries (batched on device). For the dense
+        # tiers the embeddings STAY on device end to end — encode feeds
+        # the index build and the batched search without ever
+        # materialising the corpus matrix on the host (the C++ ANN/BM25
+        # tiers are host consumers, so they take the numpy path)
+        on_device = cfg.retrieval.backend in ("dense", "bruteforce")
         t0 = time.perf_counter()
-        corpus_emb = compressor.encode_text(texts)
+        corpus_emb = compressor.encode_text(texts, device=on_device)
         timings["encode_corpus_s"] = time.perf_counter() - t0
         t0 = time.perf_counter()
-        query_emb = compressor.encode_text(queries)
+        query_emb = compressor.encode_text(queries, device=on_device)
         timings["encode_queries_s"] = time.perf_counter() - t0
 
         # 3. build index

@@ -56,16 +56,25 @@ BACKENDS = ("auto", "xla", "xla_exact", "pallas", "pallas_exact")
 def _corpus_digest(emb, texts) -> str:
     """Cheap stable identity for (embeddings, texts): shape + 64 sampled
     rows + their text prefixes. Catches the accidental-swap case (a
-    different corpus of identical size/config) without hashing gigabytes."""
+    different corpus of identical size/config) without hashing gigabytes.
+
+    Device arrays fetch ONLY the 64 sampled rows (one gather — never the
+    corpus); the byte stream is identical to the host-array path, so
+    digests agree across device- and host-built indexes of the same data.
+    """
     import hashlib
 
-    emb = np.asarray(emb)
-    n = emb.shape[0]
+    n = int(emb.shape[0])
     h = hashlib.sha1()
-    h.update(f"{emb.shape}:".encode())
+    h.update(f"{tuple(emb.shape)}:".encode())
     if n:
-        for i in np.linspace(0, n - 1, num=min(n, 64), dtype=int):
-            h.update(np.ascontiguousarray(emb[i], dtype=np.float32).tobytes())
+        idxs = np.linspace(0, n - 1, num=min(n, 64), dtype=int)
+        if isinstance(emb, np.ndarray):
+            sample = emb[idxs]
+        else:  # device-resident: one gathered fetch of the sample rows
+            sample = np.asarray(emb[jnp.asarray(idxs)])
+        for i, row in zip(idxs, sample):
+            h.update(np.ascontiguousarray(row, dtype=np.float32).tobytes())
             if i < len(texts):
                 h.update(str(texts[i])[:256].encode("utf-8", "ignore"))
     return h.hexdigest()[:16]
@@ -241,20 +250,28 @@ class DenseRetriever:
             return
 
         t0 = time.perf_counter()
-        emb = np.ascontiguousarray(np.asarray(embeddings), dtype=np.float32)
+        # device-resident inputs (the encode->index path) stay on device:
+        # no host materialisation of the corpus matrix at any point
+        if isinstance(embeddings, jax.Array) and not isinstance(
+            embeddings, np.ndarray
+        ):
+            x = embeddings.astype(jnp.float32)
+        else:
+            x = jnp.asarray(
+                np.ascontiguousarray(np.asarray(embeddings),
+                                     dtype=np.float32)
+            )
         self.texts = list(texts)
         self.doc_ids = (
             list(doc_ids) if doc_ids is not None else list(range(len(texts)))
         )
-        if len(self.texts) != emb.shape[0]:
+        if len(self.texts) != x.shape[0]:
             raise ValueError("texts and embeddings row count mismatch")
-
-        x = jnp.asarray(emb)
         if self.metric == "mahalanobis":
             cov = estimate_covariance(x)
             self._whitener = whitening_factor(cov)
         prepared = prepare_for_metric(x, self.metric, self._whitener)
-        self._dim = int(emb.shape[1])
+        self._dim = int(x.shape[1])
         if self.store_dtype == "binary":
             # 1-bit cascade tier: device holds ONLY packed sign bits;
             # SQ8 rescore codes stay host-side (ops/binary.py)
@@ -278,7 +295,7 @@ class DenseRetriever:
                 jnp.bfloat16 if self.store_dtype == "bfloat16" else jnp.float32
             )
             prepared = prepared.astype(dtype)
-        self._corpus_n = emb.shape[0]
+        self._corpus_n = int(x.shape[0])
         if self.mesh is not None:
             from ..parallel import make_sharded_topk, shard_rows
 
@@ -302,7 +319,7 @@ class DenseRetriever:
                 log.warning("post-build self-check failed; rebuilding once")
                 self._corpus_dev = None
                 self.build(
-                    emb, texts, doc_ids, self.fingerprint, sanity_check=False
+                    x, texts, doc_ids, self.fingerprint, sanity_check=False
                 )
 
     def add(
@@ -543,7 +560,12 @@ class DenseRetriever:
         if not self.is_built:
             raise RuntimeError("index not built")
         t0 = time.perf_counter()
-        q = jnp.asarray(np.asarray(queries, dtype=np.float32))
+        if isinstance(queries, jax.Array) and not isinstance(
+            queries, np.ndarray
+        ):  # device-resident queries skip the host round trip
+            q = queries.astype(jnp.float32)
+        else:
+            q = jnp.asarray(np.asarray(queries, dtype=np.float32))
         q = prepare_for_metric(q, self.metric, self._whitener)
         s_dev, i_dev = self._device_search_prepared(q, k)
         s = np.asarray(s_dev)

@@ -46,15 +46,33 @@ class EmbeddingCompressor:
         model, _ = self.autoencoder
         return int(model.latent_dim)
 
-    def encode_text(self, texts: Sequence[str]) -> np.ndarray:
+    def encode_text(self, texts: Sequence[str], device: bool = False):
         """Batched encode (+compress). Float32 [N, output_dim].
 
         Device batching lives in ``SentenceEncoder.encode_batch`` (it chunks
         to its config's measured-optimal batch size internally); stacking a
         second chunking layer here would silently defeat that batching when
         the two sizes disagree.
+
+        ``device=True`` keeps the result ON DEVICE end to end (encoder
+        output and AE latents never touch the host) — the corpus path for
+        device-resident index builds.
         """
         texts = list(texts)
+        if device and hasattr(self.encoder, "encode_batch"):
+            try:
+                emb = self.encoder.encode_batch(texts, device=True)
+            except TypeError:  # duck-typed encoder without the device arg
+                emb = jnp.asarray(
+                    np.asarray(self.encoder.encode_batch(texts),
+                               dtype=np.float32)
+                )
+            if emb.size == 0:
+                emb = emb.reshape(0, self.input_dim)
+            if self.autoencoder is not None:
+                model, params = self.autoencoder
+                emb = encode_latents(model, params, emb)
+            return emb.astype(jnp.float32)
         emb = np.asarray(self.encoder.encode_batch(texts), dtype=np.float32)
         if emb.size == 0:
             emb = emb.reshape(0, self.input_dim)

@@ -88,7 +88,11 @@ def boot(cfg, args, loggers):
     examples = get_examples(cfg)
     _, corpus, _ = load_evaluation_data(examples)
     compressor = runner._ensure_compressor(corpus)
-    corpus_emb = compressor.encode_text(corpus)
+    # dense tiers: encode straight into device memory (no host corpus
+    # matrix); the C++ ANN tiers consume numpy
+    corpus_emb = compressor.encode_text(
+        corpus, device=cfg.retrieval.backend in ("dense", "bruteforce")
+    )
     retriever = build_retriever(
         corpus_emb, corpus, None, cfg.retrieval,
         mesh=mesh,

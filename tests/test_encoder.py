@@ -105,7 +105,9 @@ def test_mesh_encoder_scales_chunk_size(encoder, eight_devices):
     )
     calls = []
     orig = meshed._encode_chunk
-    meshed._encode_chunk = lambda t: (calls.append(len(t)), orig(t))[1]
+    meshed._encode_chunk = lambda t, **kw: (
+        calls.append(len(t)), orig(t, **kw)
+    )[1]
     n = SMALL_CFG.batch_size * 8 + 3
     out = meshed.encode_batch([f"text {i}" for i in range(n)])
     assert out.shape[0] == n

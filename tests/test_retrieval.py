@@ -143,6 +143,64 @@ def test_factory_builds_with_full_fingerprint(rng, tmp_path):
     assert r.is_built
 
 
+def test_device_resident_build_and_search(rng, tmp_path):
+    """The encode->index device path: build() and search() accept DEVICE
+    arrays without a host round trip, and the corpus digest matches the
+    host-array build of the same data (so persisted compatibility checks
+    agree across both paths)."""
+    import jax.numpy as jnp
+
+    from latentrag_tpu.retrieval.dense import _corpus_digest
+
+    corpus = _normed(rng, 120, 16)
+    queries = corpus[:6]
+    texts = [f"t{i}" for i in range(120)]
+
+    host = DenseRetriever(backend="xla_exact", store_dtype="float32")
+    host.build(corpus, texts)
+    s0, i0 = host.search(queries, 5)
+
+    dev = DenseRetriever(backend="xla_exact", store_dtype="float32",
+                         index_path=str(tmp_path / "devidx"))
+    dev.build(jnp.asarray(corpus), texts)
+    s1, i1 = dev.search(jnp.asarray(queries), 5)
+    np.testing.assert_array_equal(i0, i1)
+    np.testing.assert_allclose(s0, s1, rtol=1e-6, atol=1e-6)
+    # digest parity: same data, device vs host input, identical identity
+    assert _corpus_digest(corpus, texts) == _corpus_digest(
+        jnp.asarray(corpus), texts
+    )
+    assert host.fingerprint["corpus_digest"] == dev.fingerprint[
+        "corpus_digest"
+    ]
+    # the device-built persisted store warm-loads like any other
+    warm = DenseRetriever(backend="xla_exact", store_dtype="float32",
+                          index_path=str(tmp_path / "devidx"))
+    assert warm.is_built
+    s2, i2 = warm.search(queries, 5)
+    np.testing.assert_array_equal(i1, i2)
+
+
+def test_compressor_device_path_matches_host(rng):
+    from latentrag_tpu.data import WordPieceTokenizer
+    from latentrag_tpu.models.encoder import SentenceEncoder
+    from latentrag_tpu.retrieval import EmbeddingCompressor
+    from latentrag_tpu.utils.config import EncoderConfig
+
+    texts = [f"document number {i} about retrieval" for i in range(20)]
+    tok = WordPieceTokenizer.train_from_corpus(texts, vocab_size=300,
+                                               min_freq=1)
+    enc = SentenceEncoder(tok, EncoderConfig(
+        vocab_size=0, hidden_dim=16, num_layers=1, num_heads=2, mlp_dim=32,
+        max_length=32, dtype="float32", batch_size=8,
+    ))
+    comp = EmbeddingCompressor(enc)
+    h = comp.encode_text(texts)
+    d = comp.encode_text(texts, device=True)
+    assert not isinstance(h, type(d)) or h is not d
+    np.testing.assert_array_equal(h, np.asarray(d))
+
+
 def test_load_retriever_warm_boot(rng, tmp_path):
     """load_retriever reconstructs a serving retriever from disk with no
     embeddings (serve.py warm boot); provenance contradictions fall back
