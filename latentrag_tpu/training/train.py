@@ -44,6 +44,9 @@ def parse_args(argv=None):
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--learning_rate", type=float, default=None)
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--resume", action="store_true",
+                   help="continue from the Orbax checkpoint (params + "
+                        "optimizer state + epoch)")
     p.add_argument("--set", nargs="*", default=[], metavar="a.b=v")
     return p.parse_args(argv)
 
@@ -128,7 +131,8 @@ def main(argv=None) -> int:
     ckpt_dir = os.path.join(
         cfg.paths.checkpoints_dir, acfg.checkpoint or ae_type
     )
-    result = trainer.fit(train_data, val_data, checkpoint_dir=ckpt_dir)
+    result = trainer.fit(train_data, val_data, checkpoint_dir=ckpt_dir,
+                         resume=args.resume)
     loggers.train.info(
         "done: best val %.5f after %d epochs (early stop: %s) -> %s",
         result.best_val_loss, result.epochs_ran, result.stopped_early,

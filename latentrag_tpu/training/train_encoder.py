@@ -123,7 +123,17 @@ class EncoderTrainer:
         queries: Sequence[str],
         positives: Sequence[str],
         val_fraction: float = 0.1,
+        checkpoint_dir: str | None = None,
+        resume: bool = False,
     ) -> EncoderTrainResult:
+        """Train; with ``checkpoint_dir`` every improvement persists
+        params + optimizer state + epoch (Orbax — the AE trainer's
+        convention), and ``resume=True`` continues a preempted run from
+        the last saved improvement (epoch counter included; the shuffle
+        stream restarts, so resumed curves are statistically, not
+        bitwise, continuous)."""
+        import os
+
         cfg = self.cfg
         if len(queries) < 8:
             raise ValueError(
@@ -141,9 +151,39 @@ class EncoderTrainer:
         opt_state = self.tx.init(params)
         best_val = float("inf")
         best_params = params
+        start_epoch = 0
+        if resume and checkpoint_dir and os.path.isdir(checkpoint_dir):
+            from .trainer import load_checkpoint
+
+            st = load_checkpoint(checkpoint_dir)
+            params = best_params = st["params"]
+            raw_opt = st.get("opt_state")
+            if raw_opt is not None:
+                # Orbax restores the optax state as plain dicts; rebuild
+                # the namedtuple structure from a fresh template (leaf
+                # order matches — adamw's count/mu/nu fields are saved
+                # and restored in the same traversal order)
+                template = self.tx.init(params)
+                try:
+                    opt_state = jax.tree.unflatten(
+                        jax.tree.structure(template),
+                        jax.tree.leaves(raw_opt),
+                    )
+                except Exception as e:
+                    log.warning(
+                        "[encoder] optimizer state restore failed (%s); "
+                        "resuming params/epoch with a fresh optimizer", e,
+                    )
+                    opt_state = template
+            best_val = float(st["best_val"])
+            start_epoch = int(st["epoch"]) + 1
+            log.info(
+                "[encoder] resumed from %s at epoch %d (best val %.4f)",
+                checkpoint_dir, start_epoch, best_val,
+            )
         history = []
         bs = min(cfg.batch_size, len(train_idx))
-        for epoch in range(cfg.epochs):
+        for epoch in range(start_epoch, cfg.epochs):
             rng.shuffle(train_idx)
             losses = []
             for s in range(0, len(train_idx) - bs + 1, bs):
@@ -163,6 +203,15 @@ class EncoderTrainer:
             if val_loss < best_val:
                 best_val = val_loss
                 best_params = params
+                if checkpoint_dir:
+                    from .trainer import save_checkpoint
+
+                    save_checkpoint(checkpoint_dir, {
+                        "params": best_params,
+                        "opt_state": opt_state,
+                        "epoch": epoch,
+                        "best_val": best_val,
+                    })
         self.encoder.params = best_params
         return EncoderTrainResult(
             params=best_params, history=history, best_val_loss=best_val
@@ -186,6 +235,8 @@ def main(argv=None) -> int:
     p.add_argument("--learning_rate", type=float, default=3e-4)
     p.add_argument("--max_length", type=int, default=64)
     p.add_argument("--out", default=None, help="weights output (.msgpack)")
+    p.add_argument("--resume", action="store_true",
+                   help="continue from the encoder_train Orbax checkpoint")
     p.add_argument("--set", nargs="*", default=[], metavar="a.b=v")
     args = p.parse_args(argv)
 
@@ -213,7 +264,10 @@ def main(argv=None) -> int:
         seed=cfg.training.seed,
     )
     trainer = EncoderTrainer(encoder, tcfg, max_length=args.max_length)
-    result = trainer.fit(queries, positives)
+    ckpt_dir = os.path.join(cfg.paths.checkpoints_dir, "encoder_train")
+    result = trainer.fit(
+        queries, positives, checkpoint_dir=ckpt_dir, resume=args.resume
+    )
     out = args.out or os.path.join(
         cfg.paths.checkpoints_dir, "encoder.msgpack"
     )

@@ -187,6 +187,7 @@ class Trainer:
         checkpoint_dir: str | None = None,
         init_params=None,
         seed: int | None = None,
+        resume: bool = False,
     ) -> TrainResult:
         cfg = self.cfg
         seed = cfg.seed if seed is None else seed
@@ -203,13 +204,39 @@ class Trainer:
 
         best_val = float("inf")
         best_params = params
+        start_epoch = 0
+        if resume and checkpoint_dir and os.path.isdir(checkpoint_dir):
+            # continue a preempted run from the last saved improvement
+            # (params + optimizer state + epoch; the shuffle stream
+            # restarts — statistically, not bitwise, continuous)
+            st = load_checkpoint(checkpoint_dir)
+            params = best_params = st["params"]
+            raw_opt = st.get("opt_state")
+            if raw_opt is not None:
+                try:  # Orbax restores dicts; rebuild optax's structure
+                    opt_state = jax.tree.unflatten(
+                        jax.tree.structure(opt_state),
+                        jax.tree.leaves(raw_opt),
+                    )
+                except Exception as e:
+                    log.warning(
+                        "[%s] optimizer state restore failed (%s); "
+                        "resuming params/epoch with a fresh optimizer",
+                        self.ae_type, e,
+                    )
+            best_val = float(st["best_val"])
+            start_epoch = int(st["epoch"]) + 1
+            log.info(
+                "[%s] resumed from %s at epoch %d (best val %.5f)",
+                self.ae_type, checkpoint_dir, start_epoch, best_val,
+            )
         patience_left = cfg.early_stop_patience
         plateau_left = cfg.lr_plateau_patience
         history: list = []
         stopped = False
-        epochs_ran = 0
+        epochs_ran = start_epoch
 
-        for epoch in range(cfg.epochs):
+        for epoch in range(start_epoch, cfg.epochs):
             epochs_ran = epoch + 1
             root, ek = jax.random.split(root)
             # train

@@ -51,3 +51,39 @@ def test_training_improves_pair_alignment():
     assert result.history[-1][1] < result.history[0][1]
     assert after > before
     assert after >= 0.5, (before, after)
+
+
+def test_encoder_training_resumes_from_checkpoint(tmp_path):
+    """Preemption resilience (r4): params + opt state + epoch persist on
+    improvement; resume continues from the saved epoch instead of
+    restarting, and the resumed run can only match or improve best val."""
+    examples = synthetic_examples(48)
+    queries = [e["question"] for e in examples]
+    positives = [e["context"] for e in examples]
+    tok = WordPieceTokenizer.train_from_corpus(
+        positives, vocab_size=400, min_freq=1
+    )
+    ckpt = str(tmp_path / "enc_train")
+
+    enc1 = SentenceEncoder(tok, CFG, seed=0)
+    t1 = EncoderTrainer(
+        enc1, TrainingConfig(batch_size=16, epochs=2, learning_rate=1e-3),
+        max_length=32,
+    )
+    r1 = t1.fit(queries, positives, checkpoint_dir=ckpt)
+    assert len(r1.history) == 2
+
+    # fresh process stand-in: new encoder, resume from the checkpoint
+    enc2 = SentenceEncoder(tok, CFG, seed=123)  # different init...
+    t2 = EncoderTrainer(
+        enc2, TrainingConfig(batch_size=16, epochs=4, learning_rate=1e-3),
+        max_length=32,
+    )
+    r2 = t2.fit(queries, positives, checkpoint_dir=ckpt, resume=True)
+    # ...but training continues from the RESTORED params/epoch, so only
+    # the remaining epochs run
+    first_epoch = r2.history[0][0]
+    assert first_epoch >= 2
+    assert r2.best_val_loss <= r1.best_val_loss + 1e-6
+    out = enc2.encode_batch(["does resume work"])
+    assert np.isfinite(out).all()

@@ -164,3 +164,32 @@ def test_cae_trains_without_negative_arrays(rng):
     val = {k: v for k, v in _triplet_data(rng, 16).items() if k != "n"}
     res = tr.fit(data, val)
     assert np.isfinite(res.best_val_loss)
+
+
+def test_ae_trainer_resumes_with_optimizer_state(tmp_path, rng):
+    """r4: --resume continues a preempted AE run from the last saved
+    improvement — params AND the optax state (rebuilt into its namedtuple
+    structure from the Orbax dict restore) plus the epoch counter."""
+    from latentrag_tpu.models import build_autoencoder
+    from latentrag_tpu.training import Trainer
+    from latentrag_tpu.utils.config import AutoencoderConfig, TrainingConfig
+
+    x = rng.standard_normal((64, 16)).astype(np.float32)
+    data = {"x": x, "y": x}
+    val = {"x": x[:8], "y": x[:8]}
+    model = build_autoencoder("dae", AutoencoderConfig(
+        input_dim=16, latent_dim=4, hidden_dim=8))
+    ckpt = str(tmp_path / "dae")
+
+    t1 = Trainer(model, "dae", TrainingConfig(
+        batch_size=16, epochs=2, learning_rate=1e-3,
+        early_stop_patience=100))
+    r1 = t1.fit(data, val, checkpoint_dir=ckpt)
+    assert len(r1.history) == 2
+
+    t2 = Trainer(model, "dae", TrainingConfig(
+        batch_size=16, epochs=5, learning_rate=1e-3,
+        early_stop_patience=100))
+    r2 = t2.fit(data, val, checkpoint_dir=ckpt, resume=True)
+    assert r2.history[0][0] >= 2  # continued, not restarted
+    assert r2.best_val_loss <= r1.best_val_loss + 1e-7
