@@ -103,7 +103,15 @@ class DualEncoderTrainer:
         queries: Sequence[str],
         positives: Sequence[str],
         val_fraction: float = 0.1,
+        checkpoint_dir: str | None = None,
+        resume: bool = False,
     ) -> DPRTrainResult:
+        """Train both towers; with ``checkpoint_dir`` every improvement
+        persists params + optimizer state + epoch (Orbax), and
+        ``resume=True`` continues a preempted run from the last saved
+        improvement (same convention as the AE/encoder trainers)."""
+        import os as _os
+
         cfg = self.cfg
         if len(queries) < 8:
             raise ValueError(
@@ -122,9 +130,33 @@ class DualEncoderTrainer:
         opt_state = self.tx.init(params)
         best_val = float("inf")
         best = params
+        start_epoch = 0
+        if resume and checkpoint_dir and _os.path.isdir(checkpoint_dir):
+            from .trainer import load_checkpoint
+
+            st = load_checkpoint(checkpoint_dir)
+            params = best = st["params"]
+            raw_opt = st.get("opt_state")
+            if raw_opt is not None:
+                template = self.tx.init(params)
+                try:  # Orbax restores dicts; rebuild optax's structure
+                    opt_state = jax.tree.unflatten(
+                        jax.tree.structure(template),
+                        jax.tree.leaves(raw_opt),
+                    )
+                except Exception as e:
+                    log.warning(
+                        "[dpr] optimizer state restore failed (%s); "
+                        "resuming params/epoch with a fresh optimizer", e,
+                    )
+                    opt_state = template
+            best_val = float(st["best_val"])
+            start_epoch = int(st["epoch"]) + 1
+            log.info("[dpr] resumed from %s at epoch %d (best val %.4f)",
+                     checkpoint_dir, start_epoch, best_val)
         history = []
         bs = min(cfg.batch_size, len(train_idx))
-        for epoch in range(cfg.epochs):
+        for epoch in range(start_epoch, cfg.epochs):
             rng.shuffle(train_idx)
             losses = []
             for s in range(0, len(train_idx) - bs + 1, bs):
@@ -142,6 +174,13 @@ class DualEncoderTrainer:
             if val_loss < best_val:
                 best_val = val_loss
                 best = params
+                if checkpoint_dir:
+                    from .trainer import save_checkpoint
+
+                    save_checkpoint(checkpoint_dir, {
+                        "params": best, "opt_state": opt_state,
+                        "epoch": epoch, "best_val": best_val,
+                    })
         self.q_encoder.params = best["q"]
         self.c_encoder.params = best["c"]
         return DPRTrainResult(
@@ -192,6 +231,8 @@ def main(argv=None) -> int:
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--max_length", type=int, default=64)
+    p.add_argument("--resume", action="store_true",
+                   help="continue from the dpr_train Orbax checkpoint")
     p.add_argument("--set", nargs="*", default=[], metavar="a.b=v")
     args = p.parse_args(argv)
 
@@ -213,7 +254,11 @@ def main(argv=None) -> int:
     trainer = DualEncoderTrainer(
         q_enc, c_enc, tcfg, max_length=args.max_length
     )
-    res = trainer.fit(queries, positives)
+    res = trainer.fit(
+        queries, positives,
+        checkpoint_dir=os.path.join(cfg.paths.checkpoints_dir, "dpr_train"),
+        resume=args.resume,
+    )
     os.makedirs(cfg.paths.checkpoints_dir, exist_ok=True)
     qp = os.path.join(cfg.paths.checkpoints_dir, "dpr_question.msgpack")
     cp = os.path.join(cfg.paths.checkpoints_dir, "dpr_context.msgpack")
