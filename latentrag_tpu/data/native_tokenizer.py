@@ -62,8 +62,7 @@ def create_handle(tok) -> int:
         if not 0 <= i < n or tokens_by_id[i] is not None:
             raise ValueError("vocab ids not dense; native path disabled")
         tokens_by_id[i] = t
-    if any(t is None for t in tokens_by_id):
-        raise ValueError("vocab ids not dense; native path disabled")
+    # n unique in-range ids over n slots => every slot filled (pigeonhole)
     data = [t.encode("utf-8") for t in tokens_by_id]  # type: ignore[union-attr]
     offs = np.zeros(n + 1, dtype=np.int64)
     np.cumsum([len(d) for d in data], out=offs[1:])

@@ -188,10 +188,11 @@ class WordPieceTokenizer:
                 out = encode_offsets(h, text, add_special_tokens, max_length)
                 if out is not None:
                     nids, starts, ends = out
+                    id_list = nids.tolist()
                     return Encoding(
-                        ids=nids.tolist(),
+                        ids=id_list,
                         tokens=[
-                            self.inv_vocab.get(i, UNK) for i in nids.tolist()
+                            self.inv_vocab.get(i, UNK) for i in id_list
                         ],
                         offsets=list(
                             zip(starts.tolist(), ends.tolist())

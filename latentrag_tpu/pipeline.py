@@ -239,7 +239,9 @@ class PipelineRunner:
         # the index build and the batched search without ever
         # materialising the corpus matrix on the host (the C++ ANN/BM25
         # tiers are host consumers, so they take the numpy path)
-        on_device = cfg.retrieval.backend in ("dense", "bruteforce")
+        from .retrieval.factory import DEVICE_BACKENDS
+
+        on_device = cfg.retrieval.backend in DEVICE_BACKENDS
         t0 = time.perf_counter()
         corpus_emb = compressor.encode_text(texts, device=on_device)
         timings["encode_corpus_s"] = time.perf_counter() - t0

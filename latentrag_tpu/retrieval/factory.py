@@ -12,6 +12,30 @@ from .dense import DenseRetriever, make_fingerprint
 
 log = logging.getLogger("latentrag.retrieval")
 
+# backends whose index consumes DEVICE arrays (the encode->index path can
+# skip host materialisation); the C++ ANN tiers and BM25 consume numpy
+DEVICE_BACKENDS = ("dense", "bruteforce")
+
+
+def _make_dense(cfg: RetrievalConfig, mesh) -> DenseRetriever:
+    """Construct (not build) a DenseRetriever from config — single source
+    for the config->constructor mapping used by both the cold-build and
+    warm-boot paths."""
+    backend = {
+        "dense": cfg.kernel,
+        "bruteforce": "xla_exact",
+    }.get(cfg.backend, "auto")
+    return DenseRetriever(
+        metric=cfg.metric,
+        backend=backend,
+        block_size=cfg.block_size,
+        recall_target=cfg.recall_target,
+        store_dtype=cfg.store_dtype,
+        binary_oversample=cfg.binary_oversample,
+        index_path=cfg.index_path or None,
+        mesh=mesh if cfg.shard_corpus else None,
+    )
+
 
 def build_retriever(
     embeddings: np.ndarray,
@@ -72,20 +96,7 @@ def load_retriever(
 
         ann = ANNRetriever(cfg, cfg.backend)
         return ann if ann.load_persisted(expect=expect) else None
-    backend = {
-        "dense": cfg.kernel,
-        "bruteforce": "xla_exact",
-    }.get(cfg.backend, "auto")
-    retriever = DenseRetriever(
-        metric=cfg.metric,
-        backend=backend,
-        block_size=cfg.block_size,
-        recall_target=cfg.recall_target,
-        store_dtype=cfg.store_dtype,
-        binary_oversample=cfg.binary_oversample,
-        index_path=cfg.index_path,
-        mesh=mesh if cfg.shard_corpus else None,
-    )
+    retriever = _make_dense(cfg, mesh)
     if not retriever.is_built:
         return None
     fp = retriever.fingerprint or {}
@@ -104,20 +115,7 @@ def _dense_retriever(
     cfg, embeddings, texts, doc_ids, *, mesh, embedding_model, ae_type,
     latent_dim, chunking,
 ):
-    backend = {
-        "dense": cfg.kernel,
-        "bruteforce": "xla_exact",
-    }.get(cfg.backend, "auto")
-    retriever = DenseRetriever(
-        metric=cfg.metric,
-        backend=backend,
-        block_size=cfg.block_size,
-        recall_target=cfg.recall_target,
-        store_dtype=cfg.store_dtype,
-        binary_oversample=cfg.binary_oversample,
-        index_path=cfg.index_path or None,
-        mesh=mesh if cfg.shard_corpus else None,
-    )
+    retriever = _make_dense(cfg, mesh)
     fp = make_fingerprint(
         d=int(embeddings.shape[1]),
         embedding_model=embedding_model,

@@ -90,8 +90,10 @@ def boot(cfg, args, loggers):
     compressor = runner._ensure_compressor(corpus)
     # dense tiers: encode straight into device memory (no host corpus
     # matrix); the C++ ANN tiers consume numpy
+    from latentrag_tpu.retrieval.factory import DEVICE_BACKENDS
+
     corpus_emb = compressor.encode_text(
-        corpus, device=cfg.retrieval.backend in ("dense", "bruteforce")
+        corpus, device=cfg.retrieval.backend in DEVICE_BACKENDS
     )
     retriever = build_retriever(
         corpus_emb, corpus, None, cfg.retrieval,
