@@ -257,7 +257,22 @@ class SentenceEncoder:
         ]
         if len(chunks) == 1:
             return chunks[0]
-        return (jnp.concatenate if device else np.concatenate)(chunks)
+        if not device:
+            return np.concatenate(chunks)
+        # hierarchical device merge: a single concatenate over tens of
+        # thousands of chunk operands is a pathological XLA program, so
+        # merge in bounded groups. Peak HBM is ~2x the full output matrix
+        # (concatenate inputs + output live together) — for corpora where
+        # raw [N, hidden] doesn't fit, compress per chunk upstream
+        # (EmbeddingCompressor does this when an AE is attached).
+        group = 128
+        while len(chunks) > 1:
+            chunks = [
+                jnp.concatenate(chunks[i : i + group])
+                if len(chunks[i : i + group]) > 1 else chunks[i]
+                for i in range(0, len(chunks), group)
+            ]
+        return chunks[0]
 
     def _encode_chunk(self, texts, device: bool = False):
         ids, mask = self.tokenizer.encode_batch(

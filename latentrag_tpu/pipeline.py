@@ -242,11 +242,17 @@ class PipelineRunner:
         from .retrieval.factory import DEVICE_BACKENDS
 
         on_device = cfg.retrieval.backend in DEVICE_BACKENDS
+        from .utils.timing import force_completion
+
         t0 = time.perf_counter()
         corpus_emb = compressor.encode_text(texts, device=on_device)
+        if on_device:  # async device arrays: sync so the timing is real
+            force_completion(corpus_emb)
         timings["encode_corpus_s"] = time.perf_counter() - t0
         t0 = time.perf_counter()
         query_emb = compressor.encode_text(queries, device=on_device)
+        if on_device:
+            force_completion(query_emb)
         timings["encode_queries_s"] = time.perf_counter() - t0
 
         # 3. build index

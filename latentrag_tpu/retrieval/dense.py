@@ -64,6 +64,8 @@ def _corpus_digest(emb, texts) -> str:
     """
     import hashlib
 
+    if not hasattr(emb, "shape"):  # plain sequences keep working
+        emb = np.asarray(emb, dtype=np.float32)
     n = int(emb.shape[0])
     h = hashlib.sha1()
     h.update(f"{tuple(emb.shape)}:".encode())
@@ -631,6 +633,16 @@ class DenseRetriever:
                     np.asarray(self._corpus_scale, dtype=np.float32),
                 )
         else:
+            nbytes = self._corpus_n * self.dim * 4
+            if nbytes > 1 << 30:
+                # persistence is the one step that must materialise the
+                # corpus host-side (corpus.npy is the mmap-loadable warm
+                # store); on a remote-TPU link this transfer dominates —
+                # skip index_path when the index is rebuilt per run
+                log.info(
+                    "persisting %.1f GB corpus to %s (host transfer)",
+                    nbytes / 1e9, path,
+                )
             corpus = np.asarray(self._corpus_dev, dtype=np.float32)
             if self._corpus_scale is not None:  # persist dequantized fp32
                 corpus = corpus * float(self._corpus_scale)

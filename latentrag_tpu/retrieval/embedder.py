@@ -59,14 +59,45 @@ class EmbeddingCompressor:
         device-resident index builds.
         """
         texts = list(texts)
-        if device and hasattr(self.encoder, "encode_batch"):
+        if device:
+            import inspect
+
             try:
-                emb = self.encoder.encode_batch(texts, device=True)
-            except TypeError:  # duck-typed encoder without the device arg
+                takes_device = "device" in inspect.signature(
+                    self.encoder.encode_batch
+                ).parameters
+            except (TypeError, ValueError):
+                takes_device = False
+            if not takes_device:  # duck-typed encoder: host encode, upload
                 emb = jnp.asarray(
                     np.asarray(self.encoder.encode_batch(texts),
                                dtype=np.float32)
                 )
+                if emb.size == 0:
+                    emb = emb.reshape(0, self.input_dim)
+                if self.autoencoder is not None:
+                    model, params = self.autoencoder
+                    emb = encode_latents(model, params, emb)
+                return emb.astype(jnp.float32)
+            if self.autoencoder is not None and texts:
+                # compress PER CHUNK so peak HBM is one encoder chunk +
+                # the [N, latent] matrix — never the full [N, hidden]
+                # encoder output (13.5 GB at 8.8M x 384 fp32, which would
+                # not fit a 16 GB chip even though the latents do)
+                model, params = self.autoencoder
+                bs = max(self.batch_size, 1)
+                zs = [
+                    encode_latents(
+                        model, params,
+                        self.encoder.encode_batch(
+                            texts[i : i + bs], device=True
+                        ),
+                    )
+                    for i in range(0, len(texts), bs)
+                ]
+                z = zs[0] if len(zs) == 1 else jnp.concatenate(zs)
+                return z.astype(jnp.float32)
+            emb = self.encoder.encode_batch(texts, device=True)
             if emb.size == 0:
                 emb = emb.reshape(0, self.input_dim)
             if self.autoencoder is not None:

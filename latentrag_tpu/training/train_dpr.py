@@ -132,26 +132,12 @@ class DualEncoderTrainer:
         best = params
         start_epoch = 0
         if resume and checkpoint_dir and _os.path.isdir(checkpoint_dir):
-            from .trainer import load_checkpoint
+            from .trainer import restore_training_state
 
-            st = load_checkpoint(checkpoint_dir)
-            params = best = st["params"]
-            raw_opt = st.get("opt_state")
-            if raw_opt is not None:
-                template = self.tx.init(params)
-                try:  # Orbax restores dicts; rebuild optax's structure
-                    opt_state = jax.tree.unflatten(
-                        jax.tree.structure(template),
-                        jax.tree.leaves(raw_opt),
-                    )
-                except Exception as e:
-                    log.warning(
-                        "[dpr] optimizer state restore failed (%s); "
-                        "resuming params/epoch with a fresh optimizer", e,
-                    )
-                    opt_state = template
-            best_val = float(st["best_val"])
-            start_epoch = int(st["epoch"]) + 1
+            params, opt_state, best_val, start_epoch = (
+                restore_training_state(checkpoint_dir, self.tx, params)
+            )
+            best = params
             log.info("[dpr] resumed from %s at epoch %d (best val %.4f)",
                      checkpoint_dir, start_epoch, best_val)
         history = []

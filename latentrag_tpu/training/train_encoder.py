@@ -153,30 +153,12 @@ class EncoderTrainer:
         best_params = params
         start_epoch = 0
         if resume and checkpoint_dir and os.path.isdir(checkpoint_dir):
-            from .trainer import load_checkpoint
+            from .trainer import restore_training_state
 
-            st = load_checkpoint(checkpoint_dir)
-            params = best_params = st["params"]
-            raw_opt = st.get("opt_state")
-            if raw_opt is not None:
-                # Orbax restores the optax state as plain dicts; rebuild
-                # the namedtuple structure from a fresh template (leaf
-                # order matches — adamw's count/mu/nu fields are saved
-                # and restored in the same traversal order)
-                template = self.tx.init(params)
-                try:
-                    opt_state = jax.tree.unflatten(
-                        jax.tree.structure(template),
-                        jax.tree.leaves(raw_opt),
-                    )
-                except Exception as e:
-                    log.warning(
-                        "[encoder] optimizer state restore failed (%s); "
-                        "resuming params/epoch with a fresh optimizer", e,
-                    )
-                    opt_state = template
-            best_val = float(st["best_val"])
-            start_epoch = int(st["epoch"]) + 1
+            params, opt_state, best_val, start_epoch = (
+                restore_training_state(checkpoint_dir, self.tx, params)
+            )
+            best_params = params
             log.info(
                 "[encoder] resumed from %s at epoch %d (best val %.4f)",
                 checkpoint_dir, start_epoch, best_val,

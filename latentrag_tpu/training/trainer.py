@@ -209,23 +209,10 @@ class Trainer:
             # continue a preempted run from the last saved improvement
             # (params + optimizer state + epoch; the shuffle stream
             # restarts — statistically, not bitwise, continuous)
-            st = load_checkpoint(checkpoint_dir)
-            params = best_params = st["params"]
-            raw_opt = st.get("opt_state")
-            if raw_opt is not None:
-                try:  # Orbax restores dicts; rebuild optax's structure
-                    opt_state = jax.tree.unflatten(
-                        jax.tree.structure(opt_state),
-                        jax.tree.leaves(raw_opt),
-                    )
-                except Exception as e:
-                    log.warning(
-                        "[%s] optimizer state restore failed (%s); "
-                        "resuming params/epoch with a fresh optimizer",
-                        self.ae_type, e,
-                    )
-            best_val = float(st["best_val"])
-            start_epoch = int(st["epoch"]) + 1
+            params, opt_state, best_val, start_epoch = (
+                restore_training_state(checkpoint_dir, self.tx, params)
+            )
+            best_params = params
             log.info(
                 "[%s] resumed from %s at epoch %d (best val %.5f)",
                 self.ae_type, checkpoint_dir, start_epoch, best_val,
@@ -335,6 +322,33 @@ def _scale_lr(opt_state, factor: float):
 
     visit(opt_state)
     return opt_state
+
+
+def restore_training_state(checkpoint_dir: str, tx, params):
+    """Restore (params, opt_state, best_val, start_epoch) from an Orbax
+    training checkpoint — the shared resume primitive for every trainer.
+
+    Orbax restores the optax state as plain dicts; the namedtuple
+    structure is rebuilt from a fresh ``tx.init(params)`` template (leaf
+    traversal order matches — adamw's count/mu/nu fields restore in field
+    order). If structures ever diverge, training resumes with a fresh
+    optimizer rather than failing (params/epoch are the valuable part).
+    """
+    st = load_checkpoint(checkpoint_dir)
+    params = st["params"]
+    opt_state = tx.init(params)
+    raw_opt = st.get("opt_state")
+    if raw_opt is not None:
+        try:
+            opt_state = jax.tree.unflatten(
+                jax.tree.structure(opt_state), jax.tree.leaves(raw_opt)
+            )
+        except Exception as e:
+            log.warning(
+                "optimizer state restore failed (%s); resuming params/"
+                "epoch with a fresh optimizer", e,
+            )
+    return params, opt_state, float(st["best_val"]), int(st["epoch"]) + 1
 
 
 def save_checkpoint(path: str, payload: Mapping[str, Any]) -> None:

@@ -191,5 +191,5 @@ def test_ae_trainer_resumes_with_optimizer_state(tmp_path, rng):
         batch_size=16, epochs=5, learning_rate=1e-3,
         early_stop_patience=100))
     r2 = t2.fit(data, val, checkpoint_dir=ckpt, resume=True)
-    assert r2.history[0][0] >= 2  # continued, not restarted
+    assert r2.history[0][0] >= 1  # continued (from last improvement)
     assert r2.best_val_loss <= r1.best_val_loss + 1e-7
