@@ -197,6 +197,8 @@ class ANNRetriever:
         if self._normalize:
             emb = _normalize_rows(emb)
         base = len(self.texts)
+        if not isinstance(self.texts, list):  # lazy store: materialise
+            self.texts = list(self.texts)
         self.texts.extend(texts)
         self.doc_ids.extend(
             doc_ids if doc_ids is not None
@@ -332,10 +334,16 @@ class ANNRetriever:
                 np.save(path + ".refine.npy.tmp.npy", self._refine_emb)
                 os.replace(path + ".refine.npy.tmp.npy",
                            path + ".refine.npy")
+            from .textstore import save_texts
+
+            ids_as_npy = save_texts(path + ".texts", self.texts,
+                                    self.doc_ids)
+            meta = {"fingerprint": fp}
+            if not ids_as_npy:
+                meta["doc_ids"] = list(self.doc_ids)
             tmp = path + ".meta.json.tmp"
             with open(tmp, "w") as f:
-                json.dump({"fingerprint": fp, "texts": self.texts,
-                           "doc_ids": self.doc_ids}, f)
+                json.dump(meta, f)
             os.replace(tmp, path + ".meta.json")
         except OSError as e:  # persistence is best-effort, search still works
             log.warning("could not persist %s index to %s: %s", self.kind,
@@ -362,10 +370,13 @@ class ANNRetriever:
         try:
             with open(meta_path) as f:
                 meta = json.load(f)
-            if "texts" not in meta:
+            from .textstore import load_texts
+
+            lazy_texts, lazy_ids = load_texts(path + ".texts")
+            if lazy_texts is None and "texts" not in meta:
                 log.info(
-                    "%s store at %s predates texts-in-meta persistence; "
-                    "cold boot required", self.kind, path,
+                    "%s store at %s predates texts persistence; cold "
+                    "boot required", self.kind, path,
                 )
                 return False
             fp = meta.get("fingerprint") or {}
@@ -383,8 +394,14 @@ class ANNRetriever:
                 )
             else:
                 self._index = IVFPQIndex.load(path)
-            self.texts = list(meta["texts"])
-            self.doc_ids = list(meta["doc_ids"])
+            if lazy_texts is not None:  # lazy store: O(1) boot
+                self.texts = lazy_texts
+                self.doc_ids = (
+                    lazy_ids if lazy_ids is not None else meta["doc_ids"]
+                )
+            else:  # legacy store: texts inlined in meta.json
+                self.texts = list(meta["texts"])
+                self.doc_ids = list(meta["doc_ids"])
             if self._refine > 1:
                 rpath = path + ".refine.npy"
                 if os.path.exists(rpath):

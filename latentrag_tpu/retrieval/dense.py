@@ -387,6 +387,8 @@ class DenseRetriever:
                 [self._corpus_dev[: self._corpus_n], prepared], axis=0
             )
         self._corpus_n += emb.shape[0]
+        if not isinstance(self.texts, list):  # lazy store: materialise
+            self.texts = list(self.texts)
         self.texts.extend(texts)
         self.doc_ids.extend(new_ids)
         if self.index_path:
@@ -654,13 +656,23 @@ class DenseRetriever:
                 os.path.join(path, "whitener.npy"),
                 np.asarray(self._whitener, dtype=np.float32),
             )
+        # texts live in the LAZY store (utf-8 blob + offsets, mmap'd on
+        # load) so a multi-M-doc warm boot neither parses gigabytes of
+        # JSON nor holds N Python strings in RAM — serving touches only
+        # the top-k texts per query. doc_ids ride as an int64 npy when
+        # integral, else inline in the JSON.
+        from .textstore import save_texts
+
+        ids_as_npy = save_texts(
+            os.path.join(path, "texts"), self.texts, self.doc_ids
+        )
         meta = {
-            "texts": self.texts,
-            "doc_ids": self.doc_ids,
             "fingerprint": self.fingerprint,
             "metric": self.metric,
             "n": self._corpus_n,
         }
+        if not ids_as_npy:
+            meta["doc_ids"] = list(self.doc_ids)
         tmp = os.path.join(path, "meta.json.tmp")
         with open(tmp, "w") as f:
             json.dump(meta, f)
@@ -674,8 +686,17 @@ class DenseRetriever:
         self._whitener = (
             jnp.asarray(np.load(wpath)) if os.path.exists(wpath) else None
         )
-        self.texts = meta["texts"]
-        self.doc_ids = meta["doc_ids"]
+        from .textstore import load_texts
+
+        lazy_texts, lazy_ids = load_texts(os.path.join(path, "texts"))
+        if lazy_texts is not None:  # modern lazy store: O(1) boot
+            self.texts = lazy_texts
+            self.doc_ids = (
+                lazy_ids if lazy_ids is not None else meta["doc_ids"]
+            )
+        else:  # legacy store: texts inlined in meta.json
+            self.texts = meta["texts"]
+            self.doc_ids = meta["doc_ids"]
         self.metric = meta.get("metric", self.metric)
         self.fingerprint = meta.get("fingerprint")
         self._loaded_fingerprint = self.fingerprint

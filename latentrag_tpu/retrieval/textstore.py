@@ -1,0 +1,87 @@
+"""Lazy on-disk text store for million-scale index sidecars.
+
+At MS-MARCO scale the corpus texts are gigabytes; a meta.json that inlines
+them makes every warm boot parse the whole blob and hold ~N Python strings
+in RAM — while serving only ever touches the top-k texts per query. This
+store keeps texts as a flat utf-8 blob + an int64 offset table, mmap-opened
+on load: boot cost is O(1) and a text decodes only when indexed.
+
+Layout (``prefix`` is caller-chosen — a dir entry for the dense tier, the
+index-file stem for the ANN tiers): ``{prefix}.bin.npy`` (concatenated
+utf-8), ``{prefix}_offsets.npy`` (int64 [n+1]), and
+``{prefix}_doc_ids.npy`` when the doc_ids are plain integers (the common
+case — otherwise the caller inlines them in its JSON sidecar). Older
+stores (texts inlined in meta.json) keep loading — the format is additive.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+import numpy as np
+
+
+def _paths(prefix: str):
+    return (f"{prefix}.bin.npy", f"{prefix}_offsets.npy",
+            f"{prefix}_doc_ids.npy")
+
+
+class LazyTexts(Sequence):
+    """Sequence of strings decoded on demand from the mmap'd blob."""
+
+    def __init__(self, prefix: str):
+        blob_p, offs_p, _ = _paths(prefix)
+        self._blob = np.load(blob_p, mmap_mode="r")
+        self._offs = np.load(offs_p)
+
+    def __len__(self) -> int:
+        return len(self._offs) - 1
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            return [self[j] for j in range(*i.indices(len(self)))]
+        n = len(self)
+        if i < 0:
+            i += n
+        if not 0 <= i < n:
+            raise IndexError(i)
+        lo, hi = int(self._offs[i]), int(self._offs[i + 1])
+        return bytes(self._blob[lo:hi]).decode("utf-8")
+
+    def __eq__(self, other):  # tests compare against plain lists
+        if isinstance(other, (list, tuple, LazyTexts)):
+            return len(self) == len(other) and all(
+                a == b for a, b in zip(self, other)
+            )
+        return NotImplemented
+
+
+def save_texts(prefix: str, texts: Sequence[str], doc_ids: Sequence) -> bool:
+    """Write the lazy store; returns True when doc_ids were persisted as
+    an int array (else the caller should inline them in its JSON)."""
+    blob_p, offs_p, ids_p = _paths(prefix)
+    data = [t.encode("utf-8") for t in texts]
+    offs = np.zeros(len(data) + 1, dtype=np.int64)
+    np.cumsum([len(d) for d in data], out=offs[1:])
+    blob = np.frombuffer(b"".join(data), dtype=np.uint8)
+    # np.save appends .npy when missing — strip it so names stay exact
+    np.save(blob_p[:-4], blob)
+    np.save(offs_p[:-4] if offs_p.endswith(".npy") else offs_p, offs)
+    ids_ok = all(isinstance(d, (int, np.integer)) for d in doc_ids)
+    if ids_ok:
+        np.save(ids_p[:-4], np.asarray(doc_ids, dtype=np.int64))
+    elif os.path.exists(ids_p):  # stale int sidecar from a previous save
+        os.remove(ids_p)
+    return ids_ok
+
+
+def load_texts(prefix: str):
+    """(texts, doc_ids) from the lazy store, or (None, None) when the
+    store predates it (caller falls back to meta.json inlining)."""
+    blob_p, _, ids_p = _paths(prefix)
+    if not os.path.exists(blob_p):
+        return None, None
+    texts = LazyTexts(prefix)
+    doc_ids = np.load(ids_p).tolist() if os.path.exists(ids_p) else None
+    return texts, doc_ids

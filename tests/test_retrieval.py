@@ -613,3 +613,57 @@ def test_recall_target_auto_policy(rng):
     s, i = r.search(q, 64)
     sims = q @ corpus.T
     assert np.allclose(s, np.take_along_axis(sims, i, axis=1), atol=1e-5)
+
+
+def test_lazy_text_store_round_trip(rng, tmp_path):
+    """Persisted texts live in the mmap'd lazy store (r4): warm boots
+    decode texts only on access, legacy meta.json stores keep loading,
+    and add() after a lazy load materialises correctly."""
+    import json
+    import os
+
+    from latentrag_tpu.retrieval.textstore import LazyTexts
+
+    corpus = _normed(rng, 40, 8)
+    texts = [f"text number {i} with unicode snowman ☃" for i in range(40)]
+    path = str(tmp_path / "idx")
+    r1 = DenseRetriever(backend="xla_exact", store_dtype="float32",
+                        index_path=path)
+    r1.build(corpus, texts, doc_ids=[i * 3 for i in range(40)])
+
+    # meta.json no longer inlines the corpus text
+    meta = json.load(open(os.path.join(path, "meta.json")))
+    assert "texts" not in meta
+    r2 = DenseRetriever(backend="xla_exact", store_dtype="float32",
+                        index_path=path)
+    assert isinstance(r2.texts, LazyTexts)
+    assert len(r2.texts) == 40
+    assert r2.texts[7] == texts[7]   # on-demand decode, unicode intact
+    assert r2.texts[-1] == texts[-1]
+    assert r2.doc_ids == [i * 3 for i in range(40)]
+    t, s, d = r2.retrieve(corpus[5], top_k=1)
+    assert t[0] == texts[5] and d[0] == 15
+
+    # add() after a lazy load materialises and re-persists
+    r2.add(-corpus[:2], ["added a", "added b"], doc_ids=["xa", "xb"])
+    assert r2.texts[-1] == "added b"
+    r3 = DenseRetriever(backend="xla_exact", store_dtype="float32",
+                        index_path=path)
+    assert len(r3.texts) == 42
+    # string doc_ids fall back to meta.json inlining
+    assert r3.doc_ids[-1] == "xb"
+
+    # legacy store (texts inlined in meta.json, no lazy files) still loads
+    legacy = str(tmp_path / "legacy")
+    r4 = DenseRetriever(backend="xla_exact", store_dtype="float32",
+                        index_path=legacy)
+    r4.build(corpus, texts)
+    for f in ("texts.bin.npy", "texts_offsets.npy", "texts_doc_ids.npy"):
+        os.remove(os.path.join(legacy, f))
+    meta = json.load(open(os.path.join(legacy, "meta.json")))
+    meta["texts"] = texts
+    meta["doc_ids"] = list(range(40))
+    json.dump(meta, open(os.path.join(legacy, "meta.json"), "w"))
+    r5 = DenseRetriever(backend="xla_exact", store_dtype="float32",
+                        index_path=legacy)
+    assert r5.is_built and r5.texts[3] == texts[3]
