@@ -81,11 +81,53 @@ def pool(params, x, mask):
     return pooled / jnp.maximum(n, 1e-12)
 
 
+def quantize_dense_params(p):
+    """Per-output-channel symmetric int8 for one Dense layer's params."""
+    k = np.asarray(p["kernel"], np.float32)
+    ws = np.maximum(np.abs(k).max(axis=0), 1e-12) / 127.0
+    codes = np.clip(np.round(k / ws), -127, 127).astype(np.int8)
+    return {"codes": jnp.asarray(codes), "wscale": jnp.asarray(ws),
+            "bias": jnp.asarray(np.asarray(p["bias"], np.float32))}
+
+
+def build_qtree(params, names):
+    """Copy of the params tree with the named per-layer Dense params
+    replaced by pre-quantized int8 codes + scales (A8W8: activations are
+    quantized dynamically per token inside the forward)."""
+    out = dict(params)
+    for i in range(NL):
+        lp = dict(params[f"layer_{i}"])
+        for name in names:
+            lp[name] = quantize_dense_params(lp[name])
+        out[f"layer_{i}"] = lp
+    return out
+
+
 def make_forward(fuse: bool, layout: bool, bf16_softmax: bool,
                  tanh_gelu: bool = False, scale_q: bool = False):
     dt = jnp.bfloat16
 
+    def qdense(p, x):
+        # A8W8: per-token symmetric int8 activations (dynamic), int8
+        # weights pre-quantized per output channel -> one int8xint8->int32
+        # MXU matmul (2x the bf16 rate on v5e), dequant fused into the
+        # epilogue by XLA.
+        xf = x.astype(jnp.float32)
+        s = jnp.maximum(
+            jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-6
+        ) / 127.0
+        xq = jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            xq, p["codes"],
+            dimension_numbers=(((xq.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        out = acc.astype(jnp.float32) * s * p["wscale"] + p["bias"]
+        return out.astype(dt)
+
     def dense(p, x):
+        if "codes" in p:
+            return qdense(p, x)
         return x @ p["kernel"].astype(dt) + p["bias"].astype(dt)
 
     def one_layer(p, x, additive):
@@ -193,7 +235,12 @@ def main():
                     help="also sweep batch x length buckets on the winner")
     ap.add_argument("--b", type=int, default=128)
     ap.add_argument("--l", type=int, default=256)
+    ap.add_argument("--only", type=str, default="",
+                    help="comma-separated variant-name substrings to run "
+                         "(saves remote compiles; base always runs)")
     args = ap.parse_args()
+    only = [s for s in args.only.split(",") if s]
+    keep = lambda n: not only or any(s in n for s in only)  # noqa: E731
 
     print(f"[sweep] backend={jax.default_backend()}", file=sys.stderr)
     enc, params = init_params()
@@ -220,13 +267,32 @@ def main():
                                         scale_q=True),
     }
     for name, fn in variants.items():
-        if fn is None:
+        if fn is None or not keep(name):
             continue
         got = np.asarray(jax.jit(fn)(params, ids, mask))
         err = np.abs(got - ref).max()
         tol = 0.02 if "bf16sm" in name else 5e-3
         status = "ok" if err < tol else "FAIL"
         print(f"[sweep] parity {name}: max|d|={err:.2e} {status}",
+              file=sys.stderr)
+
+    # --- int8 (A8W8) variants: quantized weights ride the same forward ---
+    int8_fwd = make_forward(False, False, True, tanh_gelu=True)
+    int8_variants = {
+        "int8mlp": build_qtree(params, ("mlp_in", "mlp_out")),
+        "int8dense": build_qtree(
+            params, ("q", "k", "v", "attn_out", "mlp_in", "mlp_out")
+        ),
+    }
+    for name, qtree in int8_variants.items():
+        if not keep(name):
+            continue
+        got = np.asarray(jax.jit(int8_fwd)(qtree, ids, mask))
+        cos = float(np.mean(np.sum(got * ref, -1)
+                            / (np.linalg.norm(got, axis=-1)
+                               * np.linalg.norm(ref, axis=-1))))
+        status = "ok" if cos > 0.995 else "FAIL"
+        print(f"[sweep] parity {name}: mean cos={cos:.5f} {status}",
               file=sys.stderr)
 
     # --- timing ----------------------------------------------------------
@@ -236,21 +302,30 @@ def main():
         lambda p, i, m: prod(p, i, m), params, args.b, args.l, "base(prod)"
     )
     for name, fn in variants.items():
-        if fn is None:
+        if fn is None or not keep(name):
             continue
         results[name] = bench_forward(jax.jit(fn), params, args.b, args.l,
                                       name)
+    jint8 = jax.jit(int8_fwd)
+    for name, qtree in int8_variants.items():
+        if not keep(name):
+            continue
+        results[name] = bench_forward(jint8, qtree, args.b, args.l, name)
 
     best = min(results, key=lambda n: results[n][0])
     print(f"[sweep] winner at {args.b}x{args.l}: {best} "
           f"({results[best][1]:.1f} TFLOP/s)", file=sys.stderr)
 
     if args.buckets:
-        fn = variants.get(best) or (lambda p, i, m: prod(p, i, m))
-        jfn = jax.jit(fn) if variants.get(best) else fn
+        if best in int8_variants:
+            jfn, bparams = jint8, int8_variants[best]
+        elif variants.get(best):
+            jfn, bparams = jax.jit(variants[best]), params
+        else:
+            jfn, bparams = (lambda p, i, m: prod(p, i, m)), params
         for b, l in ((64, 512), (128, 256), (256, 128), (512, 64),
                      (256, 256), (512, 128)):
-            bench_forward(jfn, params, b, l, f"{best}")
+            bench_forward(jfn, bparams, b, l, f"{best}")
     return 0
 
 
