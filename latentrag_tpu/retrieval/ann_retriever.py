@@ -402,6 +402,15 @@ class ANNRetriever:
             else:  # legacy store: texts inlined in meta.json
                 self.texts = list(meta["texts"])
                 self.doc_ids = list(meta["doc_ids"])
+            if len(self.texts) != len(self._index):
+                # mixed-generation store (crash between texts-store and
+                # index/meta writes): scores would pair with wrong texts
+                log.warning(
+                    "%s store at %s holds %d texts for %d indexed "
+                    "vectors; cold boot required", self.kind, path,
+                    len(self.texts), len(self._index),
+                )
+                return False
             if self._refine > 1:
                 rpath = path + ".refine.npy"
                 if os.path.exists(rpath):

@@ -701,6 +701,14 @@ class DenseRetriever:
         self.fingerprint = meta.get("fingerprint")
         self._loaded_fingerprint = self.fingerprint
         self._corpus_n = int(meta["n"])
+        if len(self.texts) != self._corpus_n:
+            # e.g. a crash between the texts-store save and the meta.json
+            # rename left mixed generations; serving would silently pair
+            # wrong texts with scores — refuse and start clean instead
+            raise ValueError(
+                f"text store holds {len(self.texts)} texts but the index "
+                f"records n={self._corpus_n}; mixed-generation store"
+            )
 
         sharded_path = os.path.join(path, "sharded")
         if self.mesh is not None and os.path.isdir(sharded_path):

@@ -16,15 +16,27 @@ stores (texts inlined in meta.json) keep loading — the format is additive.
 
 from __future__ import annotations
 
+import logging
 import os
 from typing import Sequence
 
 import numpy as np
 
+log = logging.getLogger("latentrag.retrieval")
+
 
 def _paths(prefix: str):
     return (f"{prefix}.bin.npy", f"{prefix}_offsets.npy",
             f"{prefix}_doc_ids.npy")
+
+
+def _atomic_save(path: str, arr: np.ndarray) -> None:
+    """np.save to a tmp name then rename — a crash never leaves a
+    half-written array under the final name."""
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.save(f, arr)
+    os.replace(tmp, path)
 
 
 class LazyTexts(Sequence):
@@ -65,23 +77,48 @@ def save_texts(prefix: str, texts: Sequence[str], doc_ids: Sequence) -> bool:
     offs = np.zeros(len(data) + 1, dtype=np.int64)
     np.cumsum([len(d) for d in data], out=offs[1:])
     blob = np.frombuffer(b"".join(data), dtype=np.uint8)
-    # np.save appends .npy when missing — strip it so names stay exact
-    np.save(blob_p[:-4], blob)
-    np.save(offs_p[:-4] if offs_p.endswith(".npy") else offs_p, offs)
+    # each file lands atomically (tmp + rename), and the blob lands LAST:
+    # load gates on the blob's existence, so a crash mid-save leaves
+    # either the old complete store or new offsets with no/old blob —
+    # both caught by load_texts's offsets<->blob cross-check, never a
+    # half-written file under a final name
+    _atomic_save(offs_p, offs)
     ids_ok = all(isinstance(d, (int, np.integer)) for d in doc_ids)
     if ids_ok:
-        np.save(ids_p[:-4], np.asarray(doc_ids, dtype=np.int64))
+        _atomic_save(ids_p, np.asarray(doc_ids, dtype=np.int64))
     elif os.path.exists(ids_p):  # stale int sidecar from a previous save
         os.remove(ids_p)
+    _atomic_save(blob_p, blob)
     return ids_ok
 
 
 def load_texts(prefix: str):
     """(texts, doc_ids) from the lazy store, or (None, None) when the
-    store predates it (caller falls back to meta.json inlining)."""
+    store predates it or is unreadable/inconsistent (caller falls back to
+    meta.json inlining, whose absence in turn forces a clean cold boot)."""
     blob_p, _, ids_p = _paths(prefix)
     if not os.path.exists(blob_p):
         return None, None
-    texts = LazyTexts(prefix)
-    doc_ids = np.load(ids_p).tolist() if os.path.exists(ids_p) else None
+    try:
+        texts = LazyTexts(prefix)
+        offs, blob = texts._offs, texts._blob
+        # cross-check the pair: a mixed-generation store (crash between
+        # the offsets and blob renames, or manual file surgery) must not
+        # decode garbage silently
+        if (
+            offs.ndim != 1
+            or offs.size < 1
+            or int(offs[0]) != 0
+            or int(offs[-1]) != blob.size
+            or (offs.size > 1 and bool(np.any(np.diff(offs) < 0)))
+        ):
+            raise ValueError("offset table inconsistent with text blob")
+        doc_ids = np.load(ids_p).tolist() if os.path.exists(ids_p) else None
+        if doc_ids is not None and len(doc_ids) != len(texts):
+            raise ValueError("doc_ids length mismatches text count")
+    except (OSError, ValueError) as e:
+        log.warning(
+            "lazy text store at %s unreadable (%s); ignoring it", prefix, e
+        )
+        return None, None
     return texts, doc_ids

@@ -667,3 +667,51 @@ def test_lazy_text_store_round_trip(rng, tmp_path):
     r5 = DenseRetriever(backend="xla_exact", store_dtype="float32",
                         index_path=legacy)
     assert r5.is_built and r5.texts[3] == texts[3]
+
+
+def test_lazy_text_store_corruption_refused(rng, tmp_path):
+    """A mixed-generation or corrupt lazy store must never silently pair
+    wrong texts with scores: the offsets<->blob cross-check and the
+    texts-vs-index length check both force a clean cold boot instead."""
+    import os
+
+    corpus = _normed(rng, 30, 8)
+    texts = [f"doc {i}" for i in range(30)]
+
+    # 1. blob/offsets from different generations: truncate the blob
+    path = str(tmp_path / "idx")
+    r1 = DenseRetriever(backend="xla_exact", store_dtype="float32",
+                        index_path=path)
+    r1.build(corpus, texts)
+    blob_p = os.path.join(path, "texts.bin.npy")
+    blob = np.load(blob_p)
+    with open(blob_p, "wb") as f:
+        np.save(f, blob[: len(blob) // 2])
+    r2 = DenseRetriever(backend="xla_exact", store_dtype="float32",
+                        index_path=path)
+    assert not r2.is_built  # refused, clean start — not garbage texts
+
+    # 2. texts store shorter than the index's recorded n (crash between
+    # the texts save and the meta rename during a shrinking rebuild)
+    path2 = str(tmp_path / "idx2")
+    r3 = DenseRetriever(backend="xla_exact", store_dtype="float32",
+                        index_path=path2)
+    r3.build(corpus, texts)
+    from latentrag_tpu.retrieval.textstore import save_texts
+
+    save_texts(os.path.join(path2, "texts"), texts[:11], list(range(11)))
+    r4 = DenseRetriever(backend="xla_exact", store_dtype="float32",
+                        index_path=path2)
+    assert not r4.is_built
+
+    # 3. same for an ANN tier: texts/index length mismatch -> cold boot
+    from latentrag_tpu.retrieval.ann_retriever import ANNRetriever
+    from latentrag_tpu.utils.config import RetrievalConfig
+
+    apath = str(tmp_path / "ann")
+    acfg = RetrievalConfig(index_path=apath, backend="hnsw")
+    a1 = ANNRetriever(acfg, "hnsw")
+    a1.build(corpus, texts)
+    save_texts(apath + ".hnsw.texts", texts[:5], list(range(5)))
+    a2 = ANNRetriever(acfg, "hnsw")
+    assert not a2.load_persisted()
