@@ -32,12 +32,22 @@ two trip counts, and the difference quotient (t(R_big)-t(R_small)) /
 (R_big-R_small) cancels every fixed cost (dispatch, fetch round trip) by
 construction. The host-dispatched number is still printed to stderr and
 carried in the JSON as ``host_path_qps`` for continuity with BENCH_r01/r02.
+
+Relay-dark armor (round 4): the relay can go fully dark for 10-60+ min,
+and a blocked host fetch is not interruptible from Python.  When the axon
+platform is active, ``__main__`` routes through ``_run_guarded``: probe the
+relay from a killable subprocess, run the measurement itself in a child
+with a hard timeout, and fall back to a CPU measurement labeled
+``"relay_dark": true`` if either fails — the driver's BENCH artifact
+always materializes.  ``LATENTRAG_BENCH_PROBE_S`` / ``_TIMEOUT_S`` tune
+the budgets (probe 0 = skip straight to the child).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -49,6 +59,53 @@ import jax.numpy as jnp
 from latentrag_tpu.ops import approx_topk, exact_topk, l2_normalize
 
 REF_QPS = 248_649.0  # reference baseline (BASELINE.md)
+
+_PROBE_CODE = (
+    "import jax, numpy as np\n"
+    "x = jax.jit(lambda k: jax.random.normal(k, (4, 4)))"
+    "(jax.random.PRNGKey(0))\n"
+    "print(float(np.asarray(x)[0, 0]))\n"
+)
+
+
+def _relay_alive(budget_s: float) -> bool:
+    """Probe the axon relay from a killable subprocess before committing
+    this process to it.
+
+    The relay can go fully dark for 10-60+ min (docs/ROOFLINE.md r3/r4
+    forensics): compiles and dispatches queue but the first host fetch
+    never returns, and that hang is NOT interruptible from Python once
+    this process blocks in the runtime.  A tiny jit+fetch in a subprocess
+    with a timeout is the only safe liveness check.  Retries inside
+    ``budget_s`` ride out short outages; a healthy relay answers in
+    ~30-140 s (first remote compile) and far less when warm.
+    """
+    deadline = time.time() + budget_s
+    attempt = 0
+    while True:
+        left = deadline - time.time()
+        if left <= 5:
+            return False
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", _PROBE_CODE],
+                timeout=min(300.0, left), capture_output=True,
+            )
+            if r.returncode == 0:
+                return True
+            print(
+                f"[bench] relay probe {attempt} failed (rc={r.returncode}): "
+                f"{r.stderr.decode(errors='replace')[-200:]}",
+                file=sys.stderr,
+            )
+        except subprocess.TimeoutExpired:
+            print(
+                f"[bench] relay probe {attempt} timed out "
+                f"({min(300.0, left):.0f}s) — relay dark, retrying",
+                file=sys.stderr,
+            )
+        time.sleep(min(30.0, max(deadline - time.time(), 0.0)))
 
 _fetch = jax.jit(lambda v: v.ravel()[0].astype(jnp.float32))
 
@@ -170,7 +227,50 @@ def _bench_encoder(on_tpu: bool):
     return b / dt
 
 
-def main() -> int:
+def _run_guarded() -> int:
+    """Relay-dark armor around the measurement (CLAUDE.md discipline).
+
+    The whole measurement runs in a KILLABLE child process: a relay that
+    goes dark mid-run (r4 forensics: one host fetch took 726 s, a later
+    window hung >40 min) blocks in native code this process could never
+    interrupt, and the driver would lose the round's BENCH artifact.  The
+    parent (this function) probes first, spawns the child with a hard
+    timeout, and on any failure re-runs the measurement itself on CPU with
+    ``relay_dark`` marked — one honest JSON line lands on stdout no matter
+    what the tunnel does.  Child stderr passes through live.
+    """
+    probe_s = float(os.environ.get("LATENTRAG_BENCH_PROBE_S", "1500"))
+    if probe_s <= 0 or _relay_alive(probe_s):
+        budget = float(os.environ.get("LATENTRAG_BENCH_TIMEOUT_S", "2400"))
+        env = dict(os.environ, LATENTRAG_BENCH_CHILD="1")
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, timeout=budget, stdout=subprocess.PIPE,
+            )
+            out = r.stdout.decode()
+            if r.returncode == 0 and out.strip():
+                sys.stdout.write(out)
+                return 0
+            print(
+                f"[bench] measurement child failed (rc={r.returncode}) — "
+                "CPU fallback", file=sys.stderr,
+            )
+        except subprocess.TimeoutExpired:
+            print(
+                f"[bench] measurement exceeded {budget:.0f}s (relay went "
+                "dark mid-run?) — CPU fallback", file=sys.stderr,
+            )
+    else:
+        print(
+            "[bench] axon relay dark after probe budget — CPU fallback "
+            "(headline will NOT be a chip number)", file=sys.stderr,
+        )
+    jax.config.update("jax_platforms", "cpu")
+    return main(relay_dark=True)
+
+
+def main(relay_dark: bool = False) -> int:
     on_tpu = jax.default_backend() == "tpu"
     backend = approx_topk if on_tpu else exact_topk
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
@@ -262,6 +362,8 @@ def main() -> int:
         "vs_baseline": round(qps / REF_QPS, 3),
         "host_path_qps": round(qps_host, 1),
     }
+    if relay_dark:
+        payload["relay_dark"] = True
     if "auto" in qps_1m:
         payload["qps_1m_auto"] = round(qps_1m["auto"], 1)
     if "rt95" in qps_1m:
@@ -273,4 +375,11 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    # The guard only matters when the axon relay would be used; direct CPU
+    # runs (tests, dev) and the guarded child measure in-process.
+    if (
+        os.environ.get("LATENTRAG_BENCH_CHILD")
+        or "axon" not in str(jax.config.jax_platforms or "")
+    ):
+        sys.exit(main())
+    sys.exit(_run_guarded())

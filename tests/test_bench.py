@@ -1,0 +1,147 @@
+"""bench.py relay-dark guard: the driver must always get its JSON line.
+
+The axon relay can go fully dark for 10-60+ min (docs/ROOFLINE.md); a
+bench run that blocks in an un-interruptible host fetch at round end
+would lose the round's BENCH artifact entirely.  These tests exercise
+the probe-then-run logic without touching any relay.
+"""
+
+import subprocess
+
+import bench
+
+
+class _Done(Exception):
+    pass
+
+
+def test_relay_alive_success(monkeypatch):
+    calls = []
+
+    def fake_run(cmd, timeout, capture_output):
+        calls.append(timeout)
+        return subprocess.CompletedProcess(cmd, 0, b"0.1\n", b"")
+
+    monkeypatch.setattr(bench.subprocess, "run", fake_run)
+    assert bench._relay_alive(120.0) is True
+    assert len(calls) == 1 and calls[0] <= 120.0
+
+
+def test_relay_alive_gives_up_within_budget(monkeypatch):
+    """Timeouts + nonzero exits retry, then fail once the budget is spent
+    (no sleep between attempts here: time is advanced via the fake)."""
+    t = [0.0]
+
+    def fake_time():
+        return t[0]
+
+    def fake_sleep(s):
+        t[0] += s
+
+    attempts = []
+
+    def fake_run(cmd, timeout, capture_output):
+        attempts.append(timeout)
+        t[0] += 50.0  # each probe burns 50 "seconds"
+        if len(attempts) == 1:
+            raise subprocess.TimeoutExpired(cmd, timeout)
+        return subprocess.CompletedProcess(cmd, 1, b"", b"boom")
+
+    monkeypatch.setattr(bench.subprocess, "run", fake_run)
+    monkeypatch.setattr(bench.time, "time", fake_time)
+    monkeypatch.setattr(bench.time, "sleep", fake_sleep)
+    assert bench._relay_alive(140.0) is False
+    assert len(attempts) >= 2  # it retried before giving up
+
+
+def test_relay_alive_recovers_after_outage(monkeypatch):
+    """A dark window shorter than the budget ends with a live relay."""
+    t = [0.0]
+    monkeypatch.setattr(bench.time, "time", lambda: t[0])
+    monkeypatch.setattr(
+        bench.time, "sleep", lambda s: t.__setitem__(0, t[0] + s)
+    )
+    n = [0]
+
+    def fake_run(cmd, timeout, capture_output):
+        n[0] += 1
+        t[0] += 10.0
+        if n[0] < 3:
+            raise subprocess.TimeoutExpired(cmd, timeout)
+        return subprocess.CompletedProcess(cmd, 0, b"0.1\n", b"")
+
+    monkeypatch.setattr(bench.subprocess, "run", fake_run)
+    assert bench._relay_alive(600.0) is True
+    assert n[0] == 3
+
+
+def test_probe_skipped_on_cpu_platform():
+    """Under the test conftest the platform is cpu — __main__'s gate
+    ('axon' in jax_platforms) must be False so bench runs unguarded."""
+    import jax
+
+    assert "axon" not in str(jax.config.jax_platforms or "")
+
+
+def _patch_cpu_switch(monkeypatch):
+    switched = []
+    monkeypatch.setattr(
+        bench.jax.config, "update",
+        lambda k, v: switched.append((k, v)),
+    )
+    return switched
+
+
+def test_guarded_forwards_child_json(monkeypatch, capsys):
+    """Healthy relay + healthy child: the child's stdout JSON is forwarded
+    verbatim and no CPU fallback runs."""
+    monkeypatch.setattr(bench, "_relay_alive", lambda b: True)
+    monkeypatch.setattr(
+        bench.subprocess, "run",
+        lambda cmd, env, timeout, stdout: subprocess.CompletedProcess(
+            cmd, 0, b'{"metric": "latent_topk_qps", "value": 1.0}\n', b""
+        ),
+    )
+    monkeypatch.setattr(
+        bench, "main",
+        lambda relay_dark=False: (_ for _ in ()).throw(_Done()),
+    )
+    assert bench._run_guarded() == 0
+    assert '"latent_topk_qps"' in capsys.readouterr().out
+
+
+def test_guarded_falls_back_when_child_hangs(monkeypatch):
+    """A mid-run dark relay (child timeout) must switch the parent to CPU
+    and re-run main with relay_dark marked."""
+    monkeypatch.setattr(bench, "_relay_alive", lambda b: True)
+
+    def fake_run(cmd, env, timeout, stdout):
+        raise subprocess.TimeoutExpired(cmd, timeout)
+
+    monkeypatch.setattr(bench.subprocess, "run", fake_run)
+    switched = _patch_cpu_switch(monkeypatch)
+    seen = []
+
+    def fake_main(relay_dark=False):
+        seen.append(relay_dark)
+        return 0
+
+    monkeypatch.setattr(bench, "main", fake_main)
+    assert bench._run_guarded() == 0
+    assert switched == [("jax_platforms", "cpu")] and seen == [True]
+
+
+def test_guarded_falls_back_when_probe_dark(monkeypatch):
+    """Probe exhausting its budget skips the child entirely."""
+    monkeypatch.setattr(bench, "_relay_alive", lambda b: False)
+    monkeypatch.setattr(
+        bench.subprocess, "run",
+        lambda *a, **k: (_ for _ in ()).throw(AssertionError("no child")),
+    )
+    switched = _patch_cpu_switch(monkeypatch)
+    seen = []
+    monkeypatch.setattr(
+        bench, "main", lambda relay_dark=False: seen.append(relay_dark) or 0
+    )
+    assert bench._run_guarded() == 0
+    assert switched == [("jax_platforms", "cpu")] and seen == [True]
