@@ -37,9 +37,11 @@ Relay-dark armor (round 4): the relay can go fully dark for 10-60+ min,
 and a blocked host fetch is not interruptible from Python.  When the axon
 platform is active, ``__main__`` routes through ``_run_guarded``: probe the
 relay from a killable subprocess, run the measurement itself in a child
-with a hard timeout, and fall back to a CPU measurement labeled
-``"relay_dark": true`` if either fails — the driver's BENCH artifact
-always materializes.  ``LATENTRAG_BENCH_PROBE_S`` / ``_TIMEOUT_S`` tune
+with a hard timeout, and fall back to a CPU measurement if either fails —
+labeled ``"relay_dark": true`` (probe exhausted / child hang) or
+``"bench_child_rc"`` (child exited nonzero under a live relay: a code
+failure, not an outage) — so the driver's BENCH artifact always
+materializes.  ``LATENTRAG_BENCH_PROBE_S`` / ``_TIMEOUT_S`` tune
 the budgets (probe 0 = skip straight to the child).
 """
 
@@ -83,14 +85,17 @@ def _relay_alive(budget_s: float) -> bool:
     deadline = time.time() + budget_s
     attempt = 0
     while True:
-        left = deadline - time.time()
-        if left <= 5:
-            return False
         attempt += 1
+        left = deadline - time.time()
+        if attempt > 1 and left <= 0:
+            return False
         try:
+            # at least one probe always runs, with a floor timeout —
+            # a small budget means "probe once, briefly", not "skip to
+            # the CPU fallback without asking the relay at all"
             r = subprocess.run(
                 [sys.executable, "-c", _PROBE_CODE],
-                timeout=min(300.0, left), capture_output=True,
+                timeout=min(300.0, max(left, 60.0)), capture_output=True,
             )
             if r.returncode == 0:
                 return True
@@ -102,10 +107,12 @@ def _relay_alive(budget_s: float) -> bool:
         except subprocess.TimeoutExpired:
             print(
                 f"[bench] relay probe {attempt} timed out "
-                f"({min(300.0, left):.0f}s) — relay dark, retrying",
+                f"({min(300.0, max(left, 60.0)):.0f}s) — relay dark, "
+                "retrying",
                 file=sys.stderr,
             )
         time.sleep(min(30.0, max(deadline - time.time(), 0.0)))
+
 
 _fetch = jax.jit(lambda v: v.ravel()[0].astype(jnp.float32))
 
@@ -252,10 +259,15 @@ def _run_guarded() -> int:
             if r.returncode == 0 and out.strip():
                 sys.stdout.write(out)
                 return 0
+            # nonzero exit with a LIVE relay is a code failure, not an
+            # outage — label it bench_child_rc so a regression is never
+            # misread as relay flakiness
             print(
                 f"[bench] measurement child failed (rc={r.returncode}) — "
                 "CPU fallback", file=sys.stderr,
             )
+            jax.config.update("jax_platforms", "cpu")
+            return main(child_rc=r.returncode)
         except subprocess.TimeoutExpired:
             print(
                 f"[bench] measurement exceeded {budget:.0f}s (relay went "
@@ -270,7 +282,7 @@ def _run_guarded() -> int:
     return main(relay_dark=True)
 
 
-def main(relay_dark: bool = False) -> int:
+def main(relay_dark: bool = False, child_rc: int | None = None) -> int:
     on_tpu = jax.default_backend() == "tpu"
     backend = approx_topk if on_tpu else exact_topk
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
@@ -364,6 +376,8 @@ def main(relay_dark: bool = False) -> int:
     }
     if relay_dark:
         payload["relay_dark"] = True
+    if child_rc is not None:
+        payload["bench_child_rc"] = child_rc
     if "auto" in qps_1m:
         payload["qps_1m_auto"] = round(qps_1m["auto"], 1)
     if "rt95" in qps_1m:

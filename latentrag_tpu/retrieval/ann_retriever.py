@@ -388,44 +388,57 @@ class ANNRetriever:
                         "boot refused", path, key, have, want,
                     )
                     return False
+            # validate into locals; self mutates only once EVERY check has
+            # passed, so a refused store never leaves a half-loaded
+            # retriever whose is_built reads True
             if self.kind == "hnsw":
-                self._index = HNSWIndex.load(
+                index = HNSWIndex.load(
                     path, ef_search=self.cfg.hnsw_ef_search
                 )
             else:
-                self._index = IVFPQIndex.load(path)
+                index = IVFPQIndex.load(path)
             if lazy_texts is not None:  # lazy store: O(1) boot
-                self.texts = lazy_texts
-                self.doc_ids = (
+                texts = lazy_texts
+                doc_ids = (
                     lazy_ids if lazy_ids is not None else meta["doc_ids"]
                 )
             else:  # legacy store: texts inlined in meta.json
-                self.texts = list(meta["texts"])
-                self.doc_ids = list(meta["doc_ids"])
-            if len(self.texts) != len(self._index):
+                texts = list(meta["texts"])
+                doc_ids = list(meta["doc_ids"])
+            if len(texts) != len(index) or len(doc_ids) != len(texts):
                 # mixed-generation store (crash between texts-store and
                 # index/meta writes): scores would pair with wrong texts
                 log.warning(
-                    "%s store at %s holds %d texts for %d indexed "
-                    "vectors; cold boot required", self.kind, path,
-                    len(self.texts), len(self._index),
+                    "%s store at %s holds %d texts / %d doc_ids for %d "
+                    "indexed vectors; cold boot required", self.kind, path,
+                    len(texts), len(doc_ids), len(index),
                 )
                 return False
+            refine_emb = None
             if self._refine > 1:
                 rpath = path + ".refine.npy"
                 if os.path.exists(rpath):
-                    self._refine_emb = np.load(rpath, mmap_mode="r")
+                    refine_emb = np.load(rpath, mmap_mode="r")
+                    if refine_emb.shape[0] != len(index):
+                        log.warning(
+                            "%s refine sidecar holds %d rows for %d "
+                            "indexed vectors; cold boot required", path,
+                            refine_emb.shape[0], len(index),
+                        )
+                        return False
                 else:
                     log.warning(
                         "%s: ivfpq_refine=%d requested but %s is missing — "
                         "serving UNREFINED ADC scores (rebuild to restore "
                         "refinement)", path, self._refine, rpath,
                     )
+            self._index, self.texts, self.doc_ids = index, texts, doc_ids
+            self._refine_emb = refine_emb
             log.info("%s index warm-loaded from %s (n=%d)", self.kind, path,
                      len(self.texts))
             return True
-        except (OSError, ValueError, json.JSONDecodeError) as e:
-            log.warning("%s index at %s unreadable (%s); warm boot failed",
+        except (OSError, ValueError, KeyError, json.JSONDecodeError) as e:
+            log.warning("%s index at %s unreadable (%r); warm boot failed",
                         self.kind, path, e)
             return False
 

@@ -182,11 +182,23 @@ class DenseRetriever:
         if self.index_path and os.path.exists(
             os.path.join(self.index_path, "meta.json")
         ):
+            # snapshot every field _load can touch so "starting clean"
+            # truly is clean no matter how deep into the load it failed
+            _load_fields = (
+                "texts", "doc_ids", "metric", "fingerprint",
+                "_loaded_fingerprint", "_corpus_n", "_corpus_dev",
+                "_corpus_scale", "_rescore_host", "_dim", "_whitener",
+                "_sharded_cache", "_make_sharded",
+            )
+            snap = {f: getattr(self, f) for f in _load_fields
+                    if hasattr(self, f)}
             try:
                 self._load(self.index_path)
             except Exception as e:  # corrupted store -> start clean
+                for f, v in snap.items():
+                    setattr(self, f, v)
                 log.warning(
-                    "index at %s unreadable (%s); starting clean",
+                    "index at %s unreadable (%r); starting clean",
                     self.index_path,
                     e,
                 )
@@ -680,35 +692,41 @@ class DenseRetriever:
         log.info("index persisted to %s (n=%d)", path, self._corpus_n)
 
     def _load(self, path: str) -> None:
+        # validate into locals before any self mutation: a refused store
+        # must not leave its metric/fingerprint/texts on the clean-started
+        # retriever (a later build() would then persist the stale
+        # provenance into the fresh index)
         with open(os.path.join(path, "meta.json")) as f:
             meta = json.load(f)
-        wpath = os.path.join(path, "whitener.npy")
-        self._whitener = (
-            jnp.asarray(np.load(wpath)) if os.path.exists(wpath) else None
-        )
         from .textstore import load_texts
 
         lazy_texts, lazy_ids = load_texts(os.path.join(path, "texts"))
         if lazy_texts is not None:  # modern lazy store: O(1) boot
-            self.texts = lazy_texts
-            self.doc_ids = (
-                lazy_ids if lazy_ids is not None else meta["doc_ids"]
-            )
+            texts = lazy_texts
+            doc_ids = lazy_ids if lazy_ids is not None else meta["doc_ids"]
         else:  # legacy store: texts inlined in meta.json
-            self.texts = meta["texts"]
-            self.doc_ids = meta["doc_ids"]
-        self.metric = meta.get("metric", self.metric)
-        self.fingerprint = meta.get("fingerprint")
-        self._loaded_fingerprint = self.fingerprint
-        self._corpus_n = int(meta["n"])
-        if len(self.texts) != self._corpus_n:
+            texts = meta["texts"]
+            doc_ids = meta["doc_ids"]
+        n = int(meta["n"])
+        if len(texts) != n or len(doc_ids) != len(texts):
             # e.g. a crash between the texts-store save and the meta.json
             # rename left mixed generations; serving would silently pair
             # wrong texts with scores — refuse and start clean instead
             raise ValueError(
-                f"text store holds {len(self.texts)} texts but the index "
-                f"records n={self._corpus_n}; mixed-generation store"
+                f"text store holds {len(texts)} texts / {len(doc_ids)} "
+                f"doc_ids but the index records n={n}; mixed-generation "
+                "store"
             )
+        wpath = os.path.join(path, "whitener.npy")
+        self._whitener = (
+            jnp.asarray(np.load(wpath)) if os.path.exists(wpath) else None
+        )
+        self.texts = texts
+        self.doc_ids = doc_ids
+        self.metric = meta.get("metric", self.metric)
+        self.fingerprint = meta.get("fingerprint")
+        self._loaded_fingerprint = self.fingerprint
+        self._corpus_n = n
 
         sharded_path = os.path.join(path, "sharded")
         if self.mesh is not None and os.path.isdir(sharded_path):

@@ -8,10 +8,20 @@ on load: boot cost is O(1) and a text decodes only when indexed.
 
 Layout (``prefix`` is caller-chosen — a dir entry for the dense tier, the
 index-file stem for the ANN tiers): ``{prefix}.bin.npy`` (concatenated
-utf-8), ``{prefix}_offsets.npy`` (int64 [n+1]), and
-``{prefix}_doc_ids.npy`` when the doc_ids are plain integers (the common
-case — otherwise the caller inlines them in its JSON sidecar). Older
-stores (texts inlined in meta.json) keep loading — the format is additive.
+utf-8), ``{prefix}_offsets.npy`` (int64 — a ``[MAGIC, tag, tag]`` header
+followed by the ``[n+1]`` cumulative offsets), and ``{prefix}_doc_ids.npy``
+(same header + the ids) when the doc_ids are plain integers (the common
+case — otherwise the caller inlines them in its JSON sidecar). Older stores (texts inlined in
+meta.json, or headerless offset tables) keep loading — the format is
+additive.
+
+Crash safety: every file lands atomically (tmp + rename) and the two
+halves of one save share a random 16-byte GENERATION TAG — in the offsets
+header and appended after the last text byte of the blob. A crash between
+the two renames leaves files from different generations, whose tags
+mismatch with probability 1 - 2^-128; load then refuses the store in O(1)
+(one 16-byte read off the mmap tail) instead of silently decoding wrong
+texts. Headerless legacy tables fall back to a total-size cross-check.
 """
 
 from __future__ import annotations
@@ -23,6 +33,12 @@ from typing import Sequence
 import numpy as np
 
 log = logging.getLogger("latentrag.retrieval")
+
+# First int64 of a tagged offset table. Legacy (headerless) tables always
+# start with 0 (the first cumulative offset), so any nonzero magic is
+# unambiguous.
+MAGIC = np.int64(0x4C54475354525F31)  # "LTGSTR_1"
+_TAG_BYTES = 16
 
 
 def _paths(prefix: str):
@@ -45,7 +61,13 @@ class LazyTexts(Sequence):
     def __init__(self, prefix: str):
         blob_p, offs_p, _ = _paths(prefix)
         self._blob = np.load(blob_p, mmap_mode="r")
-        self._offs = np.load(offs_p)
+        raw = np.load(offs_p)
+        if raw.ndim == 1 and raw.size >= 4 and raw[0] == MAGIC:
+            self._tag = raw[1:3].copy()
+            self._offs = raw[3:]
+        else:  # headerless legacy table
+            self._tag = None
+            self._offs = raw
 
     def __len__(self) -> int:
         return len(self._offs) - 1
@@ -76,16 +98,17 @@ def save_texts(prefix: str, texts: Sequence[str], doc_ids: Sequence) -> bool:
     data = [t.encode("utf-8") for t in texts]
     offs = np.zeros(len(data) + 1, dtype=np.int64)
     np.cumsum([len(d) for d in data], out=offs[1:])
-    blob = np.frombuffer(b"".join(data), dtype=np.uint8)
-    # each file lands atomically (tmp + rename), and the blob lands LAST:
-    # load gates on the blob's existence, so a crash mid-save leaves
-    # either the old complete store or new offsets with no/old blob —
-    # both caught by load_texts's offsets<->blob cross-check, never a
-    # half-written file under a final name
-    _atomic_save(offs_p, offs)
+    # one fresh generation tag binds this save's offsets + blob together
+    tag = np.frombuffer(os.urandom(_TAG_BYTES), dtype=np.int64)
+    header = np.concatenate([[MAGIC], tag, offs])
+    blob = np.frombuffer(b"".join(data) + tag.tobytes(), dtype=np.uint8)
+    # each file lands atomically (tmp + rename); a crash between the two
+    # renames leaves mixed generations whose tags mismatch at load
+    _atomic_save(offs_p, header)
     ids_ok = all(isinstance(d, (int, np.integer)) for d in doc_ids)
     if ids_ok:
-        _atomic_save(ids_p, np.asarray(doc_ids, dtype=np.int64))
+        ids = np.asarray(doc_ids, dtype=np.int64)
+        _atomic_save(ids_p, np.concatenate([[MAGIC], tag, ids]))
     elif os.path.exists(ids_p):  # stale int sidecar from a previous save
         os.remove(ids_p)
     _atomic_save(blob_p, blob)
@@ -101,21 +124,39 @@ def load_texts(prefix: str):
         return None, None
     try:
         texts = LazyTexts(prefix)
-        offs, blob = texts._offs, texts._blob
+        offs, blob, tag = texts._offs, texts._blob, texts._tag
         # cross-check the pair: a mixed-generation store (crash between
         # the offsets and blob renames, or manual file surgery) must not
         # decode garbage silently
+        tail = _TAG_BYTES if tag is not None else 0
         if (
             offs.ndim != 1
             or offs.size < 1
             or int(offs[0]) != 0
-            or int(offs[-1]) != blob.size
+            or int(offs[-1]) + tail != blob.size
             or (offs.size > 1 and bool(np.any(np.diff(offs) < 0)))
         ):
             raise ValueError("offset table inconsistent with text blob")
-        doc_ids = np.load(ids_p).tolist() if os.path.exists(ids_p) else None
-        if doc_ids is not None and len(doc_ids) != len(texts):
-            raise ValueError("doc_ids length mismatches text count")
+        if tag is not None and not np.array_equal(
+            np.frombuffer(bytes(blob[-_TAG_BYTES:]), dtype=np.int64), tag
+        ):
+            raise ValueError(
+                "generation tag mismatch between offsets and blob"
+            )
+        doc_ids = None
+        if os.path.exists(ids_p):
+            raw_ids = np.load(ids_p)
+            n = len(texts)
+            if raw_ids.size == n + 3 and raw_ids[0] == MAGIC:
+                if tag is None or not np.array_equal(raw_ids[1:3], tag):
+                    raise ValueError(
+                        "generation tag mismatch between doc_ids and blob"
+                    )
+                doc_ids = raw_ids[3:].tolist()
+            elif raw_ids.size == n:  # headerless legacy sidecar
+                doc_ids = raw_ids.tolist()
+            else:
+                raise ValueError("doc_ids length mismatches text count")
     except (OSError, ValueError) as e:
         log.warning(
             "lazy text store at %s unreadable (%s); ignoring it", prefix, e

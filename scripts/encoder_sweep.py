@@ -278,15 +278,17 @@ def main():
 
     # --- int8 (A8W8) variants: quantized weights ride the same forward ---
     int8_fwd = make_forward(False, False, True, tanh_gelu=True)
+    # qtrees build only AFTER the --only filter: each build pushes MBs of
+    # int8 codes host->device, dead tunnel traffic when filtered out
+    int8_specs = {
+        "int8mlp": ("mlp_in", "mlp_out"),
+        "int8dense": ("q", "k", "v", "attn_out", "mlp_in", "mlp_out"),
+    }
     int8_variants = {
-        "int8mlp": build_qtree(params, ("mlp_in", "mlp_out")),
-        "int8dense": build_qtree(
-            params, ("q", "k", "v", "attn_out", "mlp_in", "mlp_out")
-        ),
+        name: build_qtree(params, layers)
+        for name, layers in int8_specs.items() if keep(name)
     }
     for name, qtree in int8_variants.items():
-        if not keep(name):
-            continue
         got = np.asarray(jax.jit(int8_fwd)(qtree, ids, mask))
         cos = float(np.mean(np.sum(got * ref, -1)
                             / (np.linalg.norm(got, axis=-1)
@@ -308,8 +310,6 @@ def main():
                                       name)
     jint8 = jax.jit(int8_fwd)
     for name, qtree in int8_variants.items():
-        if not keep(name):
-            continue
         results[name] = bench_forward(jint8, qtree, args.b, args.l, name)
 
     best = min(results, key=lambda n: results[n][0])

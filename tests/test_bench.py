@@ -75,6 +75,46 @@ def test_relay_alive_recovers_after_outage(monkeypatch):
     assert n[0] == 3
 
 
+def test_relay_alive_tiny_budget_still_probes_once(monkeypatch):
+    """A small positive budget means 'probe once, briefly' — never 'skip
+    straight to the CPU fallback without asking the relay'."""
+    runs = []
+
+    def fake_run(cmd, timeout, capture_output):
+        runs.append(timeout)
+        return subprocess.CompletedProcess(cmd, 0, b"0.1\n", b"")
+
+    monkeypatch.setattr(bench.subprocess, "run", fake_run)
+    assert bench._relay_alive(1.0) is True
+    assert len(runs) == 1 and runs[0] >= 60.0  # floor timeout applied
+
+
+def test_guarded_child_failure_labeled_not_relay_dark(monkeypatch):
+    """A nonzero child exit under a live relay is a CODE failure: the
+    fallback JSON must carry bench_child_rc, not relay_dark."""
+    monkeypatch.setattr(bench, "_relay_alive", lambda b: True)
+    monkeypatch.setattr(
+        bench.subprocess, "run",
+        lambda cmd, env, timeout, stdout: subprocess.CompletedProcess(
+            cmd, 3, b"", b""
+        ),
+    )
+    switched = []
+    monkeypatch.setattr(
+        bench.jax.config, "update", lambda k, v: switched.append((k, v))
+    )
+    seen = {}
+    monkeypatch.setattr(
+        bench, "main",
+        lambda relay_dark=False, child_rc=None: seen.update(
+            relay_dark=relay_dark, child_rc=child_rc
+        ) or 0,
+    )
+    assert bench._run_guarded() == 0
+    assert seen == {"relay_dark": False, "child_rc": 3}
+    assert switched == [("jax_platforms", "cpu")]
+
+
 def test_probe_skipped_on_cpu_platform():
     """Under the test conftest the platform is cpu — __main__'s gate
     ('axon' in jax_platforms) must be False so bench runs unguarded."""

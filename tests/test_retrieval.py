@@ -715,3 +715,101 @@ def test_lazy_text_store_corruption_refused(rng, tmp_path):
     save_texts(apath + ".hnsw.texts", texts[:5], list(range(5)))
     a2 = ANNRetriever(acfg, "hnsw")
     assert not a2.load_persisted()
+    # a refused store must not leave a half-loaded retriever behind
+    assert not a2.is_built and a2.texts == [] == list(a2.doc_ids or [])
+
+
+def test_lazy_text_store_same_size_mixed_generation(rng, tmp_path):
+    """Two generations whose blobs happen to have identical total size
+    must still be refused: the per-save random generation tag (stored in
+    the offsets header AND the blob tail) catches what a length check
+    cannot."""
+    import shutil
+
+    from latentrag_tpu.retrieval.textstore import load_texts, save_texts
+
+    prefix = str(tmp_path / "texts")
+    save_texts(prefix, ["a", "bb"], [0, 1])
+    old_blob = prefix + ".bin.npy"
+    shutil.copy(old_blob, str(tmp_path / "old_blob.npy"))
+    # second save with the SAME total byte count but different splits —
+    # then simulate a crash before the blob rename by restoring gen-1's
+    # blob under gen-2's offsets/doc_ids
+    save_texts(prefix, ["aa", "b"], [0, 1])
+    shutil.copy(str(tmp_path / "old_blob.npy"), old_blob)
+    texts, ids = load_texts(prefix)
+    assert texts is None and ids is None  # refused, not ["ab", "b"]
+
+    # doc_ids from a different generation are refused the same way
+    save_texts(prefix, ["x", "yy"], [7, 8])
+    ids_p = prefix + "_doc_ids.npy"
+    shutil.copy(ids_p, str(tmp_path / "old_ids.npy"))
+    save_texts(prefix, ["p", "qq"], [1, 2])
+    shutil.copy(str(tmp_path / "old_ids.npy"), ids_p)
+    texts, ids = load_texts(prefix)
+    assert texts is None and ids is None
+
+
+def test_lazy_text_store_headerless_legacy_loads(tmp_path):
+    """Stores written before the generation-tag header (r4 early) are
+    headerless: plain cumsum offsets + raw blob + raw ids. They must keep
+    loading — the format is additive."""
+    from latentrag_tpu.retrieval.textstore import load_texts
+
+    prefix = str(tmp_path / "texts")
+    data = [t.encode() for t in ("alpha", "bee")]
+    offs = np.zeros(3, dtype=np.int64)
+    np.cumsum([len(d) for d in data], out=offs[1:])
+    with open(prefix + "_offsets.npy", "wb") as f:
+        np.save(f, offs)
+    with open(prefix + ".bin.npy", "wb") as f:
+        np.save(f, np.frombuffer(b"".join(data), dtype=np.uint8))
+    with open(prefix + "_doc_ids.npy", "wb") as f:
+        np.save(f, np.asarray([4, 9], dtype=np.int64))
+    texts, ids = load_texts(prefix)
+    assert list(texts) == ["alpha", "bee"] and ids == [4, 9]
+
+
+def test_ann_missing_doc_ids_returns_false_not_keyerror(rng, tmp_path):
+    """Lazy texts present but the ids sidecar gone AND meta.json predating
+    inlined doc_ids: load_persisted must keep its returns-False contract
+    (KeyError escaping here crashed the warm-boot path)."""
+    import os
+
+    from latentrag_tpu.retrieval.ann_retriever import ANNRetriever
+    from latentrag_tpu.utils.config import RetrievalConfig
+
+    corpus = _normed(rng, 25, 8)
+    texts = [f"doc {i}" for i in range(25)]
+    apath = str(tmp_path / "ann")
+    acfg = RetrievalConfig(index_path=apath, backend="hnsw")
+    a1 = ANNRetriever(acfg, "hnsw")
+    a1.build(corpus, texts)  # int doc_ids -> meta.json has no doc_ids key
+    os.remove(apath + ".hnsw.texts_doc_ids.npy")
+    a2 = ANNRetriever(acfg, "hnsw")
+    assert not a2.load_persisted()  # False, not KeyError
+    assert not a2.is_built
+
+
+def test_dense_refused_store_leaves_clean_state(rng, tmp_path):
+    """A refused (mixed-generation) store must not leak its metric or
+    fingerprint into the clean-started retriever — a later build() would
+    persist that stale provenance into the fresh index."""
+    import os
+
+    corpus = _normed(rng, 20, 8)
+    texts = [f"doc {i}" for i in range(20)]
+    path = str(tmp_path / "idx")
+    r1 = DenseRetriever(backend="xla_exact", store_dtype="float32",
+                        index_path=path,
+                        fingerprint={"embedding_model": "m1", "ae": "vae"})
+    r1.build(corpus, texts)
+    # shrink the text store out from under the index -> refusal
+    from latentrag_tpu.retrieval.textstore import save_texts
+
+    save_texts(os.path.join(path, "texts"), texts[:7], list(range(7)))
+    r2 = DenseRetriever(backend="xla_exact", store_dtype="float32",
+                        index_path=path)
+    assert not r2.is_built
+    assert r2.fingerprint is None  # not the refused store's provenance
+    assert r2.texts == [] and list(r2.doc_ids or []) == []
