@@ -334,6 +334,10 @@ class ANNRetriever:
                 np.save(path + ".refine.npy.tmp.npy", self._refine_emb)
                 os.replace(path + ".refine.npy.tmp.npy",
                            path + ".refine.npy")
+            elif os.path.exists(path + ".refine.npy"):
+                # a stale refine sidecar from a previous refined build
+                # must not pair gen-1 embeddings with this index
+                os.remove(path + ".refine.npy")
             from .textstore import save_texts
 
             ids_as_npy = save_texts(path + ".texts", self.texts,

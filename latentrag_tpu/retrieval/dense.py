@@ -609,6 +609,22 @@ class DenseRetriever:
 
     def _save(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
+        from .textstore import atomic_save
+
+        def _drop_stale(*names: str) -> None:
+            # sidecars this save does NOT write must not survive from a
+            # previous build of a different store type at the same path —
+            # e.g. a stale binary_packed.npy would pair gen-1 sign bits
+            # with a gen-2 corpus on a later binary load
+            import shutil
+
+            for nm in names:
+                p = os.path.join(path, nm)
+                if os.path.isdir(p):
+                    shutil.rmtree(p)
+                elif os.path.exists(p):
+                    os.remove(p)
+
         if self._rescore_host is not None:  # binary store (mesh or not)
             # packed bits persist VERBATIM: re-deriving them from the
             # dequantized corpus flips sign bits of near-zero negatives
@@ -617,19 +633,20 @@ class DenseRetriever:
             # the packed bits are d/32 words/vector, 16x smaller than the
             # bf16 corpus, and this is a single-controller path (each
             # multi-process rank re-shards on load instead).
-            np.save(
+            atomic_save(
                 os.path.join(path, "binary_packed.npy"),
                 np.asarray(self._corpus_dev)[: self._corpus_n],
             )
-            np.save(
+            atomic_save(
                 os.path.join(path, "sq8_scale.npy"),
                 np.asarray(self._corpus_scale, dtype=np.float32),
             )
-            np.save(
+            atomic_save(
                 os.path.join(path, "corpus.npy"),
                 self._rescore_host[: self._corpus_n].astype(np.float32)
                 * float(self._corpus_scale),
             )
+            _drop_stale("sharded")
         elif self.mesh is not None:
             # sharded corpora write through Orbax: each process persists its
             # own shards — no host gather (crawls through slow links, and
@@ -642,10 +659,13 @@ class DenseRetriever:
                 {"n": self._corpus_n, "store_dtype": self.store_dtype},
             )
             if self._corpus_scale is not None:
-                np.save(
+                atomic_save(
                     os.path.join(path, "sq8_scale.npy"),
                     np.asarray(self._corpus_scale, dtype=np.float32),
                 )
+            else:
+                _drop_stale("sq8_scale.npy")
+            _drop_stale("binary_packed.npy", "corpus.npy")
         else:
             nbytes = self._corpus_n * self.dim * 4
             if nbytes > 1 << 30:
@@ -660,14 +680,17 @@ class DenseRetriever:
             corpus = np.asarray(self._corpus_dev, dtype=np.float32)
             if self._corpus_scale is not None:  # persist dequantized fp32
                 corpus = corpus * float(self._corpus_scale)
-            np.save(
+            atomic_save(
                 os.path.join(path, "corpus.npy"), corpus[: self._corpus_n]
             )
+            _drop_stale("binary_packed.npy", "sq8_scale.npy", "sharded")
         if self._whitener is not None:
-            np.save(
+            atomic_save(
                 os.path.join(path, "whitener.npy"),
                 np.asarray(self._whitener, dtype=np.float32),
             )
+        else:
+            _drop_stale("whitener.npy")
         # texts live in the LAZY store (utf-8 blob + offsets, mmap'd on
         # load) so a multi-M-doc warm boot neither parses gigabytes of
         # JSON nor holds N Python strings in RAM — serving touches only

@@ -46,13 +46,17 @@ def _paths(prefix: str):
             f"{prefix}_doc_ids.npy")
 
 
-def _atomic_save(path: str, arr: np.ndarray) -> None:
+def atomic_save(path: str, arr: np.ndarray) -> None:
     """np.save to a tmp name then rename — a crash never leaves a
-    half-written array under the final name."""
+    half-written array under the final name. Shared by every retriever
+    persistence sidecar, not just the text store."""
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         np.save(f, arr)
     os.replace(tmp, path)
+
+
+_atomic_save = atomic_save  # internal alias
 
 
 class LazyTexts(Sequence):

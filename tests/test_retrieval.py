@@ -791,6 +791,36 @@ def test_ann_missing_doc_ids_returns_false_not_keyerror(rng, tmp_path):
     assert not a2.is_built
 
 
+def test_dense_save_drops_stale_sidecars(rng, tmp_path):
+    """Rebuilding a path with a different store type must remove the old
+    type's sidecars: a stale binary_packed.npy would otherwise pair gen-1
+    sign bits with the gen-2 corpus on a later binary load."""
+    import os
+
+    corpus = _normed(rng, 40, 16)
+    texts = [f"doc {i}" for i in range(40)]
+    path = str(tmp_path / "idx")
+    rb = DenseRetriever(backend="xla", store_dtype="binary",
+                        index_path=path)
+    rb.build(corpus, texts)
+    assert os.path.exists(os.path.join(path, "binary_packed.npy"))
+    assert os.path.exists(os.path.join(path, "sq8_scale.npy"))
+
+    # a DIFFERENT corpus forces an actual rebuild (same-corpus builds
+    # short-circuit on the digest and rightly leave the store alone)
+    corpus2 = _normed(rng, 30, 16)
+    texts2 = [f"new doc {i}" for i in range(30)]
+    rf = DenseRetriever(backend="xla_exact", store_dtype="float32",
+                        index_path=path)
+    rf.build(corpus2, texts2)
+    assert not os.path.exists(os.path.join(path, "binary_packed.npy"))
+    assert not os.path.exists(os.path.join(path, "sq8_scale.npy"))
+    # and the float store loads clean
+    r2 = DenseRetriever(backend="xla_exact", store_dtype="float32",
+                        index_path=path)
+    assert r2.is_built and len(r2.texts) == 30
+
+
 def test_dense_refused_store_leaves_clean_state(rng, tmp_path):
     """A refused (mixed-generation) store must not leak its metric or
     fingerprint into the clean-started retriever — a later build() would
