@@ -406,6 +406,48 @@ class DenseRetriever:
         if self.index_path:
             self._save(self.index_path)
 
+    def remove(self, doc_ids: Sequence) -> int:
+        """Remove documents by doc_id; returns the number of rows dropped.
+
+        Completes the live-maintenance story add() started (the reference
+        FAISS wrapper can only rebuild wholesale). Survivors are filtered
+        ON DEVICE with one gather, so the corpus never round-trips the
+        host link; the whitener, SQ8 scale, and binary rescore codes are
+        preserved — removal never changes a surviving row's score (a
+        naive rebuild would re-derive scale/covariance from survivors).
+        Unknown ids are ignored; every row carrying a listed id is
+        dropped (duplicate ids drop together).
+        """
+        if not self.is_built:
+            raise RuntimeError("build() the index before remove()")
+        drop = set(doc_ids)
+        keep = [i for i, d in enumerate(self.doc_ids) if d not in drop]
+        removed = self._corpus_n - len(keep)
+        if removed == 0:
+            return 0
+        kept_rows = jnp.take(
+            self._corpus_dev[: self._corpus_n],
+            jnp.asarray(np.asarray(keep, dtype=np.int32)), axis=0,
+        )
+        if self._rescore_host is not None:  # binary: codes follow rows
+            self._rescore_host = np.ascontiguousarray(
+                self._rescore_host[np.asarray(keep, dtype=np.int64)]
+            )
+        if self.mesh is not None:
+            from ..parallel import shard_rows
+
+            self._corpus_dev = shard_rows(kept_rows, self.mesh)
+        else:
+            self._corpus_dev = kept_rows
+        self._corpus_n = len(keep)
+        if not isinstance(self.texts, list):  # lazy store: materialise
+            self.texts = list(self.texts)
+        self.texts = [self.texts[i] for i in keep]
+        self.doc_ids = [self.doc_ids[i] for i in keep]
+        if self.index_path:
+            self._save(self.index_path)
+        return removed
+
     def _requantize(self, prepared):
         """SQ8-quantize with the EXISTING scale so old and new codes stay
         comparable."""

@@ -8,6 +8,8 @@ line out. Protocol:
   {"query": "...", "k": 5, "generate": true} -> retrieval + LLM answer
   {"queries": ["...", "..."], "k": 5}       -> one batched device call
   {"add": {"texts": ["..."], "doc_ids": [..]}} -> incremental index growth
+  {"remove": {"doc_ids": [..]}}             -> drop docs (dense tiers;
+                                               survivors' scores unchanged)
   {"stats": true[, "reset": true]}          -> serving stats + index info
 
 Boot modes: when ``retrieval.index_path`` holds a loadable persisted index,
@@ -173,6 +175,29 @@ def main(argv=None) -> int:
                 retriever.add(emb, texts, spec.get("doc_ids"))
                 out = {
                     "added": len(texts),
+                    "n_total": len(retriever.texts),
+                    "latency_ms": round(
+                        (time.perf_counter() - t0) * 1000, 3
+                    ),
+                }
+                print(json.dumps(out), flush=True)
+                continue
+            if "remove" in req:
+                spec = req["remove"]
+                ids = spec.get("doc_ids") if isinstance(spec, dict) else spec
+                if not isinstance(ids, list) or not ids:
+                    raise ValueError(
+                        '"remove.doc_ids" must be a non-empty list'
+                    )
+                if not hasattr(retriever, "remove"):
+                    raise ValueError(
+                        f"{type(retriever).__name__} does not support "
+                        "remove; rebuild the index without those docs"
+                    )
+                t0 = time.perf_counter()
+                removed = retriever.remove(ids)
+                out = {
+                    "removed": removed,
                     "n_total": len(retriever.texts),
                     "latency_ms": round(
                         (time.perf_counter() - t0) * 1000, 3

@@ -228,6 +228,34 @@ def test_serve_add_protocol_grows_index(tmp_path, capsys):
     assert "error" in lines[2]  # empty add rejected
 
 
+def test_serve_remove_protocol_drops_docs(tmp_path, capsys):
+    import serve
+
+    marker = "zzqx unique quasar document"
+    payload = (
+        json.dumps({"add": {"texts": [marker], "doc_ids": [999]}}) + "\n"
+        + json.dumps({"query": marker, "k": 1}) + "\n"
+        + json.dumps({"remove": {"doc_ids": [999, 123456]}}) + "\n"
+        + json.dumps({"query": marker, "k": 1}) + "\n"
+        + json.dumps({"remove": {"doc_ids": []}}) + "\n"
+    )
+    with patch.object(sys, "stdin", io.StringIO(payload)):
+        assert serve.main(
+            ["--ae_type", "none", "--set"] + _overrides(tmp_path)
+        ) == 0
+    lines = [
+        json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+        if line.strip()
+    ]
+    n0 = lines[0]["n_total"]
+    assert lines[1]["results"][0]["hits"][0]["doc_id"] == 999
+    assert lines[2]["removed"] == 1 and lines[2]["n_total"] == n0 - 1
+    # the removed doc must no longer win its own query
+    assert lines[3]["results"][0]["hits"][0]["doc_id"] != 999
+    assert "error" in lines[4]  # empty remove rejected
+
+
 def test_serve_stats_protocol(tmp_path, capsys):
     import serve
 

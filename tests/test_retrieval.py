@@ -719,6 +719,68 @@ def test_lazy_text_store_corruption_refused(rng, tmp_path):
     assert not a2.is_built and a2.texts == [] == list(a2.doc_ids or [])
 
 
+def test_dense_remove_basic(rng, tmp_path):
+    """remove() drops listed doc_ids, keeps survivors' scores bit-equal
+    (no re-derived scale/covariance), persists, and warm-reloads."""
+    corpus = _normed(rng, 30, 16)
+    texts = [f"doc {i}" for i in range(30)]
+    path = str(tmp_path / "idx")
+    r = DenseRetriever(backend="xla_exact", store_dtype="float32",
+                       index_path=path)
+    r.build(corpus, texts)
+    q = corpus[[3, 20]]
+    s_before, _ = r.search(q, 5)
+
+    assert r.remove([3, 7, 11, 999]) == 3  # unknown id ignored
+    assert len(r.texts) == 27 and len(r.doc_ids) == 27
+    s, i = r.search(q, 5)
+    got0 = [r.doc_ids[j] for j in i[0] if j >= 0]
+    assert not {3, 7, 11} & set(got0)
+    # doc 20 still retrieves itself for q[1], score unchanged
+    assert r.doc_ids[i[1][0]] == 20
+    np.testing.assert_allclose(s[1][0], s_before[1][0], atol=1e-6)
+
+    assert r.remove([5]) == 1 and r.remove([5]) == 0  # idempotent
+
+    r2 = DenseRetriever(backend="xla_exact", store_dtype="float32",
+                        index_path=path)
+    assert r2.is_built and len(r2.texts) == 26
+    assert 3 not in r2.doc_ids and r2.texts[0] == "doc 0"
+
+
+def test_dense_remove_binary_and_mesh(rng, eight_devices, tmp_path):
+    """remove() on the 1-bit cascade keeps rescore codes aligned with the
+    packed rows, on a mesh as on a single device."""
+    from latentrag_tpu.parallel import make_mesh
+
+    g = rng.standard_normal((200, 12)).astype(np.float32)
+    proj = rng.standard_normal((12, 32)).astype(np.float32)
+    corpus = g @ proj
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    texts = [f"t{i}" for i in range(200)]
+    queries = corpus[[50, 120]]
+
+    for mesh in (None, make_mesh(8)):
+        r = DenseRetriever(backend="xla", store_dtype="binary", mesh=mesh)
+        r.build(corpus, texts)
+        assert r.remove([50, 0, 199]) == 3
+        assert r._rescore_host.shape[0] == 197 == len(r.texts)
+        s, i = r.search(queries, 3)
+        got0 = [r.doc_ids[j] for j in i[0] if j >= 0]
+        assert 50 not in got0
+        assert r.doc_ids[i[1][0]] == 120  # survivor still self-retrieves
+
+
+def test_serve_remove_protocol(rng):
+    """The dense tier is the remove-capable tier; ANN tiers raise the
+    documented error instead of silently ignoring the request."""
+    from latentrag_tpu.retrieval.ann_retriever import ANNRetriever
+    from latentrag_tpu.utils.config import RetrievalConfig
+
+    a = ANNRetriever(RetrievalConfig(backend="hnsw"), "hnsw")
+    assert not hasattr(a, "remove")  # serve surfaces a protocol error
+
+
 def test_lazy_text_store_same_size_mixed_generation(rng, tmp_path):
     """Two generations whose blobs happen to have identical total size
     must still be refused: the per-save random generation tag (stored in
