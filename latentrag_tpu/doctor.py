@@ -47,12 +47,15 @@ def _versions() -> tuple[str, str, list[str]]:
 
         orbax_v = getattr(ocp, "__version__", "present")
     except Exception:
-        orbax_v = "MISSING"
+        orbax_v = None
     detail = (
         f"jax {jax.__version__}, flax {flax.__version__}, "
-        f"optax {optax.__version__}, orbax {orbax_v}, "
+        f"optax {optax.__version__}, orbax {orbax_v or 'MISSING'}, "
         f"numpy {np.__version__}"
     )
+    if orbax_v is None:
+        # sharded (mesh) persistence and training resume hard-require it
+        return WARN, detail + " — checkpointing/sharded stores unusable", []
     return PASS, detail, []
 
 
@@ -158,8 +161,31 @@ def _dense_store(path: str):
             f"binary_packed.npy holds {packed_rows} rows vs n={n} "
             "(stale sidecar?)"
         ), notes
+    # same-n mixed generations: verify each sidecar's sampled digest
+    # against meta.json (exactly what warm boot does, O(1) per file)
+    from .retrieval.dense import verify_stored_digests
+
+    try:
+        verify_stored_digests(path, meta)
+    except ValueError as e:
+        return FAIL, str(e), notes
     if sharded:
-        notes.append("sharded/ store present (mesh boots restore shards)")
+        smeta_p = os.path.join(path, "sharded", "meta.json")
+        try:
+            with open(smeta_p) as f:
+                smeta = json.load(f)
+        except Exception as e:
+            return FAIL, f"sharded/meta.json unreadable: {e}", notes
+        want_gen = meta.get("sharded_generation")
+        if int(smeta.get("n", -1)) != n or (
+            want_gen is not None and smeta.get("generation") != want_gen
+        ):
+            return FAIL, (
+                f"sharded store (n={smeta.get('n')}, generation="
+                f"{smeta.get('generation')!r}) contradicts meta.json "
+                f"(n={n}, generation={want_gen!r})"
+            ), notes
+        notes.append("sharded/ store present and generation-consistent")
     if packed_rows is not None:
         notes.append("binary tier sidecars present")
     if os.path.exists(os.path.join(path, "whitener.npy")):
@@ -189,24 +215,51 @@ def _ann_store(stem: str, kind: str):
         return FAIL, f"{kind} store has no usable texts", notes
     n = len(texts) if texts is not None else len(meta["texts"])
     ids = doc_ids if doc_ids is not None else meta.get("doc_ids")
-    if ids is not None and len(ids) != n:
+    if ids is None:
+        # warm boot hits KeyError on meta['doc_ids'] and refuses
+        return FAIL, f"{kind}: no doc_ids sidecar and none in meta " \
+                     "(warm boot would cold-start)", notes
+    if len(ids) != n:
         return FAIL, f"{kind}: {n} texts vs {len(ids)} doc_ids", notes
+    rpath = stem + ".refine.npy"
+    if os.path.exists(rpath):
+        import numpy as np
+
+        rrows = int(np.load(rpath, mmap_mode="r").shape[0])
+        if rrows != n:
+            return FAIL, (
+                f"{kind}: refine sidecar holds {rrows} rows for {n} "
+                "texts (stale sidecar — warm boot would cold-start)"
+            ), notes
+        notes.append(f"refine sidecar present ({rrows} rows)")
     fp = meta.get("fingerprint") or {}
     return PASS, f"{kind}: {n} texts, fingerprint keys={sorted(fp)}", notes
 
 
 def _stores(index_path: str):
-    """Yield (name, status, detail, notes) for every store at the path."""
+    """Yield (name, status, detail, notes) for every store at the path.
+
+    Each store check runs under its own crash guard: a corrupted sidecar
+    (truncated npy, non-integer meta field — exactly what this tool
+    exists to diagnose) must become a FAIL row, never an exception that
+    robs stdout of its one JSON line."""
+
+    def guarded(fn, *a):
+        try:
+            return fn(*a)
+        except Exception as e:
+            return FAIL, f"check crashed: {e!r}", []
+
     found = False
     if os.path.exists(os.path.join(index_path, "meta.json")):
         found = True
-        status, detail, notes = _dense_store(index_path)
+        status, detail, notes = guarded(_dense_store, index_path)
         yield "store:dense", status, detail, notes
     for kind in ("hnsw", "ivfpq"):
         stem = f"{index_path}.{kind}"
         if os.path.exists(stem + ".meta.json"):
             found = True
-            status, detail, notes = _ann_store(stem, kind)
+            status, detail, notes = guarded(_ann_store, stem, kind)
             yield f"store:{kind}", status, detail, notes
     if not found:
         yield "store", WARN, (

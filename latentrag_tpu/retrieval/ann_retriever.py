@@ -331,9 +331,9 @@ class ANNRetriever:
             # is O(corpus) disk I/O per call (same convention as the dense
             # tier's corpus.npy rewrite) — batch adds where that matters.
             if self._refine_emb is not None:
-                np.save(path + ".refine.npy.tmp.npy", self._refine_emb)
-                os.replace(path + ".refine.npy.tmp.npy",
-                           path + ".refine.npy")
+                from .textstore import atomic_save
+
+                atomic_save(path + ".refine.npy", self._refine_emb)
             elif os.path.exists(path + ".refine.npy"):
                 # a stale refine sidecar from a previous refined build
                 # must not pair gen-1 embeddings with this index

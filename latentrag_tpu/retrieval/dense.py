@@ -53,6 +53,49 @@ FINGERPRINT_VERSION = 1
 BACKENDS = ("auto", "xla", "xla_exact", "pallas", "pallas_exact")
 
 
+def _stored_digest(arr) -> str:
+    """Sampled content digest of a PERSISTED array: shape + dtype + <=64
+    evenly-spaced rows. O(64 pages) to verify off a mmap at load — binds
+    each sidecar to its save generation the way the text store's tags do,
+    closing the same-n crash window (new corpus.npy + old texts/meta all
+    pass pure length checks)."""
+    import hashlib
+
+    a = arr if isinstance(arr, np.ndarray) else np.asarray(arr)
+    h = hashlib.sha1()
+    h.update(f"{tuple(a.shape)}:{a.dtype.str}:".encode())
+    if a.ndim == 0 or a.size <= 4096:
+        # scalars / small sidecars (scales, whiteners at low d) hash in
+        # full — shape alone would let two different scales collide
+        h.update(np.ascontiguousarray(a).tobytes())
+        return h.hexdigest()
+    n = int(a.shape[0])
+    idxs = np.linspace(0, n - 1, num=min(n, 64), dtype=int)
+    for row in a[idxs]:
+        h.update(np.ascontiguousarray(row).tobytes())
+    return h.hexdigest()
+
+
+def verify_stored_digests(path: str, meta: dict) -> None:
+    """Check every sidecar recorded in meta['stored_digests'] against the
+    bytes on disk (sampled rows off the mmap — O(1) per file). Raises
+    ValueError on any mixed-generation pairing; legacy metas (no digests)
+    pass. Shared by the warm-boot load path and the doctor."""
+    for fname, want in (meta.get("stored_digests") or {}).items():
+        p = os.path.join(path, fname)
+        if not os.path.exists(p):
+            raise ValueError(
+                f"{fname} recorded in meta.json but missing on disk; "
+                "mixed-generation store"
+            )
+        got = _stored_digest(np.load(p, mmap_mode="r"))
+        if got != want:
+            raise ValueError(
+                f"{fname} contradicts meta.json's stored digest; "
+                "mixed-generation store"
+            )
+
+
 def _corpus_digest(emb, texts) -> str:
     """Cheap stable identity for (embeddings, texts): shape + 64 sampled
     rows + their text prefixes. Catches the accidental-swap case (a
@@ -403,8 +446,21 @@ class DenseRetriever:
             self.texts = list(self.texts)
         self.texts.extend(texts)
         self.doc_ids.extend(new_ids)
+        self._mark_mutated()
         if self.index_path:
             self._save(self.index_path)
+
+    def _mark_mutated(self) -> None:
+        """After a live add/remove the build-time corpus_digest no longer
+        describes the store — drop it so nothing (compatible_with, a
+        build-skip path) can mistake the mutated index for the original
+        corpus; a later build() with fresh embeddings recomputes it."""
+        if self.fingerprint:
+            fp = dict(self.fingerprint)
+            fp.pop("corpus_digest", None)
+            fp["live_mutations"] = int(fp.get("live_mutations", 0) or 0) + 1
+            self.fingerprint = fp
+            self._loaded_fingerprint = dict(fp)
 
     def remove(self, doc_ids: Sequence) -> int:
         """Remove documents by doc_id; returns the number of rows dropped.
@@ -425,6 +481,14 @@ class DenseRetriever:
         removed = self._corpus_n - len(keep)
         if removed == 0:
             return 0
+        if not keep:
+            # an emptied store would persist and then fail every later
+            # search (and warm-boot empty forever) — make the caller
+            # rebuild explicitly instead
+            raise ValueError(
+                "remove() would drop every document; rebuild the index "
+                "instead of emptying it live"
+            )
         kept_rows = jnp.take(
             self._corpus_dev[: self._corpus_n],
             jnp.asarray(np.asarray(keep, dtype=np.int32)), axis=0,
@@ -444,6 +508,7 @@ class DenseRetriever:
             self.texts = list(self.texts)
         self.texts = [self.texts[i] for i in keep]
         self.doc_ids = [self.doc_ids[i] for i in keep]
+        self._mark_mutated()
         if self.index_path:
             self._save(self.index_path)
         return removed
@@ -651,6 +716,7 @@ class DenseRetriever:
 
     def _save(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
+        stored_digests: dict[str, str] = {}
         from .textstore import atomic_save
 
         def _drop_stale(*names: str) -> None:
@@ -675,19 +741,20 @@ class DenseRetriever:
             # the packed bits are d/32 words/vector, 16x smaller than the
             # bf16 corpus, and this is a single-controller path (each
             # multi-process rank re-shards on load instead).
-            atomic_save(
-                os.path.join(path, "binary_packed.npy"),
-                np.asarray(self._corpus_dev)[: self._corpus_n],
-            )
-            atomic_save(
-                os.path.join(path, "sq8_scale.npy"),
-                np.asarray(self._corpus_scale, dtype=np.float32),
-            )
-            atomic_save(
-                os.path.join(path, "corpus.npy"),
+            packed = np.asarray(self._corpus_dev)[: self._corpus_n]
+            scale = np.asarray(self._corpus_scale, dtype=np.float32)
+            corpus_arr = (
                 self._rescore_host[: self._corpus_n].astype(np.float32)
-                * float(self._corpus_scale),
+                * float(self._corpus_scale)
             )
+            atomic_save(os.path.join(path, "binary_packed.npy"), packed)
+            atomic_save(os.path.join(path, "sq8_scale.npy"), scale)
+            atomic_save(os.path.join(path, "corpus.npy"), corpus_arr)
+            stored_digests.update({
+                "binary_packed.npy": _stored_digest(packed),
+                "sq8_scale.npy": _stored_digest(scale),
+                "corpus.npy": _stored_digest(corpus_arr),
+            })
             _drop_stale("sharded")
         elif self.mesh is not None:
             # sharded corpora write through Orbax: each process persists its
@@ -695,16 +762,22 @@ class DenseRetriever:
             # multi-host arrays aren't fully addressable anyway)
             from ..parallel import save_sharded_index
 
+            # a random generation tag stored in BOTH the sharded store's
+            # meta and meta.json catches a same-n crash between the two
+            # writes (the sharded analogue of the stored_digests below)
+            import secrets
+
+            sharded_generation = secrets.token_hex(8)
             save_sharded_index(
                 os.path.join(path, "sharded"),
                 self._corpus_dev,
-                {"n": self._corpus_n, "store_dtype": self.store_dtype},
+                {"n": self._corpus_n, "store_dtype": self.store_dtype,
+                 "generation": sharded_generation},
             )
             if self._corpus_scale is not None:
-                atomic_save(
-                    os.path.join(path, "sq8_scale.npy"),
-                    np.asarray(self._corpus_scale, dtype=np.float32),
-                )
+                scale = np.asarray(self._corpus_scale, dtype=np.float32)
+                atomic_save(os.path.join(path, "sq8_scale.npy"), scale)
+                stored_digests["sq8_scale.npy"] = _stored_digest(scale)
             else:
                 _drop_stale("sq8_scale.npy")
             _drop_stale("binary_packed.npy", "corpus.npy")
@@ -722,15 +795,14 @@ class DenseRetriever:
             corpus = np.asarray(self._corpus_dev, dtype=np.float32)
             if self._corpus_scale is not None:  # persist dequantized fp32
                 corpus = corpus * float(self._corpus_scale)
-            atomic_save(
-                os.path.join(path, "corpus.npy"), corpus[: self._corpus_n]
-            )
+            corpus_arr = corpus[: self._corpus_n]
+            atomic_save(os.path.join(path, "corpus.npy"), corpus_arr)
+            stored_digests["corpus.npy"] = _stored_digest(corpus_arr)
             _drop_stale("binary_packed.npy", "sq8_scale.npy", "sharded")
         if self._whitener is not None:
-            atomic_save(
-                os.path.join(path, "whitener.npy"),
-                np.asarray(self._whitener, dtype=np.float32),
-            )
+            wh = np.asarray(self._whitener, dtype=np.float32)
+            atomic_save(os.path.join(path, "whitener.npy"), wh)
+            stored_digests["whitener.npy"] = _stored_digest(wh)
         else:
             _drop_stale("whitener.npy")
         # texts live in the LAZY store (utf-8 blob + offsets, mmap'd on
@@ -747,7 +819,14 @@ class DenseRetriever:
             "fingerprint": self.fingerprint,
             "metric": self.metric,
             "n": self._corpus_n,
+            # sidecar<->meta generation binding: meta.json lands LAST, so
+            # any crash before this point leaves old meta whose digests
+            # contradict freshly-written sidecars (and vice versa) — the
+            # same-n same-shape crash window a pure length check misses
+            "stored_digests": stored_digests,
         }
+        if self.mesh is not None and self._rescore_host is None:
+            meta["sharded_generation"] = sharded_generation
         if not ids_as_npy:
             meta["doc_ids"] = list(self.doc_ids)
         tmp = os.path.join(path, "meta.json.tmp")
@@ -782,6 +861,10 @@ class DenseRetriever:
                 f"doc_ids but the index records n={n}; mixed-generation "
                 "store"
             )
+        # sidecar<->meta generation binding (O(64 sampled rows) per file
+        # off the mmap): catches the same-n crash window where a fresh
+        # corpus.npy pairs with the previous generation's texts + meta
+        verify_stored_digests(path, meta)
         wpath = os.path.join(path, "whitener.npy")
         self._whitener = (
             jnp.asarray(np.load(wpath)) if os.path.exists(wpath) else None
@@ -798,7 +881,24 @@ class DenseRetriever:
             # Orbax restores each shard directly into the mesh layout
             from ..parallel import load_sharded_index, make_sharded_topk
 
-            self._corpus_dev, _ = load_sharded_index(sharded_path, self.mesh)
+            self._corpus_dev, smeta = load_sharded_index(
+                sharded_path, self.mesh
+            )
+            sn = int(smeta.get("n", -1))
+            want_gen = meta.get("sharded_generation")
+            if sn != self._corpus_n or (
+                want_gen is not None
+                and smeta.get("generation") != want_gen
+            ):
+                # a crash between the sharded write and the meta.json
+                # rename leaves mixed generations; a row-count skew would
+                # let zero pad rows enter top-k silently
+                raise ValueError(
+                    f"sharded store (n={sn}, generation="
+                    f"{smeta.get('generation')!r}) contradicts meta.json "
+                    f"(n={self._corpus_n}, generation={want_gen!r}); "
+                    "mixed-generation store"
+                )
             spath = os.path.join(path, "sq8_scale.npy")
             if os.path.exists(spath):
                 self._corpus_scale = jnp.asarray(np.load(spath))

@@ -91,6 +91,54 @@ def test_doctor_checks_ann_store(rng, tmp_path, capsys):
     assert "15 texts" in rep["checks"]["store:hnsw"]["detail"]
 
 
+def test_doctor_survives_corrupt_sidecar(rng, tmp_path, capsys):
+    """A truncated/garbage npy — exactly what doctor exists to diagnose —
+    must become a FAIL row, never a crash that robs stdout of its JSON."""
+    path = str(tmp_path / "idx")
+    r = DenseRetriever(backend="xla_exact", store_dtype="float32",
+                       index_path=path)
+    r.build(_normed(rng, 8, 8), [f"doc {i}" for i in range(8)])
+    with open(os.path.join(path, "corpus.npy"), "wb") as f:
+        f.write(b"\x93NUMPY garbage")
+    rc, rep = _run(capsys, ["--index", path,
+                            "--checkpoints", str(tmp_path / "ckpt")])
+    assert rc == 1
+    assert rep["checks"]["store:dense"]["status"] == "fail"
+
+
+def test_doctor_flags_same_n_corpus_swap(rng, tmp_path, capsys):
+    """Same-shape corpus.npy from another generation: lengths all match,
+    only the stored sampled digest catches it."""
+    from latentrag_tpu.retrieval.textstore import atomic_save
+
+    path = str(tmp_path / "idx")
+    r = DenseRetriever(backend="xla_exact", store_dtype="float32",
+                       index_path=path)
+    r.build(_normed(rng, 10, 8), [f"doc {i}" for i in range(10)])
+    atomic_save(os.path.join(path, "corpus.npy"),
+                _normed(rng, 10, 8).astype(np.float32))
+    rc, rep = _run(capsys, ["--index", path,
+                            "--checkpoints", str(tmp_path / "ckpt")])
+    assert rc == 1
+    assert "contradicts" in rep["checks"]["store:dense"]["detail"]
+
+
+def test_doctor_flags_ann_missing_doc_ids(rng, tmp_path, capsys):
+    from latentrag_tpu.retrieval.ann_retriever import ANNRetriever
+    from latentrag_tpu.utils.config import RetrievalConfig
+
+    apath = str(tmp_path / "ann")
+    a = ANNRetriever(RetrievalConfig(index_path=apath, backend="hnsw"),
+                     "hnsw")
+    a.build(_normed(rng, 10, 8), [f"doc {i}" for i in range(10)])
+    os.remove(apath + ".hnsw.texts_doc_ids.npy")
+    rc, rep = _run(capsys, ["--index", apath,
+                            "--checkpoints", str(tmp_path / "ckpt")])
+    assert rc == 1
+    assert rep["checks"]["store:hnsw"]["status"] == "fail"
+    assert "doc_ids" in rep["checks"]["store:hnsw"]["detail"]
+
+
 def test_doctor_baseline_environment(tmp_path, capsys):
     """On this image every environment check passes and absent stores are
     warnings, not failures."""

@@ -3,6 +3,9 @@ fingerprint rebuild semantics, BM25 behaviour — the reference's key test
 patterns (``test/test_retrieval.py``) plus the drift fixes.
 """
 
+import json
+import os
+
 import numpy as np
 import pytest
 
@@ -550,6 +553,15 @@ def test_binary_legacy_store_loads_host_side(rng, tmp_path):
     packed_fresh = np.asarray(rb._corpus_dev)
 
     os.remove(os.path.join(path, "binary_packed.npy"))
+    # a TRUE legacy store predates the stored_digests record too — with
+    # the record intact, a missing recorded file is rightly refused as a
+    # mixed-generation store (covered below)
+    meta_p = os.path.join(path, "meta.json")
+    with open(meta_p) as f:
+        meta = json.load(f)
+    meta.pop("stored_digests", None)
+    with open(meta_p, "w") as f:
+        json.dump(meta, f)
     rb2 = DenseRetriever(backend="xla", store_dtype="binary",
                          index_path=path)
     assert rb2.is_built
@@ -769,6 +781,71 @@ def test_dense_remove_binary_and_mesh(rng, eight_devices, tmp_path):
         got0 = [r.doc_ids[j] for j in i[0] if j >= 0]
         assert 50 not in got0
         assert r.doc_ids[i[1][0]] == 120  # survivor still self-retrieves
+
+
+def test_dense_same_n_corpus_swap_refused(rng, tmp_path):
+    """The same-n crash window: a corpus.npy from a DIFFERENT generation
+    (same shape, so every length check passes) must be refused via the
+    stored sampled digests in meta.json."""
+    corpus = _normed(rng, 20, 8)
+    texts = [f"doc {i}" for i in range(20)]
+    path = str(tmp_path / "idx")
+    r = DenseRetriever(backend="xla_exact", store_dtype="float32",
+                       index_path=path)
+    r.build(corpus, texts)
+    # simulate: new-generation corpus landed, crash before texts/meta
+    from latentrag_tpu.retrieval.textstore import atomic_save
+
+    atomic_save(os.path.join(path, "corpus.npy"),
+                _normed(rng, 20, 8).astype(np.float32))
+    r2 = DenseRetriever(backend="xla_exact", store_dtype="float32",
+                        index_path=path)
+    assert not r2.is_built  # refused, clean start
+
+
+def test_dense_remove_guards_and_fingerprint(rng, tmp_path):
+    """remove() refuses to empty the index, and live mutations drop the
+    build-time corpus_digest (it no longer describes the store)."""
+    import pytest as _pytest
+
+    corpus = _normed(rng, 6, 8)
+    texts = [f"doc {i}" for i in range(6)]
+    r = DenseRetriever(backend="xla_exact", store_dtype="float32")
+    r.build(corpus, texts, fingerprint={"embedding_model": "m"})
+    assert "corpus_digest" in r.fingerprint
+    assert r.remove([0, 1]) == 2
+    assert "corpus_digest" not in r.fingerprint
+    assert r.fingerprint["live_mutations"] == 1
+    with _pytest.raises(ValueError, match="every document"):
+        r.remove([2, 3, 4, 5])
+    assert len(r.texts) == 4  # untouched by the refused call
+
+
+def test_sharded_store_generation_mismatch_refused(rng, eight_devices,
+                                                   tmp_path):
+    """A sharded/ store from a different generation than meta.json (crash
+    between the Orbax write and the meta rename) must be refused — a
+    same-n pairing would otherwise serve wrong vectors silently."""
+    import json as _json
+
+    from latentrag_tpu.parallel import make_mesh
+
+    corpus = _normed(rng, 64, 16)
+    texts = [f"doc {i}" for i in range(64)]
+    path = str(tmp_path / "idx")
+    r = DenseRetriever(backend="xla", store_dtype="float32",
+                       mesh=make_mesh(8), index_path=path)
+    r.build(corpus, texts)
+    meta_p = os.path.join(path, "sharded", "meta.json")
+    with open(meta_p) as f:
+        smeta = _json.load(f)
+    assert smeta["generation"]  # tag present
+    smeta["generation"] = "deadbeef00000000"
+    with open(meta_p, "w") as f:
+        _json.dump(smeta, f)
+    r2 = DenseRetriever(backend="xla", store_dtype="float32",
+                        mesh=make_mesh(8), index_path=path)
+    assert not r2.is_built  # refused, clean start
 
 
 def test_serve_remove_protocol(rng):
