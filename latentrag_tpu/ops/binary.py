@@ -26,7 +26,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .topk import blocked_topk
+from .topk import _apply_mask, blocked_topk
 
 BITS = 32
 
@@ -66,12 +66,16 @@ def binary_topk(
     k: int,
     block_size: int = 1_048_576,
     recall_target: float = 0.95,
+    mask: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Asymmetric top-k: fp/bf16 queries vs sign-bit corpus.
 
     Returns (scores, idx) where score = dot(q, sign(c)) — a monotone proxy
     for cosine against the binarized corpus. Fetch k = oversample *
     final_k and re-rank the survivors exactly for production recall.
+    ``mask`` (bool [N], optional) restricts stage-1 eligibility; callers
+    must sentinel NEG_INF-scored candidates before rescoring (see
+    ``ops.topk``).
     """
     n = packed.shape[0]
     k = min(k, n)
@@ -84,6 +88,11 @@ def binary_topk(
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        if mask is not None:
+            dots = _apply_mask(
+                dots,
+                jax.lax.dynamic_slice_in_dim(mask, base, pk.shape[0]),
+            )
         s, i = jax.lax.approx_max_k(dots, kk, recall_target=recall_target)
         return s, i + base
 

@@ -15,7 +15,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .topk import blocked_topk
+from .topk import _apply_mask, blocked_topk
 
 
 @jax.jit
@@ -39,12 +39,14 @@ def sq8_topk(
     k: int,
     block_size: int = 2097152,
     recall_target: float = 0.99,
+    mask: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Cosine/dot top-k over an int8 corpus.
 
     Queries are fp32/bf16 (prepared for the metric: pre-normalized for
     cosine) and quantized on the fly; scores returned in the original float
-    scale. Indices/candidates via ``approx_max_k`` per block.
+    scale. Indices/candidates via ``approx_max_k`` per block. ``mask``
+    (bool [N], optional) restricts eligibility — see ``ops.topk``.
     """
     q_codes, q_scale = sq8_quantize(queries)
     factor = (q_scale * corpus_scale).astype(jnp.float32)
@@ -59,6 +61,11 @@ def sq8_topk(
             preferred_element_type=jnp.int32,
         )
         scores = dots.astype(jnp.float32) * factor
+        if mask is not None:
+            scores = _apply_mask(
+                scores,
+                jax.lax.dynamic_slice_in_dim(mask, base, codes.shape[0]),
+            )
         s, local = jax.lax.approx_max_k(
             scores, kk, recall_target=recall_target
         )

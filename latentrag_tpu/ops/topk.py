@@ -37,6 +37,28 @@ def _pad_corpus(corpus: jax.Array, block_size: int):
     return corpus, n
 
 
+@partial(jax.jit, static_argnames=("n",))
+def unpack_row_mask(packed: jax.Array, n: int) -> jax.Array:
+    """uint8 [ceil(n/8)] little-endian bits -> bool [n] row mask.
+
+    Filters upload PACKED over the host->device link (8x fewer bytes than
+    a bool array — the remote-TPU tunnel runs ~MB/s) and unpack once on
+    the VPU; retrievers cache the unpacked device mask per filter spec.
+    """
+    shifts = jnp.arange(8, dtype=jnp.uint8)
+    bits = (packed[:, None] >> shifts[None, :]) & jnp.uint8(1)
+    return bits.reshape(-1)[:n].astype(bool)
+
+
+def _apply_mask(scores: jax.Array, mask_block) -> jax.Array:
+    """Force masked-out corpus columns to NEG_INF (no-op for mask=None).
+    A cheap [Q, B] select that XLA fuses into the matmul consumer, so
+    filtered search keeps the unfiltered kernels' memory profile."""
+    if mask_block is None:
+        return scores
+    return jnp.where(mask_block[None, :], scores, NEG_INF)
+
+
 @partial(jax.jit, static_argnames=("k", "metric", "block_size"))
 def exact_topk(
     queries: jax.Array,
@@ -44,24 +66,32 @@ def exact_topk(
     k: int,
     metric: str = "cosine",
     block_size: int = 8192,
+    mask: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Top-k over the full corpus. Returns (scores [Q,k], indices [Q,k]).
 
     Inputs must already be prepared for ``metric`` (see
     ``distances.prepare_for_metric``). ``k`` is static; indices refer to
     original corpus rows; padded rows can never win (scores forced to -inf).
+    ``mask`` (bool [N], optional) restricts eligibility to True rows —
+    excluded rows score NEG_INF, so when fewer than k rows are eligible the
+    tail carries NEG_INF scores (callers sentinel those ids to -1).
     """
     q = queries
     n_total = corpus.shape[0]
     k = min(k, n_total) if n_total else k
     if n_total <= block_size:
-        scores = pairwise_scores(q, corpus, metric)
+        scores = _apply_mask(pairwise_scores(q, corpus, metric), mask)
         top_s, top_i = jax.lax.top_k(scores, k)
         return top_s, top_i
 
     corpus_p, n_valid = _pad_corpus(corpus, block_size)
     n_blocks = corpus_p.shape[0] // block_size
     blocks = corpus_p.reshape(n_blocks, block_size, corpus.shape[1])
+    if mask is not None:
+        pad = corpus_p.shape[0] - n_total
+        mask_p = jnp.pad(mask, (0, pad)) if pad else mask  # pads False
+        mask_blocks = mask_p.reshape(n_blocks, block_size)
     nq = q.shape[0]
 
     init = (
@@ -71,8 +101,9 @@ def exact_topk(
 
     def body(carry, inp):
         run_s, run_i = carry
-        block, b_idx = inp
+        block, m_blk, b_idx = inp
         scores = pairwise_scores(q, block, metric)  # [Q, B] fp32
+        scores = _apply_mask(scores, m_blk)
         base = b_idx * block_size
         col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + base
         scores = jnp.where(col < n_valid, scores, NEG_INF)
@@ -85,7 +116,13 @@ def exact_topk(
         return (new_s, new_i), None
 
     (top_s, top_i), _ = jax.lax.scan(
-        body, init, (blocks, jnp.arange(n_blocks, dtype=jnp.int32))
+        body,
+        init,
+        (
+            blocks,
+            mask_blocks if mask is not None else None,
+            jnp.arange(n_blocks, dtype=jnp.int32),
+        ),
     )
     return top_s, top_i
 
@@ -170,6 +207,7 @@ def approx_topk(
     metric: str = "cosine",
     block_size: int = 1048576,
     recall_target: float = 0.99,
+    mask: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Production top-k: tiled matmul + ``lax.approx_max_k`` per block.
 
@@ -191,7 +229,7 @@ def approx_topk(
     k = min(k, n_total)
     distance_like = metric in ("euclidean", "mahalanobis")
 
-    def block_scores(block):
+    def block_scores(block, m_blk=None):
         dots = jax.lax.dot_general(
             q,
             block,
@@ -200,13 +238,16 @@ def approx_topk(
         )
         if distance_like:
             c_sq = jnp.sum(jnp.square(block.astype(jnp.float32)), axis=-1)
-            return 2.0 * dots - c_sq[None, :]
-        return dots
+            dots = 2.0 * dots - c_sq[None, :]
+        return _apply_mask(dots, m_blk)
 
     def finalize(scores):
         if distance_like:
             q_sq = jnp.sum(jnp.square(q.astype(jnp.float32)), axis=-1)
-            return scores - q_sq[:, None]
+            # masked-out slots stay at NEG_INF so callers can sentinel them
+            return jnp.where(
+                scores > NEG_INF * 0.5, scores - q_sq[:, None], scores
+            )
         return scores
 
     if n_total <= 8192:
@@ -214,18 +255,21 @@ def approx_topk(
         # dwarfs tiny corpora (measured r2 on v5e: 2000q x 315 exact top_k
         # 0.80 ms vs approx 1.83 ms; crossover ~16k rows) — a plain fused
         # matmul + top_k is both exact AND faster here
-        top_s, top_i = jax.lax.top_k(block_scores(corpus), k)
+        top_s, top_i = jax.lax.top_k(block_scores(corpus, mask), k)
         return finalize(top_s), top_i
 
     if n_total <= block_size:
         s, i = jax.lax.approx_max_k(
-            block_scores(corpus), k, recall_target=recall_target
+            block_scores(corpus, mask), k, recall_target=recall_target
         )
         return finalize(s), i
 
     def block_fn(blk, base, kk):
+        m_blk = None
+        if mask is not None:
+            m_blk = jax.lax.dynamic_slice_in_dim(mask, base, blk.shape[0])
         s, i = jax.lax.approx_max_k(
-            block_scores(blk), kk, recall_target=recall_target
+            block_scores(blk, m_blk), kk, recall_target=recall_target
         )
         return s, i + base
 

@@ -36,6 +36,7 @@ def make_sharded_topk(
     recall_target: float = 0.99,
     axis: str = "data",
     d: int | None = None,
+    filtered: bool = False,
 ):
     """Build a jitted ``(queries, corpus_sharded, n_valid) -> (scores, idx)``.
 
@@ -43,6 +44,12 @@ def make_sharded_topk(
     ``mesh.shard_rows``); queries and results are replicated. ``n_valid`` is
     the true (pre-padding) corpus row count — padded rows are masked in the
     merge. Indices returned are global corpus rows.
+
+    ``filtered=True`` compiles the predicate-filter variant: the call takes
+    a trailing bool mask row-sharded EXACTLY like the corpus (same
+    ``shard_rows`` padding, so local row offsets line up shard-by-shard);
+    masked-out rows score NEG_INF in the local kernels and surface as the
+    same -1 sentinels the pad-row masking already produces.
     """
     # shard_rows zero-pads the corpus to a mesh multiple; the <= P-1 pad
     # rows all land on the LAST shard and can outscore genuine candidates
@@ -54,10 +61,10 @@ def make_sharded_topk(
     if backend == "sq8":
         from ..ops.quantization import sq8_topk
 
-        def local_search(q, c_shard, scale):
+        def local_search(q, c_shard, scale, m_shard):
             return sq8_topk(
                 q, c_shard, scale, k=local_k, block_size=block_size,
-                recall_target=recall_target,
+                recall_target=recall_target, mask=m_shard,
             )
 
     elif backend == "binary":
@@ -70,11 +77,11 @@ def make_sharded_topk(
         if d is None:
             raise ValueError("backend='binary' requires d (true vector dim)")
 
-        def local_search(q, c_shard, scale):
+        def local_search(q, c_shard, scale, m_shard):
             del scale
             return binary_topk(
                 q, c_shard, d=d, k=local_k, block_size=block_size,
-                recall_target=recall_target,
+                recall_target=recall_target, mask=m_shard,
             )
 
     else:
@@ -89,13 +96,13 @@ def make_sharded_topk(
             ),
         }[backend]
 
-        def local_search(q, c_shard, scale):
+        def local_search(q, c_shard, scale, m_shard):
             del scale
-            return inner(q, c_shard)
+            return inner(q, c_shard, mask=m_shard)
 
-    def _search(q, c_shard, n_valid, scale):
+    def _search(q, c_shard, n_valid, scale, m_shard=None):
         shard_rows_n = c_shard.shape[0]
-        s, i = local_search(q, c_shard, scale)  # [Q, local_k] local
+        s, i = local_search(q, c_shard, scale, m_shard)  # [Q, local_k]
         offset = jax.lax.axis_index(axis) * shard_rows_n
         gi = i + offset
         s = jnp.where(gi < n_valid, s, NEG_INF)
@@ -113,18 +120,28 @@ def make_sharded_topk(
         top_i = jnp.where(top_s > NEG_INF * 0.5, top_i, -1)
         return top_s, top_i
 
+    in_specs = (P(), P(axis), P(), P())
+    if filtered:
+        in_specs = in_specs + (P(axis),)
     sharded = shard_map(
         _search,
         mesh=mesh,
-        in_specs=(P(), P(axis), P(), P()),
+        in_specs=in_specs,
         out_specs=(P(), P()),
         check_vma=False,
     )
     jitted = jax.jit(sharded)
 
-    def call(q, c_shard, n_valid, scale=None):
+    def call(q, c_shard, n_valid, scale=None, mask_shard=None):
         if scale is None:
             scale = jnp.float32(1.0)
+        if filtered:
+            if mask_shard is None:
+                raise ValueError(
+                    "this sharded top-k was built with filtered=True; "
+                    "pass the row-sharded mask"
+                )
+            return jitted(q, c_shard, n_valid, scale, mask_shard)
         return jitted(q, c_shard, n_valid, scale)
 
     return call

@@ -44,7 +44,7 @@ from ..ops.distances import (
     whitening_factor,
 )
 from ..ops.pallas_topk import pallas_topk
-from ..ops.topk import approx_topk, exact_topk
+from ..ops.topk import NEG_INF, approx_topk, exact_topk
 from ..utils.timing import StatsTracker
 
 log = logging.getLogger("latentrag.retrieval")
@@ -176,6 +176,9 @@ class DenseRetriever:
 
     texts: list = field(default_factory=list)
     doc_ids: list = field(default_factory=list)
+    # optional per-document metadata (list of dicts, row-aligned with
+    # texts) backing filter={"where": {...}} predicate search
+    metadata: list | None = None
     stats: StatsTracker = field(default_factory=StatsTracker)
 
     _corpus_dev: Any = None  # prepared, device-resident [N, D]
@@ -195,6 +198,9 @@ class DenseRetriever:
     _loaded_fingerprint: Any = None
     _sharded_cache: dict = field(default_factory=dict)
     _make_sharded: Any = None
+    # compiled filter masks (device-resident, keyed by canonical spec);
+    # dropped wholesale on any mutation — row order defines mask meaning
+    _filter_cache: Any = None
 
     # ------------------------------------------------------------ lifecycle
 
@@ -228,7 +234,7 @@ class DenseRetriever:
             # snapshot every field _load can touch so "starting clean"
             # truly is clean no matter how deep into the load it failed
             _load_fields = (
-                "texts", "doc_ids", "metric", "fingerprint",
+                "texts", "doc_ids", "metadata", "metric", "fingerprint",
                 "_loaded_fingerprint", "_corpus_n", "_corpus_dev",
                 "_corpus_scale", "_rescore_host", "_dim", "_whitener",
                 "_sharded_cache", "_make_sharded",
@@ -270,12 +276,19 @@ class DenseRetriever:
         doc_ids: Sequence | None = None,
         fingerprint: dict | None = None,
         sanity_check: bool = True,
+        metadata: Sequence[dict] | None = None,
     ) -> None:
         """Prepare + load the corpus onto device; persist if index_path set.
 
         If a compatible index is already loaded (matching fingerprint and
         row count), this is a no-op; an incompatible one is rebuilt.
+        ``metadata`` (optional, row-aligned list of dicts) enables
+        ``search(..., filter={"where": ...})`` predicate filtering.
         """
+        if metadata is not None and len(metadata) != len(texts):
+            raise ValueError(
+                f"{len(metadata)} metadata entries for {len(texts)} texts"
+            )
         if fingerprint is not None:
             self.fingerprint = fingerprint
             # the caller's fingerprint is authoritative about the metric:
@@ -303,6 +316,12 @@ class DenseRetriever:
             and self._corpus_n == len(texts)
             and self._loaded_fingerprint == self.fingerprint
         ):
+            if metadata is not None:  # refresh filters for the same corpus
+                self.metadata = list(metadata)
+                if self._filter_cache is not None:
+                    self._filter_cache.clear()
+                if self.index_path:
+                    self._save(self.index_path)
             log.info("index compatible; skipping rebuild")
             return
 
@@ -322,6 +341,9 @@ class DenseRetriever:
         self.doc_ids = (
             list(doc_ids) if doc_ids is not None else list(range(len(texts)))
         )
+        self.metadata = list(metadata) if metadata is not None else None
+        if self._filter_cache is not None:
+            self._filter_cache.clear()
         if len(self.texts) != x.shape[0]:
             raise ValueError("texts and embeddings row count mismatch")
         if self.metric == "mahalanobis":
@@ -376,7 +398,8 @@ class DenseRetriever:
                 log.warning("post-build self-check failed; rebuilding once")
                 self._corpus_dev = None
                 self.build(
-                    x, texts, doc_ids, self.fingerprint, sanity_check=False
+                    x, texts, doc_ids, self.fingerprint, sanity_check=False,
+                    metadata=metadata,
                 )
 
     def add(
@@ -384,6 +407,7 @@ class DenseRetriever:
         embeddings: np.ndarray,
         texts: Sequence[str],
         doc_ids: Sequence | None = None,
+        metadata: Sequence[dict] | None = None,
     ) -> None:
         """Incrementally append documents to a built index.
 
@@ -409,6 +433,8 @@ class DenseRetriever:
         )
         if len(texts) != emb.shape[0] or len(new_ids) != emb.shape[0]:
             raise ValueError("texts/doc_ids/embeddings row count mismatch")
+        if metadata is not None and len(metadata) != emb.shape[0]:
+            raise ValueError("metadata/embeddings row count mismatch")
 
         prepared = prepare_for_metric(
             jnp.asarray(emb), self.metric, self._whitener
@@ -446,6 +472,16 @@ class DenseRetriever:
             self.texts = list(self.texts)
         self.texts.extend(texts)
         self.doc_ids.extend(new_ids)
+        # keep metadata row-aligned whenever EITHER side carries it: rows
+        # without metadata filter as "no fields" ({} — matches nothing in
+        # a where clause, passes id filters)
+        if metadata is not None or self.metadata is not None:
+            if self.metadata is None:
+                self.metadata = [{} for _ in range(start)]
+            self.metadata.extend(
+                metadata if metadata is not None
+                else ({} for _ in texts)
+            )
         self._mark_mutated()
         if self.index_path:
             self._save(self.index_path)
@@ -461,6 +497,9 @@ class DenseRetriever:
             fp["live_mutations"] = int(fp.get("live_mutations", 0) or 0) + 1
             self.fingerprint = fp
             self._loaded_fingerprint = dict(fp)
+        if self._filter_cache is not None:
+            # row order/count changed: every compiled mask is stale
+            self._filter_cache.clear()
 
     def remove(self, doc_ids: Sequence) -> int:
         """Remove documents by doc_id; returns the number of rows dropped.
@@ -508,6 +547,8 @@ class DenseRetriever:
             self.texts = list(self.texts)
         self.texts = [self.texts[i] for i in keep]
         self.doc_ids = [self.doc_ids[i] for i in keep]
+        if self.metadata is not None:
+            self.metadata = [self.metadata[i] for i in keep]
         self._mark_mutated()
         if self.index_path:
             self._save(self.index_path)
@@ -567,10 +608,14 @@ class DenseRetriever:
             return float(rt)  # config override arrived as a string
         return float(rt)
 
-    def _device_search_prepared(self, q_prepared: jax.Array, k: int):
+    def _device_search_prepared(
+        self, q_prepared: jax.Array, k: int, mask: Any = None
+    ):
         """Top-k given queries ALREADY in the prepared (normalized/whitened)
         space. Returns (scores, indices) — device arrays, except the binary
-        store's host-rescore path which returns host numpy."""
+        store's host-rescore path which returns host numpy. ``mask`` (bool
+        [N] device array, row-sharded when a mesh is set) restricts
+        eligibility; masked slots return NEG_INF scores."""
         backend = self._resolve_backend()
         rt = self._effective_recall_target(k)
         if self._rescore_host is not None:  # binary cascade store
@@ -584,26 +629,32 @@ class DenseRetriever:
                 # DIFFERENT requested k (hence different auto-policy rt),
                 # so (ok,) alone would serve one regime's program to the
                 # other
-                key = (ok, "binary", rt)
+                key = (ok, "binary", rt, mask is not None)
                 fn = self._sharded_cache.get(key)
                 if fn is None:
                     fn = self._make_sharded(
                         self.mesh, k=ok, metric=self.metric,
                         backend="binary", block_size=self.block_size,
                         recall_target=rt, d=self._dim,
+                        filtered=mask is not None,
                     )
                     self._sharded_cache[key] = fn
                 _, cand = fn(
-                    q_prepared, self._corpus_dev, jnp.int32(self._corpus_n)
+                    q_prepared, self._corpus_dev, jnp.int32(self._corpus_n),
+                    mask_shard=mask,
                 )
             else:
                 from ..ops.binary import binary_topk
 
-                _, cand = binary_topk(
+                s1, cand = binary_topk(
                     q_prepared, self._corpus_dev, d=self._dim, k=ok,
                     block_size=self.block_size,
-                    recall_target=rt,
+                    recall_target=rt, mask=mask,
                 )
+                if mask is not None:
+                    # slots left NEG_INF by the filter carry arbitrary row
+                    # ids — sentinel them so the rescore can't revive them
+                    cand = jnp.where(s1 > NEG_INF * 0.5, cand, -1)
             # stage 2 on host: exact SQ8 rescore of the tiny candidate set
             # (Q x ok x D flops) — keeps HBM = packed bits. Shared with
             # the IVF-PQ refinement stage; -1 sentinels from the sharded
@@ -626,13 +677,14 @@ class DenseRetriever:
                 k=k,
                 block_size=self.block_size,
                 recall_target=rt,
+                mask=mask,
             )
         if self.mesh is not None:
             if self._corpus_scale is not None:
                 shard_backend = "sq8"
             else:
                 shard_backend = "approx" if backend == "xla" else "exact"
-            key = (k, shard_backend)
+            key = (k, shard_backend, mask is not None)
             fn = self._sharded_cache.get(key)
             if fn is None:
                 fn = self._make_sharded(
@@ -642,6 +694,7 @@ class DenseRetriever:
                     backend=shard_backend,
                     block_size=self.block_size,
                     recall_target=rt,
+                    filtered=mask is not None,
                 )
                 self._sharded_cache[key] = fn
             q_dev = (
@@ -654,6 +707,7 @@ class DenseRetriever:
                 self._corpus_dev,
                 jnp.int32(self._corpus_n),
                 self._corpus_scale,
+                mask_shard=mask,
             )
         q = q_prepared.astype(self._corpus_dev.dtype)
         if backend == "xla":
@@ -661,11 +715,18 @@ class DenseRetriever:
                 q, self._corpus_dev, k=k, metric=self.metric,
                 block_size=self.block_size,
                 recall_target=rt,
+                mask=mask,
             )
         if backend == "xla_exact":
             return exact_topk(
                 q, self._corpus_dev, k=k, metric=self.metric,
                 block_size=min(self.block_size, 8192),
+                mask=mask,
+            )
+        if mask is not None:
+            raise ValueError(
+                "pallas backends do not support filtered search; use "
+                "backend='xla'/'xla_exact'"
             )
         if backend == "pallas":
             return pallas_topk(
@@ -675,14 +736,54 @@ class DenseRetriever:
             q, self._corpus_dev, k=k, metric=self.metric, mode="exact"
         )
 
+    def _filter_device_mask(self, spec: dict):
+        """Compile (or fetch cached) the device-resident row mask for a
+        filter spec. The host mask ships PACKED (8x fewer bytes over the
+        slow host->device tunnel) and unpacks once on the VPU; with a mesh
+        it is then row-sharded exactly like the corpus so per-shard row
+        offsets line up."""
+        from .filtering import (
+            FilterCache,
+            canonical_filter_key,
+            compile_filter_mask,
+            pack_mask,
+        )
+
+        key = canonical_filter_key(spec)
+        if self._filter_cache is None:
+            self._filter_cache = FilterCache()
+        m = self._filter_cache.get(key)
+        if m is None:
+            from ..ops.topk import unpack_row_mask
+
+            host = compile_filter_mask(
+                spec, self.doc_ids, self.metadata, self._corpus_n
+            )
+            m = unpack_row_mask(jnp.asarray(pack_mask(host)), self._corpus_n)
+            if self.mesh is not None:
+                from ..parallel import shard_rows
+
+                m = shard_rows(m, self.mesh)  # pads False, like the corpus
+            self._filter_cache.put(key, m)
+        return m
+
     def search(
-        self, queries: np.ndarray, k: int
+        self, queries: np.ndarray, k: int, filter: dict | None = None
     ) -> tuple[np.ndarray, np.ndarray]:
         """Batched top-k. queries: [Q, D] raw embedding space. Returns
-        (scores [Q, k], indices [Q, k]) as numpy."""
+        (scores [Q, k], indices [Q, k]) as numpy.
+
+        ``filter`` (optional) restricts eligibility to matching documents —
+        see ``retrieval.filtering`` for the spec format. Filtering happens
+        IN the fused device kernels (scores masked to -inf before top-k),
+        so results are exactly "search over the allowed subset"; when fewer
+        than k documents match, the tail rows carry -1 ids."""
         if not self.is_built:
             raise RuntimeError("index not built")
         t0 = time.perf_counter()
+        mask = (
+            self._filter_device_mask(filter) if filter is not None else None
+        )
         if isinstance(queries, jax.Array) and not isinstance(
             queries, np.ndarray
         ):  # device-resident queries skip the host round trip
@@ -690,18 +791,24 @@ class DenseRetriever:
         else:
             q = jnp.asarray(np.asarray(queries, dtype=np.float32))
         q = prepare_for_metric(q, self.metric, self._whitener)
-        s_dev, i_dev = self._device_search_prepared(q, k)
+        s_dev, i_dev = self._device_search_prepared(q, k, mask=mask)
         s = np.asarray(s_dev)
         i = np.asarray(i_dev)
+        if filter is not None:
+            # slots the filter left at NEG_INF hold arbitrary row ids
+            i = np.where(s > NEG_INF * 0.5, i, -1)
         self.stats.add_search_batch(time.perf_counter() - t0, q.shape[0])
         return s, i
 
-    def retrieve(self, query_emb: np.ndarray, top_k: int = 5):
+    def retrieve(
+        self, query_emb: np.ndarray, top_k: int = 5,
+        filter: dict | None = None,
+    ):
         """Single query -> (texts, scores, doc_ids)."""
         q = np.asarray(query_emb, dtype=np.float32)
         if q.ndim == 1:
             q = q[None, :]
-        scores, idx = self.search(q, top_k)
+        scores, idx = self.search(q, top_k, filter=filter)
         sel = [int(j) for j in idx[0] if j >= 0]  # drop -1 pad sentinels
         return (
             [self.texts[j] for j in sel],
@@ -815,6 +922,24 @@ class DenseRetriever:
         ids_as_npy = save_texts(
             os.path.join(path, "texts"), self.texts, self.doc_ids
         )
+        # per-document metadata rides a JSONL sidecar; its byte digest in
+        # meta.json binds it to this save generation (same discipline as
+        # stored_digests — a crash between the two writes is detected)
+        metadata_digest = None
+        mpath = os.path.join(path, "metadata.jsonl")
+        if self.metadata is not None:
+            import hashlib
+
+            blob = "\n".join(
+                json.dumps(md, sort_keys=True) for md in self.metadata
+            ).encode("utf-8")
+            tmpm = mpath + ".tmp"
+            with open(tmpm, "wb") as f:
+                f.write(blob)
+            os.replace(tmpm, mpath)
+            metadata_digest = hashlib.sha1(blob).hexdigest()
+        elif os.path.exists(mpath):
+            os.remove(mpath)  # stale metadata from a previous build
         meta = {
             "fingerprint": self.fingerprint,
             "metric": self.metric,
@@ -825,6 +950,8 @@ class DenseRetriever:
             # same-n same-shape crash window a pure length check misses
             "stored_digests": stored_digests,
         }
+        if metadata_digest is not None:
+            meta["metadata_digest"] = metadata_digest
         if self.mesh is not None and self._rescore_host is None:
             meta["sharded_generation"] = sharded_generation
         if not ids_as_npy:
@@ -865,12 +992,49 @@ class DenseRetriever:
         # off the mmap): catches the same-n crash window where a fresh
         # corpus.npy pairs with the previous generation's texts + meta
         verify_stored_digests(path, meta)
+        metadata = None
+        mpath = os.path.join(path, "metadata.jsonl")
+        want_md = meta.get("metadata_digest")
+        if want_md is not None:
+            if not os.path.exists(mpath):
+                raise ValueError(
+                    "metadata.jsonl recorded in meta.json but missing on "
+                    "disk; mixed-generation store"
+                )
+            import hashlib
+
+            with open(mpath, "rb") as f:
+                blob = f.read()
+            if hashlib.sha1(blob).hexdigest() != want_md:
+                raise ValueError(
+                    "metadata.jsonl contradicts meta.json's digest; "
+                    "mixed-generation store"
+                )
+            metadata = [
+                json.loads(line) for line in blob.decode("utf-8").split("\n")
+                if line
+            ]
+            if len(metadata) != n:
+                raise ValueError(
+                    f"metadata.jsonl holds {len(metadata)} entries for "
+                    f"n={n}; mixed-generation store"
+                )
+        elif os.path.exists(mpath):
+            # a file this meta generation never recorded: a crash between
+            # the metadata write and the meta.json rename — ignore it
+            # rather than serve unverified filters
+            log.warning(
+                "ignoring unrecorded metadata.jsonl at %s (no digest in "
+                "meta.json); rebuild with metadata= to restore filtering",
+                path,
+            )
         wpath = os.path.join(path, "whitener.npy")
         self._whitener = (
             jnp.asarray(np.load(wpath)) if os.path.exists(wpath) else None
         )
         self.texts = texts
         self.doc_ids = doc_ids
+        self.metadata = metadata
         self.metric = meta.get("metric", self.metric)
         self.fingerprint = meta.get("fingerprint")
         self._loaded_fingerprint = self.fingerprint
