@@ -30,7 +30,7 @@ _LIB_PATH = os.path.join(_NATIVE_DIR, "liblatentrag_native.so")
 _lib = None
 
 
-ABI_VERSION = 6  # must match latentrag_abi_version() in the C++
+ABI_VERSION = 7  # must match latentrag_abi_version() in the C++
 
 
 def _load_library() -> ctypes.CDLL:
@@ -78,6 +78,10 @@ def _load_library() -> ctypes.CDLL:
         ctypes.c_void_p, ctypes.c_int, f32p, ctypes.c_int, ctypes.c_int,
         i32p, f32p, ctypes.c_int,
     ]
+    lib.hnsw_search_batch_filtered.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, f32p, ctypes.c_int, ctypes.c_int,
+        u8p, i32p, f32p, ctypes.c_int,
+    ]
     lib.hnsw_build_knn.restype = ctypes.c_int
     lib.hnsw_build_knn.argtypes = [
         ctypes.c_void_p, ctypes.c_int, f32p, i32p, ctypes.c_int,
@@ -108,6 +112,10 @@ def _load_library() -> ctypes.CDLL:
     lib.ivfpq_search.argtypes = [
         ctypes.c_void_p, f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         i32p, f32p,
+    ]
+    lib.ivfpq_search_filtered.argtypes = [
+        ctypes.c_void_p, f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        u8p, i32p, f32p,
     ]
     lib.ivfpq_save.restype = ctypes.c_int
     lib.ivfpq_save.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
@@ -179,14 +187,33 @@ class HNSWIndex:
 
     def search(
         self, queries: np.ndarray, k: int, ef_search: int | None = None,
-        nthreads: int = 0,
+        nthreads: int = 0, allowed_bits: np.ndarray | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
+        """Batched beam search. ``allowed_bits`` (optional): packed
+        little-endian bitset over vector ids (``filtering.pack_mask``
+        layout) — disallowed nodes still steer the beam but never enter
+        results; unreachable slots come back -1/-inf."""
         q = _as_f32(queries)
         nq = q.shape[0]
         ids = np.zeros((nq, k), dtype=np.int32)
         scores = np.zeros((nq, k), dtype=np.float32)
-        self._lib.hnsw_search_batch(
-            self._h, nq, _f32p(q), k, ef_search or self.ef_search,
+        ef = ef_search or self.ef_search
+        if allowed_bits is None:
+            self._lib.hnsw_search_batch(
+                self._h, nq, _f32p(q), k, ef,
+                _i32p(ids), _f32p(scores), nthreads,
+            )
+            return scores, ids
+        bits = np.ascontiguousarray(allowed_bits, dtype=np.uint8)
+        need = (len(self) + 7) // 8
+        if bits.size < need:
+            raise ValueError(
+                f"allowed_bits holds {bits.size} bytes; index of "
+                f"{len(self)} vectors needs >= {need}"
+            )
+        self._lib.hnsw_search_batch_filtered(
+            self._h, nq, _f32p(q), k, ef,
+            bits.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             _i32p(ids), _f32p(scores), nthreads,
         )
         return scores, ids
@@ -326,13 +353,31 @@ class IVFPQIndex:
         return int(params[4])
 
     def search(
-        self, queries: np.ndarray, k: int, nprobe: int = 8
+        self, queries: np.ndarray, k: int, nprobe: int = 8,
+        allowed_bits: np.ndarray | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
+        """ADC search. ``allowed_bits`` (optional, packed bitset — see
+        ``HNSWIndex.search``): disallowed ids are skipped during the
+        inverted-list scan."""
         q = _as_f32(queries)
         nq = q.shape[0]
         ids = np.zeros((nq, k), dtype=np.int32)
         scores = np.zeros((nq, k), dtype=np.float32)
-        self._lib.ivfpq_search(
-            self._h, _f32p(q), nq, k, nprobe, _i32p(ids), _f32p(scores)
+        if allowed_bits is None:
+            self._lib.ivfpq_search(
+                self._h, _f32p(q), nq, k, nprobe, _i32p(ids), _f32p(scores)
+            )
+            return scores, ids
+        bits = np.ascontiguousarray(allowed_bits, dtype=np.uint8)
+        need = (len(self) + 7) // 8
+        if bits.size < need:
+            raise ValueError(
+                f"allowed_bits holds {bits.size} bytes; index of "
+                f"{len(self)} vectors needs >= {need}"
+            )
+        self._lib.ivfpq_search_filtered(
+            self._h, _f32p(q), nq, k, nprobe,
+            bits.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            _i32p(ids), _f32p(scores),
         )
         return scores, ids

@@ -54,7 +54,10 @@ class ANNRetriever:
         self.kind = kind
         self.texts: list = []
         self.doc_ids: list = []
+        # optional per-document metadata backing filter={"where": ...}
+        self.metadata: list | None = None
         self.stats = StatsTracker()
+        self._filter_cache = None  # packed-bitset masks per filter spec
         self._index = None
         self._normalize = cfg.metric == "cosine"
         # fp32 corpus kept host-side for the IVF-PQ refinement stage
@@ -73,8 +76,13 @@ class ANNRetriever:
         doc_ids: Sequence | None = None,
         embedding_model: str | None = None,
         ae_type: str | None = None,
+        metadata: Sequence[dict] | None = None,
         **_: object,
     ) -> None:
+        if metadata is not None and len(metadata) != len(texts):
+            raise ValueError(
+                f"{len(metadata)} metadata entries for {len(texts)} texts"
+            )
         emb = np.ascontiguousarray(embeddings, dtype=np.float32)
         if self._normalize:
             emb = _normalize_rows(emb)
@@ -82,6 +90,9 @@ class ANNRetriever:
         self.doc_ids = (
             list(doc_ids) if doc_ids is not None else list(range(len(texts)))
         )
+        self.metadata = list(metadata) if metadata is not None else None
+        if self._filter_cache is not None:
+            self._filter_cache.clear()
         mode = self._resolved_build_mode()
         fp = self._fingerprint(emb, mode)
         # encoder/AE provenance rides the fingerprint (same discipline as
@@ -180,6 +191,7 @@ class ANNRetriever:
         embeddings: np.ndarray,
         texts: Sequence[str],
         doc_ids: Sequence | None = None,
+        metadata: Sequence[dict] | None = None,
     ) -> None:
         """Incrementally append documents to a built index (same surface
         as ``DenseRetriever.add``). HNSW beam-inserts into the existing
@@ -194,6 +206,8 @@ class ANNRetriever:
         emb = np.ascontiguousarray(embeddings, dtype=np.float32)
         if emb.ndim != 2 or emb.shape[1] != self._index.dim:
             raise ValueError(f"expected [n, {self._index.dim}] embeddings")
+        if metadata is not None and len(metadata) != len(texts):
+            raise ValueError("metadata/texts row count mismatch")
         if self._normalize:
             emb = _normalize_rows(emb)
         base = len(self.texts)
@@ -204,6 +218,16 @@ class ANNRetriever:
             doc_ids if doc_ids is not None
             else range(base, base + len(texts))
         )
+        # keep metadata row-aligned whenever either side carries it (rows
+        # without it filter as {} — same convention as the dense tier)
+        if metadata is not None or self.metadata is not None:
+            if self.metadata is None:
+                self.metadata = [{} for _ in range(base)]
+            self.metadata.extend(
+                metadata if metadata is not None else ({} for _ in texts)
+            )
+        if self._filter_cache is not None:
+            self._filter_cache.clear()
         t0 = time.perf_counter()
         self._index.add(emb)
         if self.kind == "ivfpq" and self._refine_emb is not None:
@@ -345,6 +369,22 @@ class ANNRetriever:
             meta = {"fingerprint": fp}
             if not ids_as_npy:
                 meta["doc_ids"] = list(self.doc_ids)
+            # per-document metadata sidecar, digest-bound to this meta
+            # generation (the dense tier's metadata.jsonl discipline)
+            mpath = path + ".metadata.jsonl"
+            if self.metadata is not None:
+                import hashlib
+
+                blob = "\n".join(
+                    json.dumps(md, sort_keys=True) for md in self.metadata
+                ).encode("utf-8")
+                tmpm = mpath + ".tmp"
+                with open(tmpm, "wb") as f:
+                    f.write(blob)
+                os.replace(tmpm, mpath)
+                meta["metadata_digest"] = hashlib.sha1(blob).hexdigest()
+            elif os.path.exists(mpath):
+                os.remove(mpath)  # stale metadata from a previous build
             tmp = path + ".meta.json.tmp"
             with open(tmp, "w") as f:
                 json.dump(meta, f)
@@ -418,6 +458,37 @@ class ANNRetriever:
                     len(texts), len(doc_ids), len(index),
                 )
                 return False
+            metadata = None
+            want_md = meta.get("metadata_digest")
+            mpath = path + ".metadata.jsonl"
+            if want_md is not None:
+                import hashlib
+
+                if not os.path.exists(mpath):
+                    log.warning(
+                        "%s records metadata_digest but %s is missing; "
+                        "cold boot required", path, mpath,
+                    )
+                    return False
+                with open(mpath, "rb") as f:
+                    blob = f.read()
+                if hashlib.sha1(blob).hexdigest() != want_md:
+                    log.warning(
+                        "%s contradicts meta's metadata_digest; cold boot "
+                        "required", mpath,
+                    )
+                    return False
+                metadata = [
+                    json.loads(line)
+                    for line in blob.decode("utf-8").split("\n") if line
+                ]
+                if len(metadata) != len(index):
+                    log.warning(
+                        "%s holds %d metadata entries for %d vectors; "
+                        "cold boot required", mpath, len(metadata),
+                        len(index),
+                    )
+                    return False
             refine_emb = None
             if self._refine > 1:
                 rpath = path + ".refine.npy"
@@ -437,7 +508,10 @@ class ANNRetriever:
                         "refinement)", path, self._refine, rpath,
                     )
             self._index, self.texts, self.doc_ids = index, texts, doc_ids
+            self.metadata = metadata
             self._refine_emb = refine_emb
+            if self._filter_cache is not None:
+                self._filter_cache.clear()
             log.info("%s index warm-loaded from %s (n=%d)", self.kind, path,
                      len(self.texts))
             return True
@@ -463,44 +537,108 @@ class ANNRetriever:
             return min(self.cfg.ivfpq_nprobe, nlist)
         return max(1, nlist // 16)
 
-    def search(self, queries: np.ndarray, k: int):
+    def _filter_bits(self, spec: dict):
+        """Compile (or fetch cached) the packed bitset + selectivity for a
+        filter spec. Host-side analogue of the dense tier's device-mask
+        cache; the packed bytes feed the C++ tiers' ``bit_test`` directly."""
+        from .filtering import (
+            FilterCache,
+            canonical_filter_key,
+            compile_filter_mask,
+            pack_mask,
+        )
+
+        key = canonical_filter_key(spec)
+        if self._filter_cache is None:
+            self._filter_cache = FilterCache()
+        entry = self._filter_cache.get(key)
+        if entry is None:
+            n = len(self._index)
+            mask = compile_filter_mask(spec, self.doc_ids, self.metadata, n)
+            sel = float(mask.mean()) if n else 0.0
+            entry = (pack_mask(mask), sel)
+            self._filter_cache.put(key, entry)
+        return entry
+
+    def search(self, queries: np.ndarray, k: int,
+               filter: dict | None = None):
+        """Batched top-k; ``filter`` restricts eligibility (spec format:
+        ``retrieval.filtering``). Filtering runs INSIDE the C++ tiers —
+        HNSW still traverses disallowed nodes for navigation but never
+        returns them (the beam width auto-inflates with 1/selectivity so
+        sparse filters keep recall); IVF-PQ skips them during the list
+        scan (probing more lists, same rule). For extremely selective
+        filters the dense tier is the better tool — these graphs/lists
+        degrade toward full traversal as selectivity -> 0."""
         if self._index is None:
             raise RuntimeError("index not built")
         q = np.ascontiguousarray(queries, dtype=np.float32)
         if self._normalize:
             q = _normalize_rows(q)
         t0 = time.perf_counter()
-        if self.kind == "hnsw":
-            scores, ids = self._index.search(q, k)
+        bits, sel = (None, 1.0) if filter is None else self._filter_bits(
+            filter
+        )
+        if bits is not None and sel == 0.0:
+            # nothing eligible: all-sentinel result, no native call
+            scores = np.full((q.shape[0], k), -np.inf, dtype=np.float32)
+            ids = np.full((q.shape[0], k), -1, dtype=np.int32)
+        elif self.kind == "hnsw":
+            ef = self.cfg.hnsw_ef_search
+            if bits is not None:
+                # expected eligible nodes among ef visited ~ ef * sel;
+                # keep >= the unfiltered ef's worth of ELIGIBLE results
+                ef = min(len(self._index),
+                         max(ef, int(np.ceil(max(ef, k) / sel))))
+            scores, ids = self._index.search(
+                q, k, ef_search=ef, allowed_bits=bits
+            )
         elif self._refine_emb is not None and self._refine > 1:
-            scores, ids = self._search_ivfpq_refined(q, k)
+            scores, ids = self._search_ivfpq_refined(q, k, bits=bits,
+                                                     sel=sel)
         else:
-            scores, ids = self._index.search(q, k, nprobe=self._nprobe)
+            scores, ids = self._index.search(
+                q, k, nprobe=self._filtered_nprobe(sel), allowed_bits=bits
+            )
         self.stats.add_search_batch(time.perf_counter() - t0, q.shape[0])
         return scores, ids
 
-    def _search_ivfpq_refined(self, q: np.ndarray, k: int):
+    def _filtered_nprobe(self, sel: float) -> int:
+        """Probe ~1/selectivity more lists under a filter so the expected
+        ELIGIBLE candidate pool stays at the unfiltered operating point."""
+        np_base = self._nprobe
+        if sel >= 1.0:
+            return np_base
+        nlist = getattr(self._index, "nlist", self.cfg.ivfpq_nlist)
+        return min(nlist, max(np_base, int(np.ceil(np_base / sel))))
+
+    def _search_ivfpq_refined(self, q: np.ndarray, k: int, bits=None,
+                              sel: float = 1.0):
         """Two-stage IVF-PQ: oversampled ADC candidates -> exact fp32
         rescore -> re-sort (``retrieval.rescore`` — shared with the binary
         tier's stage 2). Empty slots (id -1) are masked and can never
         displace real candidates; outputs keep the -inf/-1 sentinels when
-        fewer than k candidates exist."""
+        fewer than k candidates exist. A filter applies at stage 1, so
+        every rescored candidate is already eligible."""
         from .rescore import exact_rescore_topk
 
         n = self._refine_emb.shape[0]
         k1 = min(self._refine * k, n)
-        _, cand = self._index.search(q, k1, nprobe=self._nprobe)
+        _, cand = self._index.search(
+            q, k1, nprobe=self._filtered_nprobe(sel), allowed_bits=bits
+        )
         return exact_rescore_topk(
             q, lambda idx: self._refine_emb[idx], cand, k,
             metric=self.cfg.metric if self.cfg.metric == "euclidean"
             else "dot",
         )
 
-    def retrieve(self, query_emb: np.ndarray, top_k: int = 5):
+    def retrieve(self, query_emb: np.ndarray, top_k: int = 5,
+                 filter: dict | None = None):
         q = np.asarray(query_emb, dtype=np.float32)
         if q.ndim == 1:
             q = q[None, :]
-        scores, idx = self.search(q, top_k)
+        scores, idx = self.search(q, top_k, filter=filter)
         sel = [j for j in idx[0] if j >= 0]
         return (
             [self.texts[j] for j in sel],

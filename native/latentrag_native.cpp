@@ -60,6 +60,13 @@ inline float l2sq(const float* a, const float* b, int d) {
     return s;
 }
 
+// Packed little-endian bitset test (numpy packbits(bitorder="little")
+// layout — the same bytes the TPU tiers' filter masks ship): bit (i & 7)
+// of byte (i >> 3) is row i's eligibility.
+inline bool bit_test(const uint8_t* bits, int i) {
+    return (bits[i >> 3] >> (i & 7)) & 1;
+}
+
 // Reusable visited-set: epoch bump instead of an O(n) clear per search.
 // One instance per worker thread.
 struct Visited {
@@ -139,10 +146,14 @@ struct HNSW {
         return cur;
     }
 
-    // best-first search on a level; returns top-ef (score, id) ascending
+    // best-first search on a level; returns top-ef (score, id) ascending.
+    // ``allowed`` (nullable packed bitset): disallowed nodes are still
+    // TRAVERSED (they navigate the beam — dropping them would disconnect
+    // the graph for selective filters) but never enter the result heap;
+    // the standard filtered-HNSW discipline (cf. hnswlib isIdAllowed).
     std::vector<std::pair<float, int>> search_level(
         const float* q, int entry_pt, int ef, int level, Visited& vis,
-        bool locked) const {
+        bool locked, const uint8_t* allowed = nullptr) const {
         std::priority_queue<std::pair<float, int>> candidates;  // max by score
         // results: min-heap by score (keep best ef)
         std::priority_queue<std::pair<float, int>,
@@ -151,7 +162,8 @@ struct HNSW {
         vis.next(size());
         float e_score = dot(vec(entry_pt), q, dim);
         candidates.emplace(e_score, entry_pt);
-        results.emplace(e_score, entry_pt);
+        if (!allowed || bit_test(allowed, entry_pt))
+            results.emplace(e_score, entry_pt);
         vis.test_and_set(entry_pt);
         std::vector<int> scratch;
         while (!candidates.empty()) {
@@ -171,8 +183,10 @@ struct HNSW {
                 float s = dot(vec(nb), q, dim);
                 if ((int)results.size() < ef || s > results.top().first) {
                     candidates.emplace(s, nb);
-                    results.emplace(s, nb);
-                    if ((int)results.size() > ef) results.pop();
+                    if (!allowed || bit_test(allowed, nb)) {
+                        results.emplace(s, nb);
+                        if ((int)results.size() > ef) results.pop();
+                    }
                 }
             }
         }
@@ -568,7 +582,8 @@ struct HNSW {
     }
 
     void search(const float* q, int k, int ef, int* out_ids,
-                float* out_scores, Visited& vis) const {
+                float* out_scores, Visited& vis,
+                const uint8_t* allowed = nullptr) const {
         if (entry < 0) {
             for (int i = 0; i < k; ++i) {
                 out_ids[i] = -1;
@@ -577,8 +592,10 @@ struct HNSW {
             return;
         }
         int cur = entry;
+        // upper-level greedy descent is pure navigation — never filtered
         for (int l = max_level; l > 0; --l) cur = greedy(cur, q, l, false);
-        auto res = search_level(q, cur, std::max(ef, k), 0, vis, false);
+        auto res =
+            search_level(q, cur, std::max(ef, k), 0, vis, false, allowed);
         // res ascending; emit top-k descending
         int n = (int)res.size();
         for (int i = 0; i < k; ++i) {
@@ -924,7 +941,7 @@ extern "C" {
 
 // bump whenever any exported signature or on-disk format changes; the
 // ctypes wrapper refuses to run against a mismatched build
-int latentrag_abi_version(void) { return 6; }
+int latentrag_abi_version(void) { return 7; }
 
 // --- WordPiece fast path ------------------------------------------------
 
@@ -1038,9 +1055,9 @@ int hnsw_build_knn(void* p, int n, const float* data, const int* knn_ids,
                                                  nthreads);
 }
 
-void hnsw_search_batch(void* p, int nq, const float* queries, int k, int ef,
-                       int* out_ids, float* out_scores, int nthreads) {
-    auto* h = static_cast<HNSW*>(p);
+static void hnsw_search_impl(HNSW* h, int nq, const float* queries, int k,
+                             int ef, const uint8_t* allowed, int* out_ids,
+                             float* out_scores, int nthreads) {
     if (nthreads <= 0) nthreads = (int)std::thread::hardware_concurrency();
     nthreads = std::max(1, std::min(nthreads, nq));
     if (nthreads == 1) {
@@ -1048,7 +1065,7 @@ void hnsw_search_batch(void* p, int nq, const float* queries, int k, int ef,
         for (int i = 0; i < nq; ++i)
             h->search(queries + (size_t)i * h->dim, k, ef,
                       out_ids + (size_t)i * k, out_scores + (size_t)i * k,
-                      vis);
+                      vis, allowed);
         return;
     }
     std::atomic<int> next{0};
@@ -1059,13 +1076,31 @@ void hnsw_search_batch(void* p, int nq, const float* queries, int k, int ef,
             if (i >= nq) break;
             h->search(queries + (size_t)i * h->dim, k, ef,
                       out_ids + (size_t)i * k, out_scores + (size_t)i * k,
-                      vis);
+                      vis, allowed);
         }
     };
     std::vector<std::thread> pool;
     pool.reserve(nthreads);
     for (int t = 0; t < nthreads; ++t) pool.emplace_back(worker);
     for (auto& th : pool) th.join();
+}
+
+void hnsw_search_batch(void* p, int nq, const float* queries, int k, int ef,
+                       int* out_ids, float* out_scores, int nthreads) {
+    hnsw_search_impl(static_cast<HNSW*>(p), nq, queries, k, ef, nullptr,
+                     out_ids, out_scores, nthreads);
+}
+
+// Filtered variant: ``allowed`` is a packed little-endian bitset over the
+// index's vector ids (>= ceil(size/8) bytes — numpy packbits layout, the
+// same mask bytes the TPU tiers consume). Disallowed nodes still steer
+// the beam but never enter results; unreachable k slots emit -1/-inf.
+void hnsw_search_batch_filtered(void* p, int nq, const float* queries,
+                                int k, int ef, const uint8_t* allowed,
+                                int* out_ids, float* out_scores,
+                                int nthreads) {
+    hnsw_search_impl(static_cast<HNSW*>(p), nq, queries, k, ef, allowed,
+                     out_ids, out_scores, nthreads);
 }
 
 int hnsw_save(void* p, const char* path) {
@@ -1363,9 +1398,9 @@ void ivfpq_params(void* p, int* out5) {
     out5[4] = ix->count;
 }
 
-void ivfpq_search(void* p, const float* queries, int nq, int k, int nprobe,
-                  int* out_ids, float* out_scores) {
-    auto* ix = static_cast<IVFPQ*>(p);
+static void ivfpq_search_impl(IVFPQ* ix, const float* queries, int nq,
+                              int k, int nprobe, const uint8_t* allowed,
+                              int* out_ids, float* out_scores) {
     int m = ix->m, dsub = ix->dsub, ksub = ix->ksub;
     std::vector<std::pair<float, int>> list_order(ix->nlist);
     std::vector<float> lut((size_t)m * ksub);
@@ -1401,6 +1436,7 @@ void ivfpq_search(void* p, const float* queries, int nq, int k, int nprobe,
             const auto& ids = ix->list_ids[c];
             const auto& codes = ix->list_codes[c];
             for (size_t i = 0; i < ids.size(); ++i) {
+                if (allowed && !bit_test(allowed, ids[i])) continue;
                 float dist = 0.f;
                 const uint8_t* code = codes.data() + i * m;
                 for (int s = 0; s < m; ++s)
@@ -1429,6 +1465,22 @@ void ivfpq_search(void* p, const float* queries, int nq, int k, int nprobe,
             }
         }
     }
+}
+
+void ivfpq_search(void* p, const float* queries, int nq, int k, int nprobe,
+                  int* out_ids, float* out_scores) {
+    ivfpq_search_impl(static_cast<IVFPQ*>(p), queries, nq, k, nprobe,
+                      nullptr, out_ids, out_scores);
+}
+
+// Filtered variant (same packed-bitset contract as
+// hnsw_search_batch_filtered): disallowed ids are skipped during the
+// inverted-list scan, so the heap only ever holds eligible vectors.
+void ivfpq_search_filtered(void* p, const float* queries, int nq, int k,
+                           int nprobe, const uint8_t* allowed, int* out_ids,
+                           float* out_scores) {
+    ivfpq_search_impl(static_cast<IVFPQ*>(p), queries, nq, k, nprobe,
+                      allowed, out_ids, out_scores);
 }
 
 }  // extern "C"

@@ -7,7 +7,11 @@ line out. Protocol:
   {"query": "...", "k": 5}                  -> retrieval
   {"query": "...", "k": 5, "generate": true} -> retrieval + LLM answer
   {"queries": ["...", "..."], "k": 5}       -> one batched device call
-  {"add": {"texts": ["..."], "doc_ids": [..]}} -> incremental index growth
+  {"query": "...", "filter": {...}}         -> predicate-filtered search
+                                               (doc_ids / exclude_doc_ids /
+                                               where — retrieval.filtering)
+  {"add": {"texts": ["..."], "doc_ids": [..],
+           "metadata": [{...}, ...]}}       -> incremental index growth
   {"remove": {"doc_ids": [..]}}             -> drop docs (dense tiers;
                                                survivors' scores unchanged)
   {"stats": true[, "reset": true]}          -> serving stats + index info
@@ -172,7 +176,12 @@ def main(argv=None) -> int:
                     )
                 t0 = time.perf_counter()
                 emb = compressor.encode_text(texts)
-                retriever.add(emb, texts, spec.get("doc_ids"))
+                md = spec.get("metadata")
+                if md is not None:
+                    retriever.add(emb, texts, spec.get("doc_ids"),
+                                  metadata=md)
+                else:
+                    retriever.add(emb, texts, spec.get("doc_ids"))
                 out = {
                     "added": len(texts),
                     "n_total": len(retriever.texts),
@@ -212,9 +221,25 @@ def main(argv=None) -> int:
                 # a bare string would be encoded character-by-character
                 raise ValueError('"queries" must be a list of strings')
             k = int(req.get("k", cfg.retrieval.top_k))
+            flt = req.get("filter")
             t0 = time.perf_counter()
             q_emb = compressor.encode_text(queries)
-            scores, idx = retriever.search(q_emb, k)
+            if flt is not None:
+                # dense + ANN tiers take filter=; others raise a clear
+                # protocol error instead of silently ignoring the key
+                import inspect
+
+                if "filter" not in inspect.signature(
+                    retriever.search
+                ).parameters:
+                    raise ValueError(
+                        f"{type(retriever).__name__} does not support "
+                        'filtered search; use backend "dense", "hnsw" or '
+                        '"ivfpq"'
+                    )
+                scores, idx = retriever.search(q_emb, k, filter=flt)
+            else:
+                scores, idx = retriever.search(q_emb, k)
             latency_ms = (time.perf_counter() - t0) * 1000
             results = []
             for qi, query in enumerate(queries):

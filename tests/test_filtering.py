@@ -329,3 +329,186 @@ def test_tampered_metadata_sidecar_refused(rng, tmp_path):
     r2 = DenseRetriever(backend="xla_exact", store_dtype="float32",
                         index_path=path)
     assert not r2.is_built  # refused -> clean start
+
+
+# --------------------------------------------------------- native ANN tiers
+
+
+def _ann(rng, n=300, d=32):
+    g = rng.standard_normal((n, 16)).astype(np.float32)
+    proj = rng.standard_normal((16, d)).astype(np.float32)
+    corpus = g @ proj
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    return corpus
+
+
+def test_hnsw_filtered_search_subset_and_recall(rng):
+    from latentrag_tpu.retrieval.ann_retriever import ANNRetriever
+    from latentrag_tpu.utils.config import RetrievalConfig
+
+    corpus = _ann(rng, 300)
+    texts = [f"t{i}" for i in range(300)]
+    mask = rng.random(300) < 0.3
+    mask[:5] = True
+    allowed = sorted(i for i in range(300) if mask[i])
+
+    r = ANNRetriever(
+        RetrievalConfig(index_path="", backend="hnsw", hnsw_build="beam"),
+        "hnsw",
+    )
+    r.build(corpus, texts)
+    s, i = r.search(corpus[:5], 5, filter={"doc_ids": allowed})
+    assert all(j in set(allowed) for j in i.ravel() if j >= 0)
+    # self-retrieval: each allowed query row must find itself top-1
+    assert [int(row[0]) for row in i] == list(range(5))
+    # filtered recall vs the exact filtered oracle (beam inflates with
+    # 1/selectivity, so recall should stay near the unfiltered level)
+    s0, i0 = _oracle(corpus, corpus[:5], mask, 5)
+    hits = sum(
+        len(set(a.tolist()) & set(b[b >= 0].tolist()))
+        for a, b in zip(i0, i)
+    )
+    assert hits >= 20  # >= 0.8 recall on 25 slots
+
+    # unfiltered search still works on the same retriever
+    _, i_un = r.search(corpus[:5], 5)
+    assert (i_un >= 0).all()
+
+
+def test_hnsw_filter_matching_nothing_returns_sentinels(rng):
+    from latentrag_tpu.retrieval.ann_retriever import ANNRetriever
+    from latentrag_tpu.utils.config import RetrievalConfig
+
+    corpus = _ann(rng, 60)
+    r = ANNRetriever(
+        RetrievalConfig(index_path="", backend="hnsw", hnsw_build="beam"),
+        "hnsw",
+    )
+    r.build(corpus, [f"t{i}" for i in range(60)])
+    s, i = r.search(corpus[:2], 4, filter={"doc_ids": ["missing"]})
+    assert (i == -1).all() and np.isinf(s).all()
+
+
+@pytest.mark.parametrize("refine", [0, 4])
+def test_ivfpq_filtered_search(rng, refine):
+    from latentrag_tpu.retrieval.ann_retriever import ANNRetriever
+    from latentrag_tpu.utils.config import RetrievalConfig
+
+    corpus = _ann(rng, 240)
+    texts = [f"t{i}" for i in range(240)]
+    mask = rng.random(240) < 0.4
+    mask[:4] = True
+    allowed = sorted(i for i in range(240) if mask[i])
+
+    r = ANNRetriever(
+        RetrievalConfig(
+            index_path="", backend="ivfpq", ivfpq_nlist=8, ivfpq_m=8,
+            ivfpq_nprobe=8, ivfpq_refine=refine, ivfpq_build="host",
+        ),
+        "ivfpq",
+    )
+    r.build(corpus, texts)
+    s, i = r.search(corpus[:4], 5, filter={"doc_ids": allowed})
+    assert all(j in set(allowed) for j in i.ravel() if j >= 0)
+    if refine:  # exact rescore: self-retrieval is guaranteed top-1
+        assert [int(row[0]) for row in i] == list(range(4))
+
+
+def test_ann_where_filter_and_warm_boot_metadata(rng, tmp_path):
+    from latentrag_tpu.retrieval.ann_retriever import ANNRetriever
+    from latentrag_tpu.utils.config import RetrievalConfig
+
+    corpus = _ann(rng, 80)
+    texts = [f"t{i}" for i in range(80)]
+    md = [{"lang": "en" if i % 2 == 0 else "fr"} for i in range(80)]
+    cfg = RetrievalConfig(
+        index_path=str(tmp_path / "ix"), backend="hnsw", hnsw_build="beam"
+    )
+    r = ANNRetriever(cfg, "hnsw")
+    r.build(corpus, texts, metadata=md)
+    _, i = r.search(corpus[:3], 4, filter={"where": {"lang": "fr"}})
+    assert all(j % 2 == 1 for j in i.ravel() if j >= 0)
+
+    # warm boot from disk keeps metadata (digest-verified)
+    r2 = ANNRetriever(cfg, "hnsw")
+    assert r2.load_persisted()
+    assert r2.metadata is not None and len(r2.metadata) == 80
+    _, i2 = r2.search(corpus[:3], 4, filter={"where": {"lang": "fr"}})
+    np.testing.assert_array_equal(i, i2)
+
+    # tampered metadata sidecar refuses the warm boot
+    with open(str(tmp_path / "ix.hnsw.metadata.jsonl"), "a") as f:
+        f.write('\n{"lang": "xx"}')
+    r3 = ANNRetriever(cfg, "hnsw")
+    assert not r3.load_persisted()
+
+
+def test_ann_add_keeps_metadata_aligned_and_drops_cache(rng):
+    from latentrag_tpu.retrieval.ann_retriever import ANNRetriever
+    from latentrag_tpu.utils.config import RetrievalConfig
+
+    corpus = _ann(rng, 50)
+    md = [{"g": "a"} for _ in range(50)]
+    r = ANNRetriever(
+        RetrievalConfig(index_path="", backend="hnsw", hnsw_build="beam"),
+        "hnsw",
+    )
+    r.build(corpus, [f"t{i}" for i in range(50)], metadata=md)
+    q = _ann(rng, 1)
+    r.search(q, 2, filter={"where": {"g": "b"}})  # primes an empty mask
+    r.add(q, ["new"], metadata=[{"g": "b"}])
+    _, i = r.search(q, 2, filter={"where": {"g": "b"}})
+    assert int(i[0, 0]) == 50  # the new row is found under the new mask
+
+
+# ------------------------------------------------------------ serve protocol
+
+
+def test_serve_filter_protocol(tmp_path, capsys):
+    import io
+    import json
+    import sys
+    from unittest.mock import patch
+
+    import serve
+
+    overrides = [
+        "data.dataset=synthetic", "data.max_samples=30",
+        "encoder.vocab_size=600", "encoder.dtype=float32",
+        "encoder.hidden_dim=32", "encoder.num_layers=1",
+        "encoder.num_heads=4", "encoder.mlp_dim=64",
+        "retrieval.kernel=xla_exact",
+        f"retrieval.index_path={tmp_path}/index",
+        f"paths.data_dir={tmp_path}/data",
+        f"paths.checkpoints_dir={tmp_path}/ckpt",
+        f"paths.logs_dir={tmp_path}/logs",
+        f"logging.log_file={tmp_path}/logs/run.log",
+    ]
+    marker = "zzqx unique quasar document"
+    payload = (
+        # two metadata-tagged docs, identical text -> score tie broken by
+        # the filter alone
+        json.dumps({"add": {"texts": [marker, marker],
+                            "doc_ids": [901, 902],
+                            "metadata": [{"lang": "en"}, {"lang": "fr"}]}})
+        + "\n"
+        + json.dumps({"query": marker, "k": 1,
+                      "filter": {"where": {"lang": "fr"}}}) + "\n"
+        + json.dumps({"query": marker, "k": 1,
+                      "filter": {"doc_ids": [901]}}) + "\n"
+        + json.dumps({"query": marker, "k": 1,
+                      "filter": {"bogus": 1}}) + "\n"
+    )
+    with patch.object(sys, "stdin", io.StringIO(payload)):
+        assert serve.main(
+            ["--ae_type", "none", "--set"] + overrides
+        ) == 0
+    lines = [
+        json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+        if line.strip()
+    ]
+    assert lines[0]["added"] == 2
+    assert lines[1]["results"][0]["hits"][0]["doc_id"] == 902
+    assert lines[2]["results"][0]["hits"][0]["doc_id"] == 901
+    assert "error" in lines[3]  # malformed spec -> protocol error line
