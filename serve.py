@@ -1,8 +1,18 @@
-"""Batched retrieval/RAG server (stdin/stdout JSONL).
+"""Batched retrieval/RAG server (stdin/stdout JSONL, or HTTP).
 
 Production-serving surface: loads the configured encoder + AE + index once,
 then serves queries in micro-batches — one JSON object per line in, one per
-line out. Protocol:
+line out. With ``--http PORT`` the same request handler serves over a
+threaded stdlib HTTP server instead (no extra dependencies):
+
+  POST /search   body = the query object below ({"query"|"queries", ...})
+  POST /add      body = the "add" payload      ({"texts": [...], ...})
+  POST /remove   body = the "remove" payload   ({"doc_ids": [...]})
+  GET|POST /stats[?reset=1]                    -> serving stats
+  GET /healthz                                 -> liveness + index info
+
+Device work is serialized behind one lock (one TPU chip, one compiled
+program at a time); HTTP threads only overlap on parse/IO. Protocol:
 
   {"query": "...", "k": 5}                  -> retrieval
   {"query": "...", "k": 5, "generate": true} -> retrieval + LLM answer
@@ -111,6 +121,190 @@ def boot(cfg, args, loggers):
     return runner, compressor, retriever, "cold"
 
 
+def make_handle(cfg, args, runner, compressor, retriever, mode):
+    """One request dict -> one response dict (raises on protocol errors).
+
+    Shared by the JSONL loop and the HTTP front-end. Device work (encode +
+    search + mutations) serializes behind one lock: there is one chip and
+    one program running at a time anyway, and interleaved mutations would
+    corrupt the texts/doc_ids/index alignment.
+    """
+    import threading
+
+    lock = threading.Lock()
+
+    def handle(req: dict) -> dict:
+        with lock:
+            return _handle_locked(req)
+
+    def _handle_locked(req: dict) -> dict:
+        if req.get("stats"):
+            st = retriever.get_stats(reset=bool(req.get("reset")))
+            return {
+                "stats": st,
+                "n_docs": len(retriever.texts),
+                "boot": mode,
+                "ae_type": runner.ae_type,
+                "dim": compressor.output_dim,
+            }
+        if "add" in req:
+            spec = req["add"]
+            texts = spec.get("texts")
+            if not isinstance(texts, list) or not texts:
+                raise ValueError(
+                    '"add.texts" must be a non-empty list of strings'
+                )
+            t0 = time.perf_counter()
+            emb = compressor.encode_text(texts)
+            md = spec.get("metadata")
+            if md is not None:
+                retriever.add(emb, texts, spec.get("doc_ids"), metadata=md)
+            else:
+                retriever.add(emb, texts, spec.get("doc_ids"))
+            return {
+                "added": len(texts),
+                "n_total": len(retriever.texts),
+                "latency_ms": round((time.perf_counter() - t0) * 1000, 3),
+            }
+        if "remove" in req:
+            spec = req["remove"]
+            ids = spec.get("doc_ids") if isinstance(spec, dict) else spec
+            if not isinstance(ids, list) or not ids:
+                raise ValueError('"remove.doc_ids" must be a non-empty list')
+            if not hasattr(retriever, "remove"):
+                raise ValueError(
+                    f"{type(retriever).__name__} does not support remove; "
+                    "rebuild the index without those docs"
+                )
+            t0 = time.perf_counter()
+            removed = retriever.remove(ids)
+            return {
+                "removed": removed,
+                "n_total": len(retriever.texts),
+                "latency_ms": round((time.perf_counter() - t0) * 1000, 3),
+            }
+        queries = req.get("queries")
+        if queries is None:
+            queries = [req["query"]]
+        elif not isinstance(queries, list):
+            # a bare string would be encoded character-by-character
+            raise ValueError('"queries" must be a list of strings')
+        k = int(req.get("k", cfg.retrieval.top_k))
+        flt = req.get("filter")
+        t0 = time.perf_counter()
+        q_emb = compressor.encode_text(queries)
+        if flt is not None:
+            # dense + ANN tiers take filter=; others raise a clear
+            # protocol error instead of silently ignoring the key
+            import inspect
+
+            if "filter" not in inspect.signature(
+                retriever.search
+            ).parameters:
+                raise ValueError(
+                    f"{type(retriever).__name__} does not support filtered "
+                    'search; use backend "dense", "hnsw" or "ivfpq"'
+                )
+            scores, idx = retriever.search(q_emb, k, filter=flt)
+        else:
+            scores, idx = retriever.search(q_emb, k)
+        latency_ms = (time.perf_counter() - t0) * 1000
+        results = []
+        for qi, query in enumerate(queries):
+            hits = [
+                {
+                    "text": retriever.texts[j],
+                    "score": float(scores[qi][rank]),
+                    "doc_id": retriever.doc_ids[j],
+                }
+                for rank, j in enumerate(idx[qi])
+                if j >= 0
+            ]
+            results.append({"query": query, "hits": hits})
+        if req.get("generate") and args.generate:
+            gen = runner._ensure_generator()
+            docs = [[h["text"] for h in r["hits"]] for r in results]
+            if len(results) > 1:  # overlap in-flight completions
+                answers = asyncio.run(
+                    gen.generate_batch_async(
+                        queries, docs,
+                        concurrency=max(1, cfg.generation.concurrency),
+                    )
+                )
+            else:
+                answers = [gen.generate(queries[0], docs[0])]
+            for r, a in zip(results, answers):
+                r["answer"] = a
+        return {"results": results, "latency_ms": round(latency_ms, 3)}
+
+    return handle
+
+
+def serve_http(handle, retriever, mode, host, port, loggers):
+    """Threaded stdlib HTTP front-end over the shared request handler.
+    Returns the bound server (caller runs ``serve_forever``)."""
+    import json as _json
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def _respond(self, code: int, obj: dict) -> None:
+            body = _json.dumps(obj).encode("utf-8")
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _dispatch(self, req: dict) -> None:
+            try:
+                self._respond(200, handle(req))
+            except KeyError as e:
+                self._respond(400, {"error": f"missing field {e}"})
+            except Exception as e:
+                self._respond(400, {"error": f"{type(e).__name__}: {e}"})
+
+        def do_POST(self):  # noqa: N802 (stdlib naming)
+            try:
+                length = int(self.headers.get("Content-Length") or 0)
+                body = _json.loads(self.rfile.read(length) or b"{}")
+                if not isinstance(body, dict):
+                    raise ValueError("request body must be a JSON object")
+            except Exception as e:
+                self._respond(400, {"error": f"{type(e).__name__}: {e}"})
+                return
+            path = self.path.split("?")[0].rstrip("/")
+            if path == "/search":
+                self._dispatch(body)
+            elif path == "/add":
+                self._dispatch({"add": body})
+            elif path == "/remove":
+                self._dispatch({"remove": body})
+            elif path == "/stats":
+                self._dispatch({"stats": True, **body})
+            else:
+                self._respond(404, {"error": f"unknown path {self.path!r}"})
+
+        def do_GET(self):  # noqa: N802
+            path, _, query = self.path.partition("?")
+            path = path.rstrip("/")
+            if path == "/healthz":
+                self._respond(200, {
+                    "ok": True, "n_docs": len(retriever.texts),
+                    "boot": mode,
+                })
+            elif path == "/stats":
+                self._dispatch({"stats": True, "reset": "reset=1" in query})
+            else:
+                self._respond(404, {"error": f"unknown path {self.path!r}"})
+
+        def log_message(self, fmt, *a):  # route access logs off stdout
+            loggers.main.debug("http: " + fmt, *a)
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    loggers.main.info("http serving on %s:%d", *server.server_address[:2])
+    return server
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="latentrag-tpu query server")
     p.add_argument("--config", default=None)
@@ -121,6 +315,12 @@ def main(argv=None) -> int:
         help="force dataset load + corpus re-encode even when a persisted "
              "index is loadable",
     )
+    p.add_argument(
+        "--http", type=int, default=None, metavar="PORT",
+        help="serve HTTP on this port instead of stdin/stdout JSONL",
+    )
+    p.add_argument("--host", default="127.0.0.1",
+                   help="bind address for --http (default loopback)")
     p.add_argument("--set", nargs="*", default=[], metavar="a.b=v")
     args = p.parse_args(argv)
 
@@ -150,127 +350,24 @@ def main(argv=None) -> int:
             "query path warmed in %.1fs; serving", time.perf_counter() - t0
         )
 
+    handle = make_handle(cfg, args, runner, compressor, retriever, mode)
+    if args.http is not None:
+        server = serve_http(
+            handle, retriever, mode, args.host, args.http, loggers
+        )
+        try:
+            server.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            server.server_close()
+        return 0
     for line in sys.stdin:
         line = line.strip()
         if not line:
             continue
         try:
-            req = json.loads(line)
-            if req.get("stats"):
-                st = retriever.get_stats(reset=bool(req.get("reset")))
-                out = {
-                    "stats": st,
-                    "n_docs": len(retriever.texts),
-                    "boot": mode,
-                    "ae_type": runner.ae_type,
-                    "dim": compressor.output_dim,
-                }
-                print(json.dumps(out), flush=True)
-                continue
-            if "add" in req:
-                spec = req["add"]
-                texts = spec.get("texts")
-                if not isinstance(texts, list) or not texts:
-                    raise ValueError(
-                        '"add.texts" must be a non-empty list of strings'
-                    )
-                t0 = time.perf_counter()
-                emb = compressor.encode_text(texts)
-                md = spec.get("metadata")
-                if md is not None:
-                    retriever.add(emb, texts, spec.get("doc_ids"),
-                                  metadata=md)
-                else:
-                    retriever.add(emb, texts, spec.get("doc_ids"))
-                out = {
-                    "added": len(texts),
-                    "n_total": len(retriever.texts),
-                    "latency_ms": round(
-                        (time.perf_counter() - t0) * 1000, 3
-                    ),
-                }
-                print(json.dumps(out), flush=True)
-                continue
-            if "remove" in req:
-                spec = req["remove"]
-                ids = spec.get("doc_ids") if isinstance(spec, dict) else spec
-                if not isinstance(ids, list) or not ids:
-                    raise ValueError(
-                        '"remove.doc_ids" must be a non-empty list'
-                    )
-                if not hasattr(retriever, "remove"):
-                    raise ValueError(
-                        f"{type(retriever).__name__} does not support "
-                        "remove; rebuild the index without those docs"
-                    )
-                t0 = time.perf_counter()
-                removed = retriever.remove(ids)
-                out = {
-                    "removed": removed,
-                    "n_total": len(retriever.texts),
-                    "latency_ms": round(
-                        (time.perf_counter() - t0) * 1000, 3
-                    ),
-                }
-                print(json.dumps(out), flush=True)
-                continue
-            queries = req.get("queries")
-            if queries is None:
-                queries = [req["query"]]
-            elif not isinstance(queries, list):
-                # a bare string would be encoded character-by-character
-                raise ValueError('"queries" must be a list of strings')
-            k = int(req.get("k", cfg.retrieval.top_k))
-            flt = req.get("filter")
-            t0 = time.perf_counter()
-            q_emb = compressor.encode_text(queries)
-            if flt is not None:
-                # dense + ANN tiers take filter=; others raise a clear
-                # protocol error instead of silently ignoring the key
-                import inspect
-
-                if "filter" not in inspect.signature(
-                    retriever.search
-                ).parameters:
-                    raise ValueError(
-                        f"{type(retriever).__name__} does not support "
-                        'filtered search; use backend "dense", "hnsw" or '
-                        '"ivfpq"'
-                    )
-                scores, idx = retriever.search(q_emb, k, filter=flt)
-            else:
-                scores, idx = retriever.search(q_emb, k)
-            latency_ms = (time.perf_counter() - t0) * 1000
-            results = []
-            for qi, query in enumerate(queries):
-                hits = [
-                    {
-                        "text": retriever.texts[j],
-                        "score": float(scores[qi][rank]),
-                        "doc_id": retriever.doc_ids[j],
-                    }
-                    for rank, j in enumerate(idx[qi])
-                    if j >= 0
-                ]
-                results.append({"query": query, "hits": hits})
-            if req.get("generate") and args.generate:
-                gen = runner._ensure_generator()
-                docs = [[h["text"] for h in r["hits"]] for r in results]
-                if len(results) > 1:  # overlap in-flight completions
-                    answers = asyncio.run(
-                        gen.generate_batch_async(
-                            queries, docs,
-                            concurrency=max(1, cfg.generation.concurrency),
-                        )
-                    )
-                else:
-                    answers = [gen.generate(queries[0], docs[0])]
-                for r, a in zip(results, answers):
-                    r["answer"] = a
-            out = {
-                "results": results,
-                "latency_ms": round(latency_ms, 3),
-            }
+            out = handle(json.loads(line))
         except Exception as e:
             out = {"error": f"{type(e).__name__}: {e}"}
         print(json.dumps(out), flush=True)

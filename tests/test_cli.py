@@ -377,3 +377,71 @@ def test_reference_parity_command_regression(tmp_path):
     assert row["ae_type"] == "vae"
     assert int(row["latent_dim"]) == 64
     assert float(row["compression_ratio"]) == pytest.approx(6.0)
+
+
+def test_serve_http_mode(tmp_path):
+    """--http serves the same handler over a threaded stdlib HTTP server:
+    /healthz, /search (incl. filter), /add, /stats, 404s and body errors."""
+    import threading
+    import urllib.error
+    import urllib.request
+    from types import SimpleNamespace
+
+    import serve
+    from latentrag_tpu.utils import (
+        apply_overrides,
+        init_logger,
+        load_config,
+    )
+
+    cfg = apply_overrides(load_config(None), _overrides(tmp_path))
+    loggers = init_logger(cfg.logging, stream=sys.stderr)
+    args = SimpleNamespace(ae_type="none", generate=False, cold_boot=False)
+    runner, compressor, retriever, mode = serve.boot(cfg, args, loggers)
+    handle = serve.make_handle(cfg, args, runner, compressor, retriever,
+                               mode)
+    server = serve.serve_http(handle, retriever, mode, "127.0.0.1", 0,
+                              loggers)
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+
+    def call(path, obj=None, method=None):
+        url = f"http://127.0.0.1:{port}{path}"
+        data = json.dumps(obj).encode() if obj is not None else None
+        req = urllib.request.Request(
+            url, data=data, method=method or ("POST" if data else "GET"),
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=30) as r:
+                return r.status, json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read())
+
+    try:
+        code, health = call("/healthz")
+        assert code == 200 and health["ok"] and health["n_docs"] > 0
+        code, out = call("/search", {"query": "telescopes", "k": 2})
+        assert code == 200 and len(out["results"][0]["hits"]) == 2
+        marker = "zzqx unique quasar document"
+        code, out = call("/add", {
+            "texts": [marker, marker], "doc_ids": [901, 902],
+            "metadata": [{"lang": "en"}, {"lang": "fr"}],
+        })
+        assert code == 200 and out["added"] == 2
+        code, out = call("/search", {
+            "query": marker, "k": 1, "filter": {"where": {"lang": "fr"}},
+        })
+        assert code == 200
+        assert out["results"][0]["hits"][0]["doc_id"] == 902
+        code, out = call("/stats")
+        assert code == 200 and out["n_docs"] == health["n_docs"] + 2
+        code, out = call("/nope", {"x": 1})
+        assert code == 404 and "error" in out
+        code, out = call("/search", {"k": 2})  # no query/queries
+        assert code == 400 and "error" in out
+    finally:
+        server.shutdown()
+        server.server_close()
+        thread.join(timeout=10)
