@@ -4,8 +4,10 @@ from .dense import DenseRetriever, make_fingerprint
 from .dpr import DPRRetriever
 from .embedder import EmbeddingCompressor
 from .factory import build_retriever, load_retriever
+from .filtering import compile_filter_mask
 
 __all__ = [
+    "compile_filter_mask",
     "BaseRetriever",
     "DenseSearchAPI",
     "BM25Retriever",

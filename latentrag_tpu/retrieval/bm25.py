@@ -44,8 +44,17 @@ class BM25Retriever:
         self._avgdl: float = 0.0
         self._n_docs: int = 0
         self.corpus: list[str] = []
+        # optional per-document metadata backing filter={"where": ...};
+        # doc_ids for filter specs are the corpus row indices
+        self.metadata: list | None = None
 
-    def build_index(self, corpus: Sequence[str]) -> None:
+    def build_index(self, corpus: Sequence[str],
+                    metadata: Sequence[dict] | None = None) -> None:
+        if metadata is not None and len(metadata) != len(corpus):
+            raise ValueError(
+                f"{len(metadata)} metadata entries for {len(corpus)} docs"
+            )
+        self.metadata = list(metadata) if metadata is not None else None
         self.corpus = list(corpus)
         self._n_docs = len(self.corpus)
         postings: dict[str, list[tuple[int, int]]] = defaultdict(list)
@@ -82,24 +91,44 @@ class BM25Retriever:
                 scores[di] += idf * (tf * (k1 + 1.0)) / denom
         return scores
 
-    def retrieve(self, query: str, top_k: int = 5):
+    def _filter_mask(self, spec: dict) -> np.ndarray:
+        """Compile a filter spec (``retrieval.filtering``) to a bool [n]
+        mask; doc_ids in specs are corpus row indices."""
+        from .filtering import compile_filter_mask
+
+        return compile_filter_mask(
+            spec, list(range(self._n_docs)), self.metadata, self._n_docs
+        )
+
+    def retrieve(self, query: str, top_k: int = 5,
+                 filter: dict | None = None):
         scores = self.score_query(query)
+        if filter is not None:
+            scores = np.where(self._filter_mask(filter), scores, -np.inf)
         k = min(top_k, self._n_docs)
         idx = np.argpartition(-scores, k - 1)[:k]
         idx = idx[np.argsort(-scores[idx])]
-        return [(self.corpus[i], float(scores[i])) for i in idx]
+        return [(self.corpus[i], float(scores[i])) for i in idx
+                if np.isfinite(scores[i])]
 
-    def search(self, queries: Sequence[str], k: int):
-        """Batch surface for parity harnesses: returns (D, I) numpy arrays."""
+    def search(self, queries: Sequence[str], k: int,
+               filter: dict | None = None):
+        """Batch surface for parity harnesses: returns (D, I) numpy arrays.
+        With ``filter``, excluded docs score -inf and unreachable slots
+        carry -1 ids (the dense tiers' sentinel convention)."""
         kk = min(k, self._n_docs)
         if not queries:
             return (np.zeros((0, kk), np.float32),
                     np.zeros((0, kk), np.int64))
+        mask = self._filter_mask(filter) if filter is not None else None
         ds, inds = [], []
         for qtext in queries:
             scores = self.score_query(qtext)
+            if mask is not None:
+                scores = np.where(mask, scores, -np.inf)
             idx = np.argpartition(-scores, kk - 1)[:kk]
             idx = idx[np.argsort(-scores[idx])]
-            ds.append(scores[idx])
-            inds.append(idx)
+            d = scores[idx]
+            ds.append(d)
+            inds.append(np.where(np.isfinite(d), idx, -1))
         return np.stack(ds), np.stack(inds)

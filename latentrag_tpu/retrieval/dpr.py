@@ -34,7 +34,8 @@ class DPRRetriever:
         self.c_encoder = context_encoder
         self.dense = DenseRetriever(metric=metric, backend=backend)
 
-    def build_index(self, corpus: Sequence[str]) -> None:
+    def build_index(self, corpus: Sequence[str],
+                    metadata: Sequence[dict] | None = None) -> None:
         emb = np.asarray(self.c_encoder.encode_batch(list(corpus)),
                          dtype=np.float32)
         fp = make_fingerprint(
@@ -42,17 +43,19 @@ class DPRRetriever:
             embedding_model=f"dpr:{getattr(self.c_encoder, 'name', 'ctx')}",
             metric=self.dense.metric,
         )
-        self.dense.build(emb, corpus, fingerprint=fp)
+        self.dense.build(emb, corpus, fingerprint=fp, metadata=metadata)
 
-    def retrieve(self, query: str, top_k: int = 5):
+    def retrieve(self, query: str, top_k: int = 5,
+                 filter: dict | None = None):
         q = np.asarray(self.q_encoder.encode_batch([query]), dtype=np.float32)
-        texts, scores, _ = self.dense.retrieve(q[0], top_k)
+        texts, scores, _ = self.dense.retrieve(q[0], top_k, filter=filter)
         return list(zip(texts, scores))
 
-    def search(self, queries: Sequence[str], k: int):
+    def search(self, queries: Sequence[str], k: int,
+               filter: dict | None = None):
         q = np.asarray(self.q_encoder.encode_batch(list(queries)),
                        dtype=np.float32)
-        return self.dense.search(q, k)
+        return self.dense.search(q, k, filter=filter)
 
     def get_stats(self, reset: bool = False) -> dict:
         return self.dense.get_stats(reset)

@@ -48,12 +48,15 @@ def build_retriever(
     ae_type: str | None = None,
     latent_dim: int | None = None,
     chunking: dict | None = None,
+    metadata: Sequence[dict] | None = None,
 ) -> DenseRetriever:
     """Config-driven dense retriever construction + build.
 
     Unlike the reference (which drops the fingerprint kwargs on the floor,
     ``main.py:248-253`` — SURVEY §2.2), the fingerprint always carries the
     full provenance so on-disk compatibility checks are meaningful.
+    ``metadata`` (optional, row-aligned dicts) enables
+    ``search(..., filter={"where": ...})`` on the dense and ANN tiers.
     """
     if cfg.backend in ("hnsw", "ivfpq"):
         from .ann_retriever import ANNRetriever
@@ -62,13 +65,14 @@ def build_retriever(
         ann.build(
             embeddings, texts, doc_ids,
             embedding_model=embedding_model, ae_type=ae_type,
+            metadata=metadata,
         )
         return ann
 
     return _dense_retriever(
         cfg, embeddings, texts, doc_ids, mesh=mesh,
         embedding_model=embedding_model, ae_type=ae_type,
-        latent_dim=latent_dim, chunking=chunking,
+        latent_dim=latent_dim, chunking=chunking, metadata=metadata,
     )
 
 
@@ -113,7 +117,7 @@ def load_retriever(
 
 def _dense_retriever(
     cfg, embeddings, texts, doc_ids, *, mesh, embedding_model, ae_type,
-    latent_dim, chunking,
+    latent_dim, chunking, metadata=None,
 ):
     retriever = _make_dense(cfg, mesh)
     fp = make_fingerprint(
@@ -125,5 +129,6 @@ def _dense_retriever(
         metric=cfg.metric,
         normalize=cfg.normalize,
     )
-    retriever.build(embeddings, texts, doc_ids, fingerprint=fp)
+    retriever.build(embeddings, texts, doc_ids, fingerprint=fp,
+                    metadata=metadata)
     return retriever

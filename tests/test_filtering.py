@@ -512,3 +512,62 @@ def test_serve_filter_protocol(tmp_path, capsys):
     assert lines[1]["results"][0]["hits"][0]["doc_id"] == 902
     assert lines[2]["results"][0]["hits"][0]["doc_id"] == 901
     assert "error" in lines[3]  # malformed spec -> protocol error line
+
+
+# ------------------------------------------------------------ bm25 and dpr
+
+
+def test_bm25_filtered_search():
+    from latentrag_tpu.retrieval.bm25 import BM25Retriever
+
+    docs = [
+        "alpha telescope observes stars",
+        "beta telescope observes galaxies",
+        "gamma microscope magnifies cells",
+        "delta telescope observes planets",
+    ]
+    md = [{"kind": "tele"}, {"kind": "tele"}, {"kind": "micro"},
+          {"kind": "tele"}]
+    r = BM25Retriever()
+    r.build_index(docs, metadata=md)
+    s, i = r.search(["telescope observes"], 3,
+                    filter={"exclude_doc_ids": [0]})
+    assert 0 not in set(i.ravel().tolist())
+    s, i = r.search(["telescope observes"], 3,
+                    filter={"where": {"kind": "micro"}})
+    # only doc 2 is eligible; it doesn't match the query terms -> score 0
+    # but it is the ONLY candidate; remaining slots are sentinels
+    assert i[0, 0] == 2 and (i[0, 1:] == -1).all()
+    hits = r.retrieve("telescope observes", 3,
+                      filter={"where": {"kind": "tele"}})
+    assert all(t != docs[2] for t, _ in hits)
+
+
+def test_dpr_filter_passthrough(rng):
+    from latentrag_tpu.retrieval.dpr import DPRRetriever
+
+    class FakeTower:
+        name = "fake"
+
+        def __init__(self, d=8):
+            self.d = d
+
+        def encode_batch(self, texts):
+            out = np.zeros((len(texts), self.d), np.float32)
+            for i, t in enumerate(texts):
+                g = np.random.default_rng(
+                    abs(hash(t)) % (1 << 32)
+                ).standard_normal(self.d)
+                out[i] = g / np.linalg.norm(g)  # unit: self-dot is maximal
+            return out
+
+    tower = FakeTower()
+    docs = [f"doc number {i}" for i in range(12)]
+    r = DPRRetriever(tower, tower, backend="xla_exact")
+    r.build_index(docs, metadata=[{"even": i % 2 == 0} for i in range(12)])
+    # a doc queried as itself scores max dot -> wins unfiltered; under an
+    # odd-only filter every hit must be an odd row
+    _, i = r.search([docs[4]], 3, filter={"where": {"even": False}})
+    assert all(j % 2 == 1 for j in i.ravel() if j >= 0)
+    hits = r.retrieve(docs[4], 3)
+    assert hits[0][0] == docs[4]
