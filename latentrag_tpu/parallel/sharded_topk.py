@@ -142,6 +142,11 @@ def make_sharded_topk(
                     "pass the row-sharded mask"
                 )
             return jitted(q, c_shard, n_valid, scale, mask_shard)
+        if mask_shard is not None:
+            raise ValueError(
+                "mask_shard passed to a sharded top-k built without "
+                "filtered=True; the mask would be silently ignored"
+            )
         return jitted(q, c_shard, n_valid, scale)
 
     return call

@@ -218,14 +218,11 @@ class ANNRetriever:
             doc_ids if doc_ids is not None
             else range(base, base + len(texts))
         )
-        # keep metadata row-aligned whenever either side carries it (rows
-        # without it filter as {} — same convention as the dense tier)
-        if metadata is not None or self.metadata is not None:
-            if self.metadata is None:
-                self.metadata = [{} for _ in range(base)]
-            self.metadata.extend(
-                metadata if metadata is not None else ({} for _ in texts)
-            )
+        from .filtering import extend_aligned_metadata
+
+        self.metadata = extend_aligned_metadata(
+            self.metadata, base, metadata, len(texts)
+        )
         if self._filter_cache is not None:
             self._filter_cache.clear()
         t0 = time.perf_counter()
@@ -371,20 +368,13 @@ class ANNRetriever:
                 meta["doc_ids"] = list(self.doc_ids)
             # per-document metadata sidecar, digest-bound to this meta
             # generation (the dense tier's metadata.jsonl discipline)
-            mpath = path + ".metadata.jsonl"
-            if self.metadata is not None:
-                import hashlib
+            from .textstore import save_metadata_sidecar
 
-                blob = "\n".join(
-                    json.dumps(md, sort_keys=True) for md in self.metadata
-                ).encode("utf-8")
-                tmpm = mpath + ".tmp"
-                with open(tmpm, "wb") as f:
-                    f.write(blob)
-                os.replace(tmpm, mpath)
-                meta["metadata_digest"] = hashlib.sha1(blob).hexdigest()
-            elif os.path.exists(mpath):
-                os.remove(mpath)  # stale metadata from a previous build
+            digest = save_metadata_sidecar(
+                path + ".metadata.jsonl", self.metadata
+            )
+            if digest is not None:
+                meta["metadata_digest"] = digest
             tmp = path + ".meta.json.tmp"
             with open(tmp, "w") as f:
                 json.dump(meta, f)
@@ -458,37 +448,15 @@ class ANNRetriever:
                     len(texts), len(doc_ids), len(index),
                 )
                 return False
-            metadata = None
-            want_md = meta.get("metadata_digest")
-            mpath = path + ".metadata.jsonl"
-            if want_md is not None:
-                import hashlib
+            # digest-verified metadata sidecar (shared protocol with the
+            # dense tier); a ValueError here falls to the outer except ->
+            # warm boot refused with the store named in the warning
+            from .textstore import load_metadata_sidecar
 
-                if not os.path.exists(mpath):
-                    log.warning(
-                        "%s records metadata_digest but %s is missing; "
-                        "cold boot required", path, mpath,
-                    )
-                    return False
-                with open(mpath, "rb") as f:
-                    blob = f.read()
-                if hashlib.sha1(blob).hexdigest() != want_md:
-                    log.warning(
-                        "%s contradicts meta's metadata_digest; cold boot "
-                        "required", mpath,
-                    )
-                    return False
-                metadata = [
-                    json.loads(line)
-                    for line in blob.decode("utf-8").split("\n") if line
-                ]
-                if len(metadata) != len(index):
-                    log.warning(
-                        "%s holds %d metadata entries for %d vectors; "
-                        "cold boot required", mpath, len(metadata),
-                        len(index),
-                    )
-                    return False
+            metadata = load_metadata_sidecar(
+                path + ".metadata.jsonl", meta.get("metadata_digest"),
+                len(index),
+            )
             refine_emb = None
             if self._refine > 1:
                 rpath = path + ".refine.npy"

@@ -321,7 +321,10 @@ class DenseRetriever:
                 if self._filter_cache is not None:
                     self._filter_cache.clear()
                 if self.index_path:
-                    self._save(self.index_path)
+                    # metadata-only write: a full _save would re-transfer
+                    # the whole corpus over the (slow) host link just to
+                    # rewrite bytes that didn't change
+                    self._save_metadata_only(self.index_path)
             log.info("index compatible; skipping rebuild")
             return
 
@@ -472,16 +475,11 @@ class DenseRetriever:
             self.texts = list(self.texts)
         self.texts.extend(texts)
         self.doc_ids.extend(new_ids)
-        # keep metadata row-aligned whenever EITHER side carries it: rows
-        # without metadata filter as "no fields" ({} — matches nothing in
-        # a where clause, passes id filters)
-        if metadata is not None or self.metadata is not None:
-            if self.metadata is None:
-                self.metadata = [{} for _ in range(start)]
-            self.metadata.extend(
-                metadata if metadata is not None
-                else ({} for _ in texts)
-            )
+        from .filtering import extend_aligned_metadata
+
+        self.metadata = extend_aligned_metadata(
+            self.metadata, start, metadata, len(texts)
+        )
         self._mark_mutated()
         if self.index_path:
             self._save(self.index_path)
@@ -925,21 +923,11 @@ class DenseRetriever:
         # per-document metadata rides a JSONL sidecar; its byte digest in
         # meta.json binds it to this save generation (same discipline as
         # stored_digests — a crash between the two writes is detected)
-        metadata_digest = None
-        mpath = os.path.join(path, "metadata.jsonl")
-        if self.metadata is not None:
-            import hashlib
+        from .textstore import save_metadata_sidecar
 
-            blob = "\n".join(
-                json.dumps(md, sort_keys=True) for md in self.metadata
-            ).encode("utf-8")
-            tmpm = mpath + ".tmp"
-            with open(tmpm, "wb") as f:
-                f.write(blob)
-            os.replace(tmpm, mpath)
-            metadata_digest = hashlib.sha1(blob).hexdigest()
-        elif os.path.exists(mpath):
-            os.remove(mpath)  # stale metadata from a previous build
+        metadata_digest = save_metadata_sidecar(
+            os.path.join(path, "metadata.jsonl"), self.metadata
+        )
         meta = {
             "fingerprint": self.fingerprint,
             "metric": self.metric,
@@ -961,6 +949,34 @@ class DenseRetriever:
             json.dump(meta, f)
         os.replace(tmp, os.path.join(path, "meta.json"))
         log.info("index persisted to %s (n=%d)", path, self._corpus_n)
+
+    def _save_metadata_only(self, path: str) -> None:
+        """Refresh just the metadata sidecar + its digest in meta.json.
+
+        Used when build() finds the index itself compatible and only the
+        caller-supplied metadata changed — a full _save would round-trip
+        the whole corpus through the (slow) host link to rewrite
+        unchanged bytes. meta.json still lands LAST, preserving the
+        crash-window ordering."""
+        meta_path = os.path.join(path, "meta.json")
+        if not os.path.exists(meta_path):  # store vanished: full save
+            self._save(path)
+            return
+        with open(meta_path) as f:
+            meta = json.load(f)
+        from .textstore import save_metadata_sidecar
+
+        digest = save_metadata_sidecar(
+            os.path.join(path, "metadata.jsonl"), self.metadata
+        )
+        if digest is None:
+            meta.pop("metadata_digest", None)
+        else:
+            meta["metadata_digest"] = digest
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, meta_path)
 
     def _load(self, path: str) -> None:
         # validate into locals before any self mutation: a refused store
@@ -992,34 +1008,12 @@ class DenseRetriever:
         # off the mmap): catches the same-n crash window where a fresh
         # corpus.npy pairs with the previous generation's texts + meta
         verify_stored_digests(path, meta)
-        metadata = None
+        from .textstore import load_metadata_sidecar
+
         mpath = os.path.join(path, "metadata.jsonl")
         want_md = meta.get("metadata_digest")
-        if want_md is not None:
-            if not os.path.exists(mpath):
-                raise ValueError(
-                    "metadata.jsonl recorded in meta.json but missing on "
-                    "disk; mixed-generation store"
-                )
-            import hashlib
-
-            with open(mpath, "rb") as f:
-                blob = f.read()
-            if hashlib.sha1(blob).hexdigest() != want_md:
-                raise ValueError(
-                    "metadata.jsonl contradicts meta.json's digest; "
-                    "mixed-generation store"
-                )
-            metadata = [
-                json.loads(line) for line in blob.decode("utf-8").split("\n")
-                if line
-            ]
-            if len(metadata) != n:
-                raise ValueError(
-                    f"metadata.jsonl holds {len(metadata)} entries for "
-                    f"n={n}; mixed-generation store"
-                )
-        elif os.path.exists(mpath):
+        metadata = load_metadata_sidecar(mpath, want_md, n)
+        if want_md is None and os.path.exists(mpath):
             # a file this meta generation never recorded: a crash between
             # the metadata write and the meta.json rename — ignore it
             # rather than serve unverified filters

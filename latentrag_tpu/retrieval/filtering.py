@@ -32,9 +32,40 @@ import numpy as np
 
 _ALLOWED_KEYS = frozenset({"doc_ids", "exclude_doc_ids", "where"})
 
+# sentinel distinguishing "field absent" from an explicit None value —
+# a where-filter never matches documents that lack the field
+_MISSING = object()
+
+
+def _canonical(value):
+    """Normalize a spec value for the cache key: numpy scalars coerce to
+    their Python equivalents (np.int64(5) and 5 filter identically, so
+    they must share a key), containers recurse, and anything else
+    non-JSON raises — ``default=str`` fallbacks would let DISTINCT specs
+    collide on one key (np.int64(5) vs the string "5") and serve each
+    other's cached masks."""
+    if isinstance(value, dict):
+        return {str(k): _canonical(v) for k, v in value.items()}
+    if isinstance(value, (list, tuple, set, frozenset)):
+        items = sorted(value, key=repr) if isinstance(
+            value, (set, frozenset)
+        ) else value
+        return [_canonical(v) for v in items]
+    if isinstance(value, bool) or value is None or isinstance(value, str):
+        return value
+    if isinstance(value, (int, np.integer)):
+        return int(value)
+    if isinstance(value, (float, np.floating)):
+        return float(value)
+    raise ValueError(
+        f"filter values must be JSON scalars or lists of them; got "
+        f"{type(value).__name__}"
+    )
+
 
 def canonical_filter_key(spec: dict) -> str:
-    """Stable cache key for a filter spec (sorted-key JSON).
+    """Stable cache key for a filter spec (sorted-key JSON over the
+    normalized value tree).
 
     Raises ValueError for malformed specs so every caller rejects them
     identically, before any mask work happens.
@@ -55,10 +86,7 @@ def canonical_filter_key(spec: dict) -> str:
             raise ValueError(f'filter["{key}"] must be a list')
     if "where" in spec and not isinstance(spec["where"], dict):
         raise ValueError('filter["where"] must be a dict of field: value')
-    try:
-        return json.dumps(spec, sort_keys=True, default=str)
-    except TypeError as e:  # pragma: no cover - json with default=str
-        raise ValueError(f"filter is not JSON-serializable: {e}") from e
+    return json.dumps(_canonical(spec), sort_keys=True)
 
 
 def _id_member_mask(doc_ids: Sequence, wanted) -> np.ndarray:
@@ -106,15 +134,37 @@ def compile_filter_mask(
                 set(value) if isinstance(value, (list, tuple, set))
                 else {value}
             )
+            # _MISSING default: a doc lacking the field never matches,
+            # even when the filter value is an explicit None
             mask &= np.fromiter(
                 (
-                    (md.get(field) in want) if isinstance(md, dict) else False
+                    (md.get(field, _MISSING) in want)
+                    if isinstance(md, dict) else False
                     for md in metadata
                 ),
                 dtype=bool,
                 count=n,
             )
     return mask
+
+
+def extend_aligned_metadata(
+    existing: list | None, base_len: int, new_md, n_new: int
+) -> list | None:
+    """Row-aligned metadata growth for ``add()`` (shared by every tier):
+    whenever EITHER side carries metadata, rows without it get ``{}`` —
+    which passes id filters but matches no ``where`` clause."""
+    if new_md is not None and len(new_md) != n_new:
+        raise ValueError(
+            f"{len(new_md)} metadata entries for {n_new} new rows"
+        )
+    if new_md is None and existing is None:
+        return None
+    out = list(existing) if existing is not None else [
+        {} for _ in range(base_len)
+    ]
+    out.extend(new_md if new_md is not None else ({} for _ in range(n_new)))
+    return out
 
 
 def pack_mask(mask: np.ndarray) -> np.ndarray:

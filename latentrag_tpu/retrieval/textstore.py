@@ -167,3 +167,62 @@ def load_texts(prefix: str):
         )
         return None, None
     return texts, doc_ids
+
+
+def save_metadata_sidecar(path: str, metadata) -> str | None:
+    """Persist per-document metadata as a JSONL sidecar at ``path``
+    (tmp+rename) and return its sha1 digest for the caller's meta record;
+    ``metadata=None`` removes any stale sidecar and returns None. Shared
+    by the dense and ANN tiers so the crash-window protocol (digest bound
+    into the LAST-written meta file) has exactly one implementation."""
+    import hashlib
+    import json
+
+    if metadata is None:
+        if os.path.exists(path):
+            os.remove(path)  # stale metadata from a previous build
+        return None
+    blob = "\n".join(
+        json.dumps(md, sort_keys=True) for md in metadata
+    ).encode("utf-8")
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, path)
+    return hashlib.sha1(blob).hexdigest()
+
+
+def load_metadata_sidecar(path: str, want_digest, n: int):
+    """Load + verify a metadata sidecar against the digest its meta file
+    recorded. Returns the metadata list, or None when the meta never
+    recorded one (an unrecorded file on disk is a crash leftover from a
+    newer generation — ignored, the caller may warn). Raises ValueError on
+    any mixed-generation evidence: missing file, digest mismatch, or row
+    count != n."""
+    import hashlib
+    import json
+
+    if want_digest is None:
+        return None
+    if not os.path.exists(path):
+        raise ValueError(
+            f"{os.path.basename(path)} recorded in the meta file but "
+            "missing on disk; mixed-generation store"
+        )
+    with open(path, "rb") as f:
+        blob = f.read()
+    if hashlib.sha1(blob).hexdigest() != want_digest:
+        raise ValueError(
+            f"{os.path.basename(path)} contradicts the meta file's "
+            "digest; mixed-generation store"
+        )
+    metadata = [
+        json.loads(line) for line in blob.decode("utf-8").split("\n")
+        if line
+    ]
+    if len(metadata) != n:
+        raise ValueError(
+            f"{os.path.basename(path)} holds {len(metadata)} entries for "
+            f"n={n}; mixed-generation store"
+        )
+    return metadata

@@ -134,8 +134,29 @@ def make_handle(cfg, args, runner, compressor, retriever, mode):
     lock = threading.Lock()
 
     def handle(req: dict) -> dict:
+        # device work + mutations serialize; generation (network-bound,
+        # possibly seconds) runs OUTSIDE the lock so one slow LLM call
+        # can't stall every other request — results are already
+        # materialized host-side when the lock drops
         with lock:
-            return _handle_locked(req)
+            out = _handle_locked(req)
+        if req.get("generate") and args.generate and "results" in out:
+            results = out["results"]
+            queries = [r["query"] for r in results]
+            gen = runner._ensure_generator()
+            docs = [[h["text"] for h in r["hits"]] for r in results]
+            if len(results) > 1:  # overlap in-flight completions
+                answers = asyncio.run(
+                    gen.generate_batch_async(
+                        queries, docs,
+                        concurrency=max(1, cfg.generation.concurrency),
+                    )
+                )
+            else:
+                answers = [gen.generate(queries[0], docs[0])]
+            for r, a in zip(results, answers):
+                r["answer"] = a
+        return out
 
     def _handle_locked(req: dict) -> dict:
         if req.get("stats"):
@@ -221,20 +242,7 @@ def make_handle(cfg, args, runner, compressor, retriever, mode):
                 if j >= 0
             ]
             results.append({"query": query, "hits": hits})
-        if req.get("generate") and args.generate:
-            gen = runner._ensure_generator()
-            docs = [[h["text"] for h in r["hits"]] for r in results]
-            if len(results) > 1:  # overlap in-flight completions
-                answers = asyncio.run(
-                    gen.generate_batch_async(
-                        queries, docs,
-                        concurrency=max(1, cfg.generation.concurrency),
-                    )
-                )
-            else:
-                answers = [gen.generate(queries[0], docs[0])]
-            for r, a in zip(results, answers):
-                r["answer"] = a
+        # generation happens in handle(), after the lock is released
         return {"results": results, "latency_ms": round(latency_ms, 3)}
 
     return handle
@@ -293,7 +301,13 @@ def serve_http(handle, retriever, mode, host, port, loggers):
                     "boot": mode,
                 })
             elif path == "/stats":
-                self._dispatch({"stats": True, "reset": "reset=1" in query})
+                from urllib.parse import parse_qs
+
+                reset = parse_qs(query).get("reset", ["0"])[-1]
+                self._dispatch(
+                    {"stats": True,
+                     "reset": reset.lower() in ("1", "true", "yes")}
+                )
             else:
                 self._respond(404, {"error": f"unknown path {self.path!r}"})
 

@@ -571,3 +571,125 @@ def test_dpr_filter_passthrough(rng):
     assert all(j % 2 == 1 for j in i.ravel() if j >= 0)
     hits = r.retrieve(docs[4], 3)
     assert hits[0][0] == docs[4]
+
+
+# --------------------------------------------------- review-pass regressions
+
+
+def test_where_none_never_matches_missing_field():
+    """An explicit None filter value matches docs whose field IS None,
+    never docs that lack the field entirely."""
+    doc_ids = [0, 1, 2]
+    md = [{"lang": None}, {"lang": "en"}, {}]
+    m = compile_filter_mask({"where": {"lang": None}}, doc_ids, md, 3)
+    assert m.tolist() == [True, False, False]
+
+
+def test_canonical_key_type_discrimination():
+    """np.int64(5) and 5 filter identically -> same key; the string "5"
+    filters differently -> different key. Unserializable values raise."""
+    assert canonical_filter_key(
+        {"doc_ids": [np.int64(5)]}
+    ) == canonical_filter_key({"doc_ids": [5]})
+    assert canonical_filter_key(
+        {"doc_ids": [5]}
+    ) != canonical_filter_key({"doc_ids": ["5"]})
+    with pytest.raises(ValueError):
+        canonical_filter_key({"doc_ids": [object()]})
+
+
+def test_metadata_refresh_does_not_rewrite_corpus(rng, tmp_path):
+    """build() on a compatible index with new metadata writes ONLY the
+    metadata sidecar + meta.json — never the corpus (full _save would
+    round-trip the whole index through the host link)."""
+    import os
+
+    corpus = _normed(rng, 30, 8)
+    path = str(tmp_path / "idx")
+    r = DenseRetriever(backend="xla_exact", store_dtype="float32",
+                       index_path=path)
+    texts = [f"t{i}" for i in range(30)]
+    r.build(corpus, texts, metadata=[{"v": 1}] * 30)
+    corpus_mtime = os.path.getmtime(f"{path}/corpus.npy")
+
+    r2 = DenseRetriever(backend="xla_exact", store_dtype="float32",
+                        index_path=path)
+    r2.build(corpus, texts, metadata=[{"v": 2}] * 30)  # compatible no-op
+    assert os.path.getmtime(f"{path}/corpus.npy") == corpus_mtime
+    # the refreshed metadata round-trips with a valid digest
+    r3 = DenseRetriever(backend="xla_exact", store_dtype="float32",
+                        index_path=path)
+    assert r3.is_built and r3.metadata[0] == {"v": 2}
+
+
+def test_sharded_topk_rejects_mask_without_filtered(rng, eight_devices):
+    import jax.numpy as jnp
+
+    from latentrag_tpu.parallel import make_mesh, shard_rows
+    from latentrag_tpu.parallel.sharded_topk import make_sharded_topk
+
+    mesh = make_mesh(8)
+    corpus = shard_rows(jnp.asarray(_normed(rng, 64, 8)), mesh)
+    mask = shard_rows(jnp.ones(64, bool), mesh)
+    fn = make_sharded_topk(mesh, k=3)
+    with pytest.raises(ValueError, match="filtered=True"):
+        fn(jnp.asarray(_normed(rng, 2, 8)), corpus, jnp.int32(64),
+           mask_shard=mask)
+
+
+def test_http_stats_reset_requires_exact_param(tmp_path):
+    """GET /stats?noreset=1 must NOT reset stats (substring matching bug)."""
+    import json as _json
+    import sys
+    import threading
+    import urllib.request
+    from types import SimpleNamespace
+
+    import serve
+    from latentrag_tpu.utils import (
+        apply_overrides,
+        init_logger,
+        load_config,
+    )
+
+    overrides = [
+        "data.dataset=synthetic", "data.max_samples=20",
+        "encoder.vocab_size=600", "encoder.dtype=float32",
+        "encoder.hidden_dim=32", "encoder.num_layers=1",
+        "encoder.num_heads=4", "encoder.mlp_dim=64",
+        "retrieval.kernel=xla_exact", "retrieval.index_path=",
+        f"paths.data_dir={tmp_path}/data",
+        f"paths.checkpoints_dir={tmp_path}/ckpt",
+        f"paths.logs_dir={tmp_path}/logs",
+        f"logging.log_file={tmp_path}/logs/run.log",
+    ]
+    cfg = apply_overrides(load_config(None), overrides)
+    loggers = init_logger(cfg.logging, stream=sys.stderr)
+    args = SimpleNamespace(ae_type="none", generate=False, cold_boot=False)
+    runner, compressor, retriever, mode = serve.boot(cfg, args, loggers)
+    handle = serve.make_handle(cfg, args, runner, compressor, retriever,
+                               mode)
+    server = serve.serve_http(handle, retriever, mode, "127.0.0.1", 0,
+                              loggers)
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+
+    def get(path):
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}{path}", timeout=30
+        ) as r:
+            return _json.loads(r.read())
+
+    try:
+        handle({"query": "telescopes", "k": 2})  # accrue one search
+        before = get("/stats?noreset=1")["stats"]["search_calls"]
+        assert before >= 1
+        after = get("/stats")["stats"]["search_calls"]
+        assert after == before  # noreset=1 did NOT reset
+        get("/stats?reset=1")
+        assert get("/stats")["stats"]["search_calls"] == 0
+    finally:
+        server.shutdown()
+        server.server_close()
+        thread.join(timeout=10)
