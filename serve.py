@@ -12,7 +12,11 @@ threaded stdlib HTTP server instead (no extra dependencies):
   GET /healthz                                 -> liveness + index info
 
 Device work is serialized behind one lock (one TPU chip, one compiled
-program at a time); HTTP threads only overlap on parse/IO. Protocol:
+program at a time); HTTP threads only overlap on parse/IO. With
+``--batch-window-ms N`` concurrent searches of one (k, filter) group
+coalesce into a single batched device call (``latentrag_tpu.serving``) —
+the kernels are batch-favored, so N in-flight singles cost ~1 search.
+Protocol:
 
   {"query": "...", "k": 5}                  -> retrieval
   {"query": "...", "k": 5, "generate": true} -> retrieval + LLM answer
@@ -133,13 +137,96 @@ def make_handle(cfg, args, runner, compressor, retriever, mode):
 
     lock = threading.Lock()
 
+    def _validate_search(req: dict):
+        """Shared request validation -> (queries, k, filter_spec)."""
+        queries = req.get("queries")
+        if queries is None:
+            queries = [req["query"]]
+        elif not isinstance(queries, list):
+            # a bare string would be encoded character-by-character
+            raise ValueError('"queries" must be a list of strings')
+        k = int(req.get("k", cfg.retrieval.top_k))
+        flt = req.get("filter")
+        if flt is not None:
+            # dense + ANN tiers take filter=; others raise a clear
+            # protocol error instead of silently ignoring the key
+            import inspect
+
+            if "filter" not in inspect.signature(
+                retriever.search
+            ).parameters:
+                raise ValueError(
+                    f"{type(retriever).__name__} does not support filtered "
+                    'search; use backend "dense", "hnsw" or "ivfpq"'
+                )
+        return queries, k, flt
+
+    def _hits_for(queries, k, flt):
+        """Encode + search + assemble per-query hit lists. Must run under
+        the lock: hit assembly reads texts/doc_ids, which mutations
+        rewrite."""
+        q_emb = compressor.encode_text(queries)
+        if flt is not None:
+            scores, idx = retriever.search(q_emb, k, filter=flt)
+        else:
+            scores, idx = retriever.search(q_emb, k)
+        return [
+            [
+                {
+                    "text": retriever.texts[j],
+                    "score": float(scores[qi][rank]),
+                    "doc_id": retriever.doc_ids[j],
+                }
+                for rank, j in enumerate(idx[qi])
+                if j >= 0
+            ]
+            for qi in range(len(queries))
+        ]
+
+    # dynamic micro-batching (HTTP mode): concurrent search requests
+    # coalesce into one device call — the kernels are batch-favored
+    # (docs/ROOFLINE.md), so N in-flight singles cost ~1 search, not N
+    batcher = None
+    window_ms = float(getattr(args, "batch_window_ms", 0) or 0)
+    if window_ms > 0:
+        from latentrag_tpu.serving import MicroBatcher
+
+        def _score_batch(queries, k, flt):
+            with lock:
+                return _hits_for(queries, k, flt)
+
+        batcher = MicroBatcher(
+            _score_batch, window_ms=window_ms,
+            max_batch=int(getattr(args, "max_batch", 64) or 64),
+        )
+
     def handle(req: dict) -> dict:
         # device work + mutations serialize; generation (network-bound,
         # possibly seconds) runs OUTSIDE the lock so one slow LLM call
         # can't stall every other request — results are already
         # materialized host-side when the lock drops
-        with lock:
-            out = _handle_locked(req)
+        if batcher is not None and not (
+            req.get("stats") or "add" in req or "remove" in req
+        ):
+            from latentrag_tpu.retrieval.filtering import (
+                canonical_filter_key,
+            )
+
+            queries, k, flt = _validate_search(req)
+            fkey = canonical_filter_key(flt) if flt is not None else None
+            t0 = time.perf_counter()
+            hits = batcher.submit(queries, k, flt, fkey)
+            out = {
+                "results": [
+                    {"query": q, "hits": h} for q, h in zip(queries, hits)
+                ],
+                "latency_ms": round(
+                    (time.perf_counter() - t0) * 1000, 3
+                ),
+            }
+        else:
+            with lock:
+                out = _handle_locked(req)
         if req.get("generate") and args.generate and "results" in out:
             results = out["results"]
             queries = [r["query"] for r in results]
@@ -204,47 +291,17 @@ def make_handle(cfg, args, runner, compressor, retriever, mode):
                 "n_total": len(retriever.texts),
                 "latency_ms": round((time.perf_counter() - t0) * 1000, 3),
             }
-        queries = req.get("queries")
-        if queries is None:
-            queries = [req["query"]]
-        elif not isinstance(queries, list):
-            # a bare string would be encoded character-by-character
-            raise ValueError('"queries" must be a list of strings')
-        k = int(req.get("k", cfg.retrieval.top_k))
-        flt = req.get("filter")
+        queries, k, flt = _validate_search(req)
         t0 = time.perf_counter()
-        q_emb = compressor.encode_text(queries)
-        if flt is not None:
-            # dense + ANN tiers take filter=; others raise a clear
-            # protocol error instead of silently ignoring the key
-            import inspect
-
-            if "filter" not in inspect.signature(
-                retriever.search
-            ).parameters:
-                raise ValueError(
-                    f"{type(retriever).__name__} does not support filtered "
-                    'search; use backend "dense", "hnsw" or "ivfpq"'
-                )
-            scores, idx = retriever.search(q_emb, k, filter=flt)
-        else:
-            scores, idx = retriever.search(q_emb, k)
+        hits = _hits_for(queries, k, flt)
         latency_ms = (time.perf_counter() - t0) * 1000
-        results = []
-        for qi, query in enumerate(queries):
-            hits = [
-                {
-                    "text": retriever.texts[j],
-                    "score": float(scores[qi][rank]),
-                    "doc_id": retriever.doc_ids[j],
-                }
-                for rank, j in enumerate(idx[qi])
-                if j >= 0
-            ]
-            results.append({"query": query, "hits": hits})
+        results = [
+            {"query": q, "hits": h} for q, h in zip(queries, hits)
+        ]
         # generation happens in handle(), after the lock is released
         return {"results": results, "latency_ms": round(latency_ms, 3)}
 
+    handle.close = batcher.close if batcher is not None else (lambda: None)
     return handle
 
 
@@ -335,6 +392,18 @@ def main(argv=None) -> int:
     )
     p.add_argument("--host", default="127.0.0.1",
                    help="bind address for --http (default loopback)")
+    p.add_argument(
+        "--batch-window-ms", type=float, default=0.0, metavar="MS",
+        help="dynamic micro-batching window for concurrent --http "
+             "searches: the first request of a (k, filter) group waits "
+             "this long for others to coalesce into ONE device call "
+             "(0 = off; 2-5 ms is a good start under real concurrency)",
+    )
+    p.add_argument(
+        "--max-batch", type=int, default=64,
+        help="micro-batching: flush a group at this many queries even "
+             "inside the window",
+    )
     p.add_argument("--set", nargs="*", default=[], metavar="a.b=v")
     args = p.parse_args(argv)
 
@@ -375,6 +444,7 @@ def main(argv=None) -> int:
             pass
         finally:
             server.server_close()
+            handle.close()
         return 0
     for line in sys.stdin:
         line = line.strip()
