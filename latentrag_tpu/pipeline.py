@@ -158,6 +158,7 @@ class PipelineRunner:
         compressor: EmbeddingCompressor | None = None,
         generator: RAGGenerator | None = None,
         mesh=None,
+        reranker=None,
     ):
         self.cfg = cfg
         self.ae_type = canonical_ae_type(ae_type)
@@ -165,6 +166,7 @@ class PipelineRunner:
         self.mesh = mesh
         self._compressor = compressor
         self._generator = generator
+        self._reranker = reranker
         self._autoencoder = (
             load_autoencoder(cfg, self.ae_type)
             if self.ae_type != "none"
@@ -184,6 +186,25 @@ class PipelineRunner:
             self._compressor.autoencoder = self._autoencoder
             self._compressor.ae_type = self.ae_type
         return self._compressor
+
+    def _ensure_reranker(self):
+        """The configured second-stage reranker (or None). Built from the
+        trained checkpoint with the compressor's tokenizer — an injected
+        instance (tests, pre-loaded servers) wins."""
+        if self.cfg.retrieval.rerank == "none":
+            return None
+        if self._reranker is None:
+            if self.cfg.retrieval.rerank != "cross":
+                raise ValueError(
+                    f"unknown retrieval.rerank="
+                    f"{self.cfg.retrieval.rerank!r}; use 'none' or 'cross'"
+                )
+            from .retrieval.reranker import build_reranker
+
+            self._reranker = build_reranker(
+                self.cfg, self._compressor.encoder.tokenizer
+            )
+        return self._reranker
 
     def _ensure_generator(self) -> RAGGenerator:
         if self._generator is None:
@@ -281,8 +302,23 @@ class PipelineRunner:
         # 4. batched retrieve + MaxSim doc aggregation
         top_k = cfg.retrieval.top_k
         candidate_k = top_k * 3 if cfg.chunking.enabled else top_k
+        reranker = self._ensure_reranker()
+        if reranker is not None:
+            # second stage needs an oversampled candidate pool to be
+            # worth running (rescoring exactly top_k can only reorder)
+            candidate_k = max(
+                candidate_k,
+                cfg.retrieval.rerank_candidates or 4 * top_k,
+            )
         candidate_k = min(candidate_k, len(texts))
         scores, idx = retriever.search(query_emb, candidate_k)
+        if reranker is not None:
+            # cross-encoder rescoring of the chunk-level candidates; the
+            # replaced score matrix flows through the SAME MaxSim/top-k
+            # path (empty slots arrive NEG_INF and stay sentinels)
+            t0 = time.perf_counter()
+            scores = reranker.rescore_candidates(queries, idx, texts)
+            timings["rerank_s"] = time.perf_counter() - t0
         # ANN backends signal unfilled slots with idx -1 / score -inf; map
         # them to a sentinel doc and force the score so they can never win
         chunk_doc = np.asarray(

@@ -1,0 +1,103 @@
+"""Cross-encoder reranking stage (two-stage retrieval's second stage).
+
+The bi-encoder tiers (dense/ANN/BM25) fetch an oversampled candidate set
+at corpus scale; this stage rescores each (query, candidate-text) PAIR
+with a jointly-attending cross-encoder (``models/encoder/cross.py``) —
+the standard production recipe for closing the quality gap between
+bi-encoder recall and human relevance (Nogueira & Cho 2019). The
+reference has no reranking stage.
+
+Wire-up: ``retrieval.rerank=cross`` in config makes the pipeline (and
+serve) rescore the chunk-level candidates before MaxSim doc aggregation;
+``retrieval.rerank_candidates`` widens the stage-1 fetch (0 = 4 x top_k).
+The reranker REQUIRES a trained checkpoint
+(``checkpoints/reranker.msgpack`` — ``python -m
+latentrag_tpu.training.train_reranker``): an untrained cross-encoder
+would actively scramble stage-1's ranking, so a missing checkpoint is an
+error naming the training command, exactly like a missing AE checkpoint.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Sequence
+
+import numpy as np
+
+log = logging.getLogger("latentrag.retrieval")
+
+NEG_INF = float(-3.4e38)
+
+
+class CrossEncoderReranker:
+    """Batched candidate rescoring over a ``CrossEncoderScorer``."""
+
+    def __init__(self, scorer):
+        self.scorer = scorer
+
+    def rescore_candidates(
+        self,
+        queries: Sequence[str],
+        idx: np.ndarray,
+        texts: Sequence[str],
+    ) -> np.ndarray:
+        """Cross-encoder scores for stage-1 candidates.
+
+        ``idx`` is the [Q, C] candidate matrix of row indices into
+        ``texts`` (-1 = empty slot). Returns fp32 [Q, C] relevance logits
+        with NEG_INF in empty slots — a drop-in replacement for the
+        stage-1 score matrix, so downstream MaxSim/top-k code is
+        unchanged. All Q*C live pairs run as ONE batched scorer call
+        (bucketed internally)."""
+        idx = np.asarray(idx)
+        nq, c = idx.shape
+        valid = idx >= 0
+        pair_q = []
+        pair_d = []
+        for i in range(nq):
+            for j in range(c):
+                if valid[i, j]:
+                    pair_q.append(queries[i])
+                    pair_d.append(texts[int(idx[i, j])])
+        out = np.full((nq, c), NEG_INF, dtype=np.float32)
+        if pair_q:
+            out[valid] = self.scorer.score_pairs(pair_q, pair_d)
+        return out
+
+    def rerank_hits(
+        self, query: str, hit_texts: Sequence[str]
+    ) -> np.ndarray:
+        """Scores for one query's hit list (serving path) -> fp32 [H]."""
+        if not hit_texts:
+            return np.zeros((0,), np.float32)
+        return self.scorer.score_pairs(
+            [query] * len(hit_texts), list(hit_texts)
+        )
+
+
+def reranker_checkpoint_path(cfg) -> str:
+    return os.path.join(cfg.paths.checkpoints_dir, "reranker.msgpack")
+
+
+def build_reranker(cfg, tokenizer) -> CrossEncoderReranker:
+    """Construct the configured reranker from its trained checkpoint.
+
+    Raises FileNotFoundError (naming the exact training command) when the
+    checkpoint is absent — an untrained cross-encoder is worse than no
+    reranker at all.
+    """
+    from ..models.encoder.convert import load_params
+    from ..models.encoder.cross import CrossEncoderScorer
+
+    path = reranker_checkpoint_path(cfg)
+    scorer = CrossEncoderScorer(tokenizer, cfg.encoder)
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"retrieval.rerank=cross needs a trained reranker at {path}; "
+            "train one with: python -m latentrag_tpu.training."
+            "train_reranker --epochs 5"
+        )
+    scorer.params = load_params(path, scorer.params)
+    log.info("cross-encoder reranker loaded: %s", path)
+    return CrossEncoderReranker(scorer)

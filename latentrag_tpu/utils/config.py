@@ -179,6 +179,11 @@ class RetrievalConfig:
     # to pin it.
     recall_target: float | str = "auto"
     shard_corpus: bool = False  # shard corpus rows over the mesh data axis
+    # second-stage reranking: 'none' | 'cross' (cross-encoder rescoring of
+    # the oversampled stage-1 candidates before MaxSim/top-k; needs a
+    # trained checkpoints/reranker.msgpack — train_reranker CLI)
+    rerank: str = "none"
+    rerank_candidates: int = 0  # stage-1 fetch width; 0 = 4 * top_k
     # hnsw/ivfpq (native ANN tier) parameters
     hnsw_m: int = 32
     hnsw_ef_construction: int = 200

@@ -161,15 +161,32 @@ def make_handle(cfg, args, runner, compressor, retriever, mode):
                 )
         return queries, k, flt
 
+    # optional second-stage cross-encoder (retrieval.rerank=cross): boot
+    # fails fast with the training command when the checkpoint is absent
+    reranker = runner._ensure_reranker()
+
     def _hits_for(queries, k, flt):
-        """Encode + search + assemble per-query hit lists. Must run under
-        the lock: hit assembly reads texts/doc_ids, which mutations
-        rewrite."""
+        """Encode + search (+ rerank) + assemble per-query hit lists. Must
+        run under the lock: hit assembly reads texts/doc_ids, which
+        mutations rewrite."""
+        fetch_k = k
+        if reranker is not None:
+            fetch_k = max(k, cfg.retrieval.rerank_candidates or 4 * k)
         q_emb = compressor.encode_text(queries)
         if flt is not None:
-            scores, idx = retriever.search(q_emb, k, filter=flt)
+            scores, idx = retriever.search(q_emb, fetch_k, filter=flt)
         else:
-            scores, idx = retriever.search(q_emb, k)
+            scores, idx = retriever.search(q_emb, fetch_k)
+        if reranker is not None:
+            import numpy as _np
+
+            rescored = reranker.rescore_candidates(
+                queries, idx, retriever.texts
+            )
+            order = _np.argsort(-rescored, axis=1)[:, :k]
+            scores = _np.take_along_axis(rescored, order, axis=1)
+            idx = _np.take_along_axis(_np.asarray(idx), order, axis=1)
+            idx = _np.where(scores > -1e37, idx, -1)
         return [
             [
                 {
