@@ -85,6 +85,78 @@ def convert_hf_bert_to_params(model_name_or_path: str):
     return params, vocab_file
 
 
+def convert_hf_cross_encoder_to_params(model_name_or_path: str):
+    """HF ``BertForSequenceClassification`` (1 label — the
+    sentence-transformers ms-marco cross-encoder family) -> the
+    ``CrossEncoderModel`` parameter tree. Returns (params, vocab_file).
+
+    The trunk mapping is shared with ``convert_hf_bert_to_params``; this
+    adds the 2-row token-type table (pair inputs), the tanh pooler, and
+    the scalar classifier head.
+    """
+    from transformers import AutoModelForSequenceClassification
+
+    model = AutoModelForSequenceClassification.from_pretrained(
+        model_name_or_path
+    )
+    sd = {k: v.detach().cpu().numpy() for k, v in model.state_dict().items()}
+    # HF prefixes the trunk with "bert."
+    sd = {k[5:] if k.startswith("bert.") else k: v for k, v in sd.items()}
+
+    vocab_file = None
+    cand = os.path.join(str(model_name_or_path), "vocab.txt")
+    if os.path.exists(cand):
+        vocab_file = cand
+
+    def dense(prefix):
+        return {
+            "kernel": sd[f"{prefix}.weight"].T.copy(),
+            "bias": sd[f"{prefix}.bias"].copy(),
+        }
+
+    def ln(prefix):
+        return {
+            "scale": sd[f"{prefix}.weight"].copy(),
+            "bias": sd[f"{prefix}.bias"].copy(),
+        }
+
+    params = {
+        "word_embeddings": {
+            "embedding": sd["embeddings.word_embeddings.weight"].copy()
+        },
+        "position_embeddings": {
+            "embedding": sd["embeddings.position_embeddings.weight"].copy()
+        },
+        "token_type_embeddings": {
+            "embedding": sd["embeddings.token_type_embeddings.weight"].copy()
+        },
+        "embed_ln": ln("embeddings.LayerNorm"),
+        "pooler": dense("pooler.dense"),
+        "classifier": dense("classifier"),
+    }
+    if params["classifier"]["bias"].shape != (1,):
+        raise ValueError(
+            "expected a 1-label cross-encoder head, got "
+            f"{params['classifier']['bias'].shape[0]} labels"
+        )
+    n_layers = len(
+        {k.split(".")[2] for k in sd if k.startswith("encoder.layer.")}
+    )
+    for i in range(n_layers):
+        p = f"encoder.layer.{i}"
+        params[f"layer_{i}"] = {
+            "q": dense(f"{p}.attention.self.query"),
+            "k": dense(f"{p}.attention.self.key"),
+            "v": dense(f"{p}.attention.self.value"),
+            "attn_out": dense(f"{p}.attention.output.dense"),
+            "attn_ln": ln(f"{p}.attention.output.LayerNorm"),
+            "mlp_in": dense(f"{p}.intermediate.dense"),
+            "mlp_out": dense(f"{p}.output.dense"),
+            "mlp_ln": ln(f"{p}.output.LayerNorm"),
+        }
+    return params, vocab_file
+
+
 def save_params(params, path: str) -> None:
     """Serialize a params pytree to msgpack (flax.serialization)."""
     from flax import serialization
