@@ -415,3 +415,41 @@ def _pretokenize(text: str, lowercase: bool) -> list[tuple[str, list[int]]]:
         idxs.extend([i] * len(norm))
     flush()
     return out
+
+
+def resolve_tokenizer(
+    data_dir: str, vocab_size: int, corpus=None
+) -> "WordPieceTokenizer":
+    """The ONE tokenizer-resolution order every component must share:
+    ``vocab.txt`` (HF-converted checkpoint) > ``tokenizer.json``
+    (corpus-trained) > train-from-corpus (persisted). The pipeline's
+    encoder, the DPR towers, and the cross-encoder reranker all resolve
+    through here — two components resolving differently would silently
+    pair one vocabulary's token ids with another's embedding rows.
+    """
+    import os
+
+    vocab_path = os.path.join(data_dir, "vocab.txt")
+    tok_path = os.path.join(data_dir, "tokenizer.json")
+    if os.path.exists(vocab_path):
+        return WordPieceTokenizer.from_vocab_file(vocab_path)
+    if os.path.exists(tok_path):
+        return WordPieceTokenizer.load(tok_path)
+    tokenizer = WordPieceTokenizer.train_from_corpus(
+        list(corpus or []), vocab_size=vocab_size
+    )
+    os.makedirs(data_dir, exist_ok=True)
+    tokenizer.save(tok_path)
+    return tokenizer
+
+
+def tokenizer_digest(tok: "WordPieceTokenizer") -> str:
+    """Stable identity of a tokenizer's vocabulary (sha1 over the sorted
+    (token, id) items) — lets checkpoints refuse to serve under a
+    DIFFERENT vocabulary of coincidentally equal size."""
+    import hashlib
+
+    h = hashlib.sha1()
+    for token, idx in sorted(tok.vocab.items(), key=lambda kv: kv[1]):
+        h.update(f"{idx}:{token}\n".encode("utf-8"))
+    return h.hexdigest()

@@ -127,17 +127,16 @@ def default_encoder(
                 cfg.encoder.name,
                 e,
             )
-    if os.path.exists(vocab_path):
-        tokenizer = WordPieceTokenizer.from_vocab_file(vocab_path)
-    elif os.path.exists(tok_path):
-        tokenizer = WordPieceTokenizer.load(tok_path)
-    else:
+    # shared resolution order (vocab.txt > tokenizer.json > train) — the
+    # DPR and reranker trainers resolve through the same helper, so every
+    # component serves under ONE vocabulary
+    from .data.tokenizer import resolve_tokenizer
+
+    if not (os.path.exists(vocab_path) or os.path.exists(tok_path)):
         log.info("training tokenizer from corpus (%d docs)", len(corpus))
-        tokenizer = WordPieceTokenizer.train_from_corpus(
-            corpus, vocab_size=cfg.encoder.vocab_size
-        )
-        os.makedirs(cfg.paths.data_dir, exist_ok=True)
-        tokenizer.save(tok_path)
+    tokenizer = resolve_tokenizer(
+        cfg.paths.data_dir, cfg.encoder.vocab_size, corpus
+    )
     params = None
     weights = default_weights
     if os.path.exists(weights):

@@ -65,19 +65,32 @@ class CrossEncoderReranker:
             out[valid] = self.scorer.score_pairs(pair_q, pair_d)
         return out
 
-    def rerank_hits(
-        self, query: str, hit_texts: Sequence[str]
-    ) -> np.ndarray:
-        """Scores for one query's hit list (serving path) -> fp32 [H]."""
-        if not hit_texts:
-            return np.zeros((0,), np.float32)
-        return self.scorer.score_pairs(
-            [query] * len(hit_texts), list(hit_texts)
-        )
-
-
 def reranker_checkpoint_path(cfg) -> str:
     return os.path.join(cfg.paths.checkpoints_dir, "reranker.msgpack")
+
+
+def save_reranker_meta(cfg, tokenizer, max_length: int,
+                       query_max: int) -> None:
+    """Sidecar recording what the checkpoint was trained WITH: pair
+    truncation lengths and the tokenizer's vocabulary identity. Serving
+    must replay these — a longer max_length would attend over position
+    rows the training never touched, and an equal-size but different
+    vocabulary would silently index wrong embedding rows."""
+    import json
+
+    from ..data.tokenizer import tokenizer_digest
+
+    meta = {
+        "max_length": int(max_length),
+        "query_max": int(query_max),
+        "vocab_size": int(tokenizer.vocab_size),
+        "vocab_sha1": tokenizer_digest(tokenizer),
+    }
+    path = reranker_checkpoint_path(cfg) + ".meta.json"
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, path)
 
 
 def build_reranker(cfg, tokenizer) -> CrossEncoderReranker:
@@ -85,19 +98,50 @@ def build_reranker(cfg, tokenizer) -> CrossEncoderReranker:
 
     Raises FileNotFoundError (naming the exact training command) when the
     checkpoint is absent — an untrained cross-encoder is worse than no
-    reranker at all.
-    """
+    reranker at all. The checkpoint's meta sidecar pins the TRAINED pair
+    length (served pairs truncate to it, never beyond) and the training
+    vocabulary (a mismatch refuses to serve: same-size different vocabs
+    would scramble every embedding lookup)."""
+    import dataclasses
+    import json
+
+    from ..data.tokenizer import tokenizer_digest
     from ..models.encoder.convert import load_params
     from ..models.encoder.cross import CrossEncoderScorer
 
     path = reranker_checkpoint_path(cfg)
-    scorer = CrossEncoderScorer(tokenizer, cfg.encoder)
     if not os.path.exists(path):
         raise FileNotFoundError(
             f"retrieval.rerank=cross needs a trained reranker at {path}; "
             "train one with: python -m latentrag_tpu.training."
             "train_reranker --epochs 5"
         )
+    ecfg = cfg.encoder
+    query_max = 64
+    meta_path = path + ".meta.json"
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        want_sha = meta.get("vocab_sha1")
+        if want_sha is not None and want_sha != tokenizer_digest(tokenizer):
+            raise ValueError(
+                f"reranker at {path} was trained under a different "
+                "vocabulary than the serving tokenizer; retrain it "
+                "(train_reranker resolves the tokenizer the same way the "
+                "pipeline does, so rerun it in this workspace)"
+            )
+        trained_len = int(meta.get("max_length", ecfg.max_length))
+        if trained_len < ecfg.max_length:
+            ecfg = dataclasses.replace(ecfg, max_length=trained_len)
+        query_max = int(meta.get("query_max", query_max))
+    else:
+        log.warning(
+            "reranker at %s has no meta sidecar (pre-meta checkpoint); "
+            "serving with encoder.max_length=%d untruncated — retrain to "
+            "pin the trained pair length", path, ecfg.max_length,
+        )
+    scorer = CrossEncoderScorer(tokenizer, ecfg, query_max=query_max)
     scorer.params = load_params(path, scorer.params)
-    log.info("cross-encoder reranker loaded: %s", path)
+    log.info("cross-encoder reranker loaded: %s (pair length %d)",
+             path, ecfg.max_length)
     return CrossEncoderReranker(scorer)

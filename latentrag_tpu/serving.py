@@ -93,19 +93,34 @@ class MicroBatcher:
     # ------------------------------------------------------------- worker
 
     def _take_ready(self):
-        """Under the lock: pop the first group whose window elapsed or
-        whose size reached max_batch; returns (key, items) or None."""
+        """Under the lock: pop (up to ``max_batch`` queries of) the first
+        group whose window elapsed or whose size reached max_batch;
+        returns (key, items) or None. max_batch is a hard CAP on the
+        dispatched batch, not just a flush trigger — every distinct batch
+        size is a fresh compiled program on the chip, so sizes must stay
+        bounded (a single oversized submit still dispatches alone)."""
         now = time.monotonic()
         for key, group in self._pending.items():
             size = sum(n for *_, n in group)
-            if (
+            if not (
                 self._closed  # drain everything on close
                 or size >= self._max_batch
                 or now - self._opened_at[key] >= self._window_s
             ):
+                continue
+            taken, total = [], 0
+            while group and (
+                not taken or total + group[0][3] <= self._max_batch
+            ):
+                item = group.pop(0)
+                taken.append(item)
+                total += item[3]
+            if group:  # leftovers dispatch on the next loop pass
+                self._opened_at[key] = now - self._window_s
+            else:
                 del self._pending[key]
                 del self._opened_at[key]
-                return key, group
+            return key, taken
         return None
 
     def _next_deadline(self):

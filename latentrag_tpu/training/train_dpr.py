@@ -182,18 +182,14 @@ def build_dpr_encoders(cfg, corpus_texts=None):
     tokenizer — the capability stays exercisable fully offline."""
     import dataclasses as dc
 
-    from ..data.tokenizer import WordPieceTokenizer
+    from ..data.tokenizer import resolve_tokenizer
     from ..models.encoder.convert import load_params
 
-    tok_path = os.path.join(cfg.paths.data_dir, "tokenizer.json")
-    if os.path.exists(tok_path):
-        tokenizer = WordPieceTokenizer.load(tok_path)
-    else:
-        tokenizer = WordPieceTokenizer.train_from_corpus(
-            corpus_texts or [], vocab_size=cfg.encoder.vocab_size
-        )
-        os.makedirs(cfg.paths.data_dir, exist_ok=True)
-        tokenizer.save(tok_path)
+    # shared resolution order with the pipeline encoder/reranker
+    # (vocab.txt > tokenizer.json > train) — see data.tokenizer
+    tokenizer = resolve_tokenizer(
+        cfg.paths.data_dir, cfg.encoder.vocab_size, corpus_texts or []
+    )
     ecfg = dc.replace(cfg.encoder, pooling="cls", normalize=False)
     q_enc = SentenceEncoder(tokenizer, ecfg, seed=1)
     c_enc = SentenceEncoder(tokenizer, ecfg, seed=2)

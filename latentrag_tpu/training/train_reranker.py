@@ -127,7 +127,17 @@ class RerankerTrainer:
         n = len(queries)
         rng = np.random.default_rng(cfg.seed)
         order = rng.permutation(n)
-        bs = min(cfg.batch_size, max(2, n // 4))
+        # every step scores B^2 PAIRS in one forward — quadratic, unlike
+        # the linear trainers — so the config's (linear) batch_size must
+        # be capped: 16 -> 256 pair forwards/step; the config default of
+        # 128 would be a 16k-pair program (~50 GB of attention scores)
+        bs = min(cfg.batch_size, 16, max(2, n // 4))
+        if bs < cfg.batch_size:
+            log.info(
+                "[reranker] listwise batch capped at %d queries "
+                "(%d^2 = %d pairs/step; config asked %d)",
+                bs, bs, bs * bs, cfg.batch_size,
+            )
         n_val = max(bs, int(n * val_fraction))
         val_idx, train_idx = order[:n_val], order[n_val:]
         val_batch = self._pair_batch(
@@ -190,9 +200,12 @@ def main(argv=None) -> int:
     import argparse
 
     from ..data import get_examples
-    from ..data.tokenizer import WordPieceTokenizer
+    from ..data.tokenizer import resolve_tokenizer
     from ..models.encoder.convert import save_params
-    from ..retrieval.reranker import reranker_checkpoint_path
+    from ..retrieval.reranker import (
+        reranker_checkpoint_path,
+        save_reranker_meta,
+    )
     from ..utils import apply_overrides, init_logger, load_config, set_seed
 
     p = argparse.ArgumentParser(
@@ -216,15 +229,12 @@ def main(argv=None) -> int:
     positives = [ex["context"] for ex in examples]
     loggers.train.info("reranker training on %d pairs", len(queries))
 
-    tok_path = os.path.join(cfg.paths.data_dir, "tokenizer.json")
-    if os.path.exists(tok_path):
-        tokenizer = WordPieceTokenizer.load(tok_path)
-    else:
-        tokenizer = WordPieceTokenizer.train_from_corpus(
-            positives, vocab_size=cfg.encoder.vocab_size
-        )
-        os.makedirs(cfg.paths.data_dir, exist_ok=True)
-        tokenizer.save(tok_path)
+    # the SAME resolution order as the pipeline's encoder (vocab.txt >
+    # tokenizer.json > train) — training under a different vocabulary
+    # than serving would silently scramble every embedding lookup
+    tokenizer = resolve_tokenizer(
+        cfg.paths.data_dir, cfg.encoder.vocab_size, positives
+    )
 
     scorer = CrossEncoderScorer(tokenizer, cfg.encoder, seed=3)
     tcfg = cfg.training
@@ -242,6 +252,8 @@ def main(argv=None) -> int:
     )
     out = reranker_checkpoint_path(cfg)
     save_params(res.params, out)
+    # pin trained pair length + vocabulary identity for the serving side
+    save_reranker_meta(cfg, tokenizer, args.max_length, scorer.query_max)
     loggers.train.info(
         "reranker trained: best val %.4f -> %s", res.best_val_loss, out
     )

@@ -200,17 +200,27 @@ def make_handle(cfg, args, runner, compressor, retriever, mode):
             for qi in range(len(queries))
         ]
 
-    # dynamic micro-batching (HTTP mode): concurrent search requests
+    # dynamic micro-batching (HTTP mode ONLY — a single-stream JSONL
+    # caller would pay the window as pure latency with nothing to
+    # coalesce): concurrent search requests of one (k, filter) group
     # coalesce into one device call — the kernels are batch-favored
     # (docs/ROOFLINE.md), so N in-flight singles cost ~1 search, not N
     batcher = None
     window_ms = float(getattr(args, "batch_window_ms", 0) or 0)
-    if window_ms > 0:
+    if window_ms > 0 and getattr(args, "http", None) is not None:
+        from latentrag_tpu.models.encoder.minilm import _bucket_batch
         from latentrag_tpu.serving import MicroBatcher
 
         def _score_batch(queries, k, flt):
+            # burst sizes are arbitrary; pad the query list to the same
+            # power-of-two buckets the encoder uses so coalesced batches
+            # reuse a handful of compiled programs instead of paying a
+            # 30-60 s remote compile per novel size (CLAUDE.md)
+            n = len(queries)
+            nb = _bucket_batch(n)
+            padded = list(queries) + [queries[0]] * (nb - n)
             with lock:
-                return _hits_for(queries, k, flt)
+                return _hits_for(padded, k, flt)[:n]
 
         batcher = MicroBatcher(
             _score_batch, window_ms=window_ms,
@@ -436,21 +446,22 @@ def main(argv=None) -> int:
         compressor.output_dim, runner.ae_type,
     )
 
-    # warm the full query path before accepting traffic: the first search
-    # otherwise pays the jit compile (~30-60 s through the TPU relay) on a
-    # live request. Use the RAW default k — it is the jit cache key, so
-    # min()-clamping here would compile a different program than the one
-    # live requests hit.
+    handle = make_handle(cfg, args, runner, compressor, retriever, mode)
+
+    # warm the full LIVE request path before accepting traffic: the first
+    # search otherwise pays the jit compile (~30-60 s through the TPU
+    # relay) on a live request. Routing the warmup THROUGH handle() keeps
+    # every jit cache key identical to real traffic — including the
+    # rerank path's widened fetch_k and the cross-encoder's own program,
+    # which a bare retriever.search(top_k) would miss.
     if retriever.texts:
         t0 = time.perf_counter()
-        warm_emb = compressor.encode_text([retriever.texts[0]])
-        retriever.search(warm_emb, cfg.retrieval.top_k)
+        handle({"query": str(retriever.texts[0])[:256],
+                "k": cfg.retrieval.top_k})
         retriever.get_stats(reset=True)  # exclude warmup from serving stats
         loggers.main.info(
             "query path warmed in %.1fs; serving", time.perf_counter() - t0
         )
-
-    handle = make_handle(cfg, args, runner, compressor, retriever, mode)
     if args.http is not None:
         server = serve_http(
             handle, retriever, mode, args.host, args.http, loggers
@@ -463,15 +474,18 @@ def main(argv=None) -> int:
             server.server_close()
             handle.close()
         return 0
-    for line in sys.stdin:
-        line = line.strip()
-        if not line:
-            continue
-        try:
-            out = handle(json.loads(line))
-        except Exception as e:
-            out = {"error": f"{type(e).__name__}: {e}"}
-        print(json.dumps(out), flush=True)
+    try:
+        for line in sys.stdin:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                out = handle(json.loads(line))
+            except Exception as e:
+                out = {"error": f"{type(e).__name__}: {e}"}
+            print(json.dumps(out), flush=True)
+    finally:
+        handle.close()
     return 0
 
 

@@ -203,3 +203,46 @@ def test_pipeline_reranker_reorders_candidates(tmp_path):
     for row in out["retrieved_doc_ids"]:
         lens = [texts_by_doc[d] for d in row]
         assert lens == sorted(lens, reverse=True)
+
+
+def test_reranker_meta_pins_trained_length_and_vocab(tok, ecfg, tmp_path):
+    """The checkpoint's meta sidecar pins the TRAINED pair length (served
+    pairs truncate to it) and refuses a different vocabulary."""
+    import dataclasses as dc
+
+    from latentrag_tpu.models.encoder.convert import save_params
+    from latentrag_tpu.retrieval.reranker import (
+        build_reranker,
+        reranker_checkpoint_path,
+        save_reranker_meta,
+    )
+    from latentrag_tpu.utils import load_config
+    from latentrag_tpu.utils.config import apply_overrides
+
+    cfg = apply_overrides(load_config(None), [
+        f"paths.checkpoints_dir={tmp_path}/ckpt",
+        f"paths.data_dir={tmp_path}/data",
+        "encoder.vocab_size=400", "encoder.dtype=float32",
+        "encoder.hidden_dim=32", "encoder.num_layers=1",
+        "encoder.num_heads=4", "encoder.mlp_dim=64",
+        "encoder.max_length=256",
+    ])
+    scorer = CrossEncoderScorer(tok, dc.replace(ecfg, max_length=256),
+                                seed=5)
+    import os
+
+    os.makedirs(f"{tmp_path}/ckpt", exist_ok=True)
+    save_params(scorer.params, reranker_checkpoint_path(cfg))
+    save_reranker_meta(cfg, tok, max_length=48, query_max=24)
+
+    rr = build_reranker(cfg, tok)
+    # served pairs truncate to the TRAINED length, not encoder.max_length
+    assert rr.scorer.cfg.max_length == 48
+    assert rr.scorer.query_max == 24
+
+    # a different vocabulary of any size refuses to serve
+    other = WordPieceTokenizer.train_from_corpus(
+        ["completely different corpus tokens here"], vocab_size=400
+    )
+    with pytest.raises(ValueError, match="different.*vocabulary"):
+        build_reranker(cfg, other)
