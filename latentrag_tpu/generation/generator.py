@@ -150,7 +150,21 @@ class RAGGenerator:
         """One completion, with bounded exponential-backoff retries on
         TRANSIENT client failures (rate limits, timeouts, 5xx) — a batch of
         hundreds of generations shouldn't die on one blip. Permanent
-        failures (auth, invalid request) raise immediately."""
+        failures (auth, invalid request) raise immediately.
+
+        ``provider="extractive"`` answers locally and deterministically
+        (best rarity-weighted-overlap sentence from the retrieved docs —
+        ``generation.extractive``), so the full RAG loop incl. generation
+        metrics runs offline; an injected ``client_fn`` always wins."""
+        if (
+            self._client_fn is None
+            and self.settings.llm.provider == "extractive"
+        ):
+            from .extractive import extractive_answer
+
+            return extractive_answer(
+                query, self._truncate_docs(retrieved_docs)
+            )
         if self._client_fn is None:
             self._client_fn = self._default_client()
         messages = self._messages(query, retrieved_docs)
