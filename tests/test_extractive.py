@@ -80,3 +80,47 @@ def test_generator_batch_async_extractive():
         [["Telescopes observe galaxies."], ["Cells divide rapidly."]],
     ))
     assert out == ["Telescopes observe galaxies.", "Cells divide rapidly."]
+
+
+def test_serve_generate_with_extractive_provider(tmp_path, capsys):
+    """{"generate": true} over serve answers offline when
+    generation.provider=extractive — no key, no network, no injection."""
+    import io
+    import json
+    import sys
+    from unittest.mock import patch
+
+    import serve
+
+    overrides = [
+        "data.dataset=synthetic", "data.max_samples=30",
+        "encoder.vocab_size=600", "encoder.dtype=float32",
+        "encoder.hidden_dim=32", "encoder.num_layers=1",
+        "encoder.num_heads=4", "encoder.mlp_dim=64",
+        "retrieval.kernel=xla_exact", "retrieval.index_path=",
+        "generation.provider=extractive",
+        f"paths.data_dir={tmp_path}/data",
+        f"paths.checkpoints_dir={tmp_path}/ckpt",
+        f"paths.logs_dir={tmp_path}/logs",
+        f"logging.log_file={tmp_path}/logs/run.log",
+    ]
+    payload = (
+        json.dumps({"query": "what do telescopes observe?", "k": 2,
+                    "generate": True}) + "\n"
+        + json.dumps({"queries": ["mitochondria energy", "markets"],
+                      "k": 2, "generate": True}) + "\n"
+    )
+    with patch.object(sys, "stdin", io.StringIO(payload)):
+        assert serve.main(
+            ["--ae_type", "none", "--generate", "--set"] + overrides
+        ) == 0
+    lines = [
+        json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+        if line.strip()
+    ]
+    for line in lines:
+        for r in line["results"]:
+            assert isinstance(r.get("answer"), str) and r["answer"]
+    # batched requests answer per query, order preserved
+    assert len(lines[1]["results"]) == 2
