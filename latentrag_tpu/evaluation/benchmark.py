@@ -8,7 +8,8 @@ relevant) triple, evaluates with the shared metric stack, and reports
 pairwise deltas.
 
 Systems: ``bm25`` (sparse baseline), ``sbert`` (dense, no compression),
-``vae``/``dae``/``cae`` (compressed latents), ``dpr`` (dual-encoder).
+``vae``/``dae``/``cae`` (compressed latents), ``dpr`` (dual-encoder),
+``rerank`` (sbert stage 1 + the trained cross-encoder stage 2).
 """
 
 from __future__ import annotations
@@ -111,11 +112,11 @@ def run_benchmark(
                     return_per_query=True,
                 )
                 results[system] = {"metrics": metrics, "stats": r.get_stats()}
-            elif system in DENSE_SYSTEMS:
+            elif system in DENSE_SYSTEMS or system == "rerank":
                 # one sentence encoder shared (and its encodings memoised)
-                # across sbert/vae/dae/cae: the base MiniLM embeddings are
-                # identical for all four — corpus encoding is the dominant
-                # cost and used to run once PER system
+                # across sbert/vae/dae/cae/rerank: the base MiniLM
+                # embeddings are identical for all — corpus encoding is
+                # the dominant cost and used to run once PER system
                 if shared_encoder is None:
                     from ..pipeline import default_encoder
 
@@ -124,9 +125,22 @@ def run_benchmark(
                     )
                 from ..retrieval.embedder import EmbeddingCompressor
 
+                sys_cfg = cfg
+                if system == "rerank":
+                    # sbert stage 1 + the trained cross-encoder stage 2;
+                    # a missing reranker checkpoint surfaces through the
+                    # harness's per-system error handling
+                    import dataclasses as _dc
+
+                    sys_cfg = _dc.replace(
+                        cfg,
+                        retrieval=_dc.replace(
+                            cfg.retrieval, rerank="cross"
+                        ),
+                    )
                 runner = PipelineRunner(
-                    cfg,
-                    ae_type=DENSE_SYSTEMS[system],
+                    sys_cfg,
+                    ae_type=DENSE_SYSTEMS.get(system, "none"),
                     compressor=EmbeddingCompressor(
                         shared_encoder,
                         batch_size=cfg.encoder.batch_size,

@@ -246,3 +246,41 @@ def test_reranker_meta_pins_trained_length_and_vocab(tok, ecfg, tmp_path):
     )
     with pytest.raises(ValueError, match="different.*vocabulary"):
         build_reranker(cfg, other)
+
+
+def test_benchmark_rerank_system(tmp_path):
+    """--benchmark rerank: sbert stage 1 + trained cross-encoder stage 2,
+    compared with paired-bootstrap deltas like any other system."""
+    from latentrag_tpu.data import get_examples, load_evaluation_data
+    from latentrag_tpu.evaluation import run_benchmark
+    from latentrag_tpu.training.train_reranker import main as train_main
+    from latentrag_tpu.utils import load_config
+    from latentrag_tpu.utils.config import apply_overrides
+
+    overrides = [
+        "data.dataset=synthetic", "data.max_samples=40",
+        "encoder.vocab_size=800", "encoder.dtype=float32",
+        "encoder.hidden_dim=32", "encoder.num_layers=1",
+        "encoder.num_heads=4", "encoder.mlp_dim=64",
+        "retrieval.kernel=xla_exact", "retrieval.index_path=",
+        "retrieval.top_k=3", "evaluation.bootstrap_samples=50",
+        f"paths.data_dir={tmp_path}/data",
+        f"paths.checkpoints_dir={tmp_path}/ckpt",
+        f"paths.logs_dir={tmp_path}/logs",
+        f"logging.log_file={tmp_path}/logs/run.log",
+    ]
+    assert train_main(
+        ["--epochs", "2", "--batch_size", "4", "--max_length", "48",
+         "--set"] + overrides
+    ) == 0
+    cfg = apply_overrides(load_config(None), overrides)
+    examples = get_examples(cfg)
+    queries, corpus, relevant = load_evaluation_data(examples)
+    out = run_benchmark(
+        cfg, queries, corpus, relevant, systems=("sbert", "rerank")
+    )
+    assert "metrics" in out["rerank"], out["rerank"]
+    assert "metrics" in out["sbert"]
+    # pairwise delta exists for the pair
+    some_metric = next(iter(out["_deltas"].values()))
+    assert "sbert-rerank" in some_metric
