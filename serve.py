@@ -281,6 +281,8 @@ def make_handle(cfg, args, runner, compressor, retriever, mode):
                 "boot": mode,
                 "ae_type": runner.ae_type,
                 "dim": compressor.output_dim,
+                "rerank": cfg.retrieval.rerank,
+                "micro_batch_window_ms": window_ms if batcher else 0,
             }
         if "add" in req:
             spec = req["add"]
