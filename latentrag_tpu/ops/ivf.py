@@ -1,0 +1,245 @@
+"""Device-side IVF-Flat: cluster-pruned top-k as one XLA program.
+
+The exhaustive device tiers (``ops/topk.py``, ``ops/quantization.py``)
+read the whole corpus from HBM per search — optimal for large query
+batches (the matmul amortises the sweep over Q rows), but a SINGLE query
+at 8.8M x 64 pays the same ~0.6-1.1 GB HBM sweep as 1024 queries. The
+reference covers that regime with FAISS's inverted-file indexes
+(``FAISSEmbeddingRetriever.py:100-102``); our C++ tier mirrors them on
+the host. This module is the TPU-native redesign of the same idea, kept
+entirely on device:
+
+* build: k-means centroids (``ops/kmeans.py``, MXU-trained), rows
+  grouped by nearest list into fixed-``cap`` **blocks** — a big list
+  spans several blocks, the last block of each list is padded with -1
+  ids. Static shapes everywhere; the layout is one device sort + one
+  scatter + one gather, so an 8.8M corpus never round-trips the host.
+* search: queries rank lists by centroid score, take the top ``nprobe``
+  blocks (ties within a list resolve in block order, so a near list is
+  scanned front-to-back), gather just those blocks from HBM, and run a
+  fused batched-matvec + running top-k over them. HBM traffic per query
+  drops from N*d bytes to ``nprobe*cap*d`` — the pruning IS the speedup,
+  exactly the inverted-file contract.
+
+Scores of visited rows are exact (same kernels' arithmetic); only the
+candidate set is approximate, parameterised by ``nprobe``. With
+``nprobe == nblocks`` the search degenerates to the exact oracle — the
+differential test anchor. Supports every prepared-space metric (cosine /
+dot / euclidean / whitened mahalanobis), fp32/bf16/int8 block stores,
+and the packed row-mask predicate filters of the exhaustive tiers.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .kmeans import assign_clusters, kmeans
+from .topk import NEG_INF, _merge_topk
+
+
+class IVFIndex(NamedTuple):
+    """Device-resident inverted-file layout (a pytree — jit-friendly)."""
+
+    centroids: jax.Array  # [nlist, d] fp32, prepared space
+    blocks: jax.Array  # [nblocks, cap, d] store dtype (fp32/bf16/int8)
+    block_ids: jax.Array  # [nblocks, cap] int32 original row ids, -1 pad
+    block2list: jax.Array  # [nblocks] int32 owning list per block
+
+    @property
+    def nblocks(self) -> int:
+        return int(self.blocks.shape[0])
+
+    @property
+    def cap(self) -> int:
+        return int(self.blocks.shape[1])
+
+
+@partial(jax.jit, static_argnames=("nblocks", "cap"))
+def _layout_device(assign, sizes_dev, block_start_dev, nblocks, cap):
+    """[nblocks*cap] int32 slot->row map (-1 pads), built on device.
+
+    Row r of list c with within-list rank j lands in slot
+    ``block_start[c]*cap + j`` — lists occupy consecutive blocks, ranks
+    fill them front-to-back, the tail of the last block stays -1.
+    """
+    n = assign.shape[0]
+    order = jnp.argsort(assign, stable=True)
+    sorted_assign = jnp.take(assign, order)
+    cluster_start = jnp.cumsum(sizes_dev) - sizes_dev  # exclusive, rows
+    rank = jnp.arange(n, dtype=jnp.int32) - jnp.take(
+        cluster_start, sorted_assign
+    )
+    slot = jnp.take(block_start_dev, sorted_assign) * cap + rank
+    flat = jnp.full((nblocks * cap,), -1, dtype=jnp.int32)
+    return flat.at[slot].set(order.astype(jnp.int32))
+
+
+def ivf_build(
+    corpus: jax.Array,
+    nlist: int,
+    cap: int = 1024,
+    *,
+    seed: int = 0,
+    kmeans_iters: int = 15,
+    train_rows: int | None = None,
+) -> IVFIndex:
+    """Build the inverted-file layout over a PREPARED device corpus.
+
+    ``corpus`` is the retriever's prepared matrix (normalized/whitened;
+    fp32, bf16 or int8 SQ8 codes — a global SQ8 scale commutes out of
+    k-means, so codes cluster identically to their float values). Only
+    O(nlist) integers touch the host: the big arrays (assignments, the
+    permutation, the blocks) stay device-resident end to end.
+
+    ``train_rows`` subsamples the k-means training set (the classic IVF
+    recipe — assignment still sweeps every row); default trains on
+    min(n, max(100k, 64*nlist)) rows.
+    """
+    n, d = int(corpus.shape[0]), int(corpus.shape[1])
+    if n == 0:
+        raise ValueError("cannot build an IVF over an empty corpus")
+    nlist = max(1, min(nlist, n))
+    cap = max(8, min(cap, n))
+    key = jax.random.PRNGKey(seed)
+    k_train, k_sub = jax.random.split(key)
+    if train_rows is None:
+        train_rows = min(n, max(100_000, 64 * nlist))
+    if train_rows < n:
+        sub = jax.random.choice(k_sub, n, (train_rows,), replace=False)
+        train = jnp.take(corpus, sub, axis=0)
+    else:
+        train = corpus
+    centroids = kmeans(train, nlist, key=k_train, iters=kmeans_iters)
+    assign = assign_clusters(corpus, centroids)
+    sizes_dev = (
+        jnp.zeros((nlist,), jnp.int32).at[assign].add(jnp.int32(1))
+    )
+    sizes = np.asarray(sizes_dev)  # [nlist] ints — the only host fetch
+    nblk = -(-sizes // cap)  # ceil; empty lists own zero blocks
+    nblocks = int(nblk.sum())
+    block_start = np.concatenate(([0], np.cumsum(nblk)[:-1])).astype(
+        np.int32
+    )
+    block2list = np.repeat(
+        np.arange(nlist, dtype=np.int32), nblk
+    )
+    flat = _layout_device(
+        assign, sizes_dev, jnp.asarray(block_start), nblocks, cap
+    )
+    blocks = jnp.take(
+        corpus, flat, axis=0, mode="fill", fill_value=0
+    ).reshape(nblocks, cap, d)
+    return IVFIndex(
+        centroids=centroids,
+        blocks=blocks,
+        block_ids=flat.reshape(nblocks, cap),
+        block2list=jnp.asarray(block2list),
+    )
+
+
+@partial(jax.jit, static_argnames=("k", "nprobe", "metric"))
+def ivf_search(
+    queries: jax.Array,
+    index: IVFIndex,
+    k: int,
+    nprobe: int,
+    metric: str = "cosine",
+    scale: Any = None,
+    mask: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Top-k over the ``nprobe`` best blocks per query.
+
+    ``queries`` are prepared [Q, d] floats; ``scale`` is the global SQ8
+    scale when ``index.blocks`` is int8 (scores return in float space,
+    matching ``sq8_topk``); ``mask`` is the standard [N] bool row mask.
+    Returns (scores [Q, k] fp32, ORIGINAL row ids [Q, k] int32); slots
+    beyond the eligible candidate set come back as (-inf, -1).
+    """
+    q = queries.astype(jnp.float32)
+    nblocks, cap, d = index.blocks.shape
+    nprobe = max(1, min(nprobe, nblocks))
+    k_eff = min(k, cap)
+    distance_like = metric in ("euclidean", "mahalanobis")
+    is_int8 = index.blocks.dtype == jnp.int8
+
+    # ---- coarse stage: rank blocks by their list's centroid score
+    cdots = jax.lax.dot_general(
+        q,
+        index.centroids,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if distance_like:
+        c_sq = jnp.sum(jnp.square(index.centroids), axis=-1)
+        cscore = 2.0 * cdots - c_sq[None, :]
+    else:
+        cscore = cdots
+    bscore = jnp.take(cscore, index.block2list, axis=1)  # [Q, nblocks]
+    _, sel = jax.lax.top_k(bscore, nprobe)  # [Q, nprobe]
+
+    if is_int8:
+        from .quantization import sq8_quantize
+
+        qv, q_scale = sq8_quantize(q)
+        factor = (q_scale * scale).astype(jnp.float32)
+    else:
+        qv = q.astype(index.blocks.dtype)
+
+    init = (
+        jnp.full((q.shape[0], k), NEG_INF, dtype=jnp.float32),
+        jnp.full((q.shape[0], k), -1, dtype=jnp.int32),
+    )
+
+    def body(carry, p):
+        bsel = jax.lax.dynamic_index_in_dim(
+            sel, p, axis=1, keepdims=False
+        )  # [Q]
+        rows = jnp.take(index.blocks, bsel, axis=0)  # [Q, cap, d] gather
+        ids = jnp.take(index.block_ids, bsel, axis=0)  # [Q, cap]
+        dots = jax.lax.dot_general(
+            qv,
+            rows,
+            dimension_numbers=(((1,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32 if is_int8 else jnp.float32,
+        )  # [Q, cap]
+        if is_int8:
+            scores = dots.astype(jnp.float32) * factor
+        else:
+            scores = dots
+        if distance_like:
+            r_sq = jnp.sum(jnp.square(rows.astype(jnp.float32)), axis=-1)
+            scores = 2.0 * scores - r_sq
+        valid = ids >= 0
+        if mask is not None:
+            valid &= jnp.take(mask, ids, mode="fill", fill_value=False)
+        scores = jnp.where(valid, scores, NEG_INF)
+        s, loc = jax.lax.top_k(scores, k_eff)
+        i = jnp.take_along_axis(ids, loc, axis=1)
+        return _merge_topk([carry[0], s], [carry[1], i], k), None
+
+    (top_s, top_i), _ = jax.lax.scan(
+        body, init, jnp.arange(nprobe, dtype=jnp.int32)
+    )
+    live = top_s > NEG_INF * 0.5
+    if distance_like:
+        q_sq = jnp.sum(jnp.square(q), axis=-1, keepdims=True)
+        top_s = jnp.where(live, top_s - q_sq, top_s)
+    top_i = jnp.where(live, top_i, -1)
+    return top_s, top_i
+
+
+def auto_nprobe(nblocks: int, fraction: float = 0.1) -> int:
+    """Default probe budget: scan ~``fraction`` of the blocks, at least 4.
+
+    Candidate recall at a given fraction is data-dependent (measured:
+    0.88 at 10% on a deliberately hard synthetic mixture, ~0.95+ at the
+    same fraction once lists are plentiful — tests/test_ivf_ops.py and
+    the docs/ROOFLINE.md round-4 IVF table); pin ``nprobe`` to trade
+    latency against recall explicitly.
+    """
+    return max(4, min(nblocks, int(np.ceil(nblocks * fraction))))
