@@ -198,6 +198,15 @@ class DenseRetriever:
     _loaded_fingerprint: Any = None
     _sharded_cache: dict = field(default_factory=dict)
     _make_sharded: Any = None
+    # device IVF-Flat small-batch acceleration (ops/ivf.py): built
+    # LAZILY on the first eligible search (and after any mutation) from
+    # the prepared device corpus — a derived structure, deterministic
+    # given the corpus, never persisted. 0 = disabled.
+    ivf_nlist: int = 0
+    ivf_cap: int = 512
+    ivf_nprobe: int = 0  # 0 = auto (~10% of blocks)
+    ivf_query_limit: int = 64
+    _ivf_index: Any = None
     # compiled filter masks (device-resident, keyed by canonical spec);
     # dropped wholesale on any mutation — row order defines mask meaning
     _filter_cache: Any = None
@@ -347,6 +356,7 @@ class DenseRetriever:
         self.metadata = list(metadata) if metadata is not None else None
         if self._filter_cache is not None:
             self._filter_cache.clear()
+        self._ivf_index = None  # derived from the corpus being replaced
         if len(self.texts) != x.shape[0]:
             raise ValueError("texts and embeddings row count mismatch")
         if self.metric == "mahalanobis":
@@ -498,6 +508,8 @@ class DenseRetriever:
         if self._filter_cache is not None:
             # row order/count changed: every compiled mask is stale
             self._filter_cache.clear()
+        # the IVF layout indexes rows by position — any mutation stales it
+        self._ivf_index = None
 
     def remove(self, doc_ids: Sequence) -> int:
         """Remove documents by doc_id; returns the number of rows dropped.
@@ -566,7 +578,7 @@ class DenseRetriever:
         try:
             probe = np.asarray(self._corpus_row(0), dtype=np.float32)[None, :]
             _, idx = self._device_search_prepared(
-                jnp.asarray(probe), min(4, self._corpus_n)
+                jnp.asarray(probe), min(4, self._corpus_n), allow_ivf=False
             )
             return int(np.asarray(idx)[0, 0]) == 0
         except Exception as e:
@@ -606,16 +618,75 @@ class DenseRetriever:
             return float(rt)  # config override arrived as a string
         return float(rt)
 
+    # corpora below this skip the IVF route outright: one exhaustive
+    # block is already a single fused matmul there (docs/ROOFLINE.md)
+    IVF_MIN_ROWS = 8192
+
+    def _ivf_eligible(self, nq: int, backend: str) -> bool:
+        """Route this search through the device IVF? Only the production
+        approx path ('xla'), single-device float/int8 stores, and SMALL
+        query batches — large batches amortise the exhaustive sweep over
+        the MXU, which pruning cannot beat (see ops/ivf.py)."""
+        return (
+            self.ivf_nlist > 0
+            and backend == "xla"
+            and self.mesh is None
+            and self._rescore_host is None
+            and nq <= self.ivf_query_limit
+            and self._corpus_n >= self.IVF_MIN_ROWS
+        )
+
+    def _ensure_ivf(self):
+        if self._ivf_index is None:
+            from ..ops.ivf import ivf_build
+
+            t0 = time.perf_counter()
+            self._ivf_index = ivf_build(
+                self._corpus_dev[: self._corpus_n],
+                self.ivf_nlist,
+                self.ivf_cap,
+            )
+            from ..utils.timing import force_completion
+
+            force_completion(self._ivf_index.blocks)
+            log.info(
+                "device IVF built: nlist=%d nblocks=%d cap=%d in %.2fs",
+                self._ivf_index.centroids.shape[0],
+                self._ivf_index.nblocks,
+                self._ivf_index.cap,
+                time.perf_counter() - t0,
+            )
+        return self._ivf_index
+
+    def _ivf_search(self, q_prepared: jax.Array, k: int, mask: Any):
+        from ..ops.ivf import auto_nprobe, ivf_search
+
+        idx = self._ensure_ivf()
+        nprobe = self.ivf_nprobe or auto_nprobe(idx.nblocks)
+        return ivf_search(
+            q_prepared,
+            idx,
+            k=min(k, self._corpus_n),
+            nprobe=nprobe,
+            metric=self.metric,
+            scale=self._corpus_scale,
+            mask=mask,
+        )
+
     def _device_search_prepared(
-        self, q_prepared: jax.Array, k: int, mask: Any = None
+        self, q_prepared: jax.Array, k: int, mask: Any = None,
+        allow_ivf: bool = True,
     ):
         """Top-k given queries ALREADY in the prepared (normalized/whitened)
         space. Returns (scores, indices) — device arrays, except the binary
         store's host-rescore path which returns host numpy. ``mask`` (bool
         [N] device array, row-sharded when a mesh is set) restricts
-        eligibility; masked slots return NEG_INF scores."""
+        eligibility; masked slots return NEG_INF scores. ``allow_ivf``
+        lets the self-check pin the exhaustive kernels (its oracle)."""
         backend = self._resolve_backend()
         rt = self._effective_recall_target(k)
+        if allow_ivf and self._ivf_eligible(q_prepared.shape[0], backend):
+            return self._ivf_search(q_prepared, k, mask)
         if self._rescore_host is not None:  # binary cascade store
             ok = min(self.binary_oversample * k, self._corpus_n)
             if self.mesh is not None:

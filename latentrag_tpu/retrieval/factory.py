@@ -34,6 +34,10 @@ def _make_dense(cfg: RetrievalConfig, mesh) -> DenseRetriever:
         binary_oversample=cfg.binary_oversample,
         index_path=cfg.index_path or None,
         mesh=mesh if cfg.shard_corpus else None,
+        ivf_nlist=cfg.ivf_nlist,
+        ivf_cap=cfg.ivf_cap,
+        ivf_nprobe=cfg.ivf_nprobe,
+        ivf_query_limit=cfg.ivf_query_limit,
     )
 
 

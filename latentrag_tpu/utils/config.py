@@ -214,6 +214,17 @@ class RetrievalConfig:
     # IndexRefineFlat equivalent). 0/1 disables; costs Q*refine*k*d flops
     # and keeps the fp32 corpus host-resident.
     ivfpq_refine: int = 4
+    # DEVICE IVF-Flat small-batch acceleration on the dense tiers
+    # (ops/ivf.py; distinct from the host C++ 'ivfpq' backend): 0
+    # disables. Large batches keep the exhaustive fused matmul (MXU-
+    # optimal); batches of <= ivf_query_limit queries prune to the top
+    # nprobe blocks, cutting per-query HBM traffic from N*d to
+    # nprobe*ivf_cap*d bytes. Candidates are approximate (data-
+    # dependent recall), visited scores exact.
+    ivf_nlist: int = 0
+    ivf_cap: int = 512  # rows per IVF block (the fixed-shape gather unit)
+    ivf_nprobe: int = 0  # probed blocks per query; 0 = auto (~10% of blocks)
+    ivf_query_limit: int = 64  # batches above this Q stay exhaustive
 
 
 @dataclass(frozen=True)
