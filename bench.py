@@ -146,10 +146,15 @@ def bench_device(search, queries, corpus, r_small: int, r_big: int,
     exactly; ``reps`` medians guard against relay jitter.
     """
 
+    # rolling a 1-row batch along axis 0 is the identity — the loop body
+    # would be loop-invariant and XLA hoists it (measures ~0); roll the
+    # feature axis instead so every iteration is a distinct live query
+    roll_axis = 0 if int(queries.shape[0]) > 1 else 1
+
     @jax.jit
     def run(q, c, r):
         def body(i, acc):
-            s = search(jnp.roll(q, i, axis=0), c)[0]
+            s = search(jnp.roll(q, i, axis=roll_axis), c)[0]
             return acc + s.ravel()[0].astype(jnp.float32)
 
         return jax.lax.fori_loop(0, r, body, jnp.float32(0.0))

@@ -7,6 +7,7 @@ from .distances import (
     whiten,
     whitening_factor,
 )
+from .ivf import IVFIndex, auto_nprobe, ivf_build, ivf_search
 from .knn import knn_graph
 from .pallas_topk import pallas_topk, pallas_topk_raw
 from .topk import approx_topk, exact_topk, maxsim_aggregate
@@ -21,6 +22,10 @@ __all__ = [
     "whitening_factor",
     "approx_topk",
     "exact_topk",
+    "IVFIndex",
+    "auto_nprobe",
+    "ivf_build",
+    "ivf_search",
     "knn_graph",
     "maxsim_aggregate",
     "pallas_topk",

@@ -142,7 +142,12 @@ def ivf_build(
     )
 
 
-@partial(jax.jit, static_argnames=("k", "nprobe", "metric"))
+@partial(
+    jax.jit,
+    static_argnames=(
+        "k", "nprobe", "metric", "group_bytes", "exact_select",
+    ),
+)
 def ivf_search(
     queries: jax.Array,
     index: IVFIndex,
@@ -151,6 +156,8 @@ def ivf_search(
     metric: str = "cosine",
     scale: Any = None,
     mask: jax.Array | None = None,
+    group_bytes: int = 256 << 20,
+    exact_select: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Top-k over the ``nprobe`` best blocks per query.
 
@@ -159,13 +166,25 @@ def ivf_search(
     matching ``sq8_topk``); ``mask`` is the standard [N] bool row mask.
     Returns (scores [Q, k] fp32, ORIGINAL row ids [Q, k] int32); slots
     beyond the eligible candidate set come back as (-inf, -1).
+
+    Probed blocks are processed in GROUPS sized by ``group_bytes`` of
+    gathered rows — one gather + one batched matmul + one top-k per
+    group (a per-probe loop costs ~10 us of fixed VPU/dispatch work per
+    step, which dominated the 5 MB of useful traffic a single query
+    probes — measured r4, docs/ROOFLINE.md IVF section). Small serving
+    batches typically fit in ONE group, so the whole refine stage is a
+    single fused gather->matmul->top_k chain.
     """
     q = queries.astype(jnp.float32)
+    nq = q.shape[0]
     nblocks, cap, d = index.blocks.shape
     nprobe = max(1, min(nprobe, nblocks))
-    k_eff = min(k, cap)
     distance_like = metric in ("euclidean", "mahalanobis")
     is_int8 = index.blocks.dtype == jnp.int8
+    if is_int8 and distance_like:
+        # the scaled int8 dots and the unscaled code norms would mix
+        # spaces; the retriever forbids this combination too
+        raise ValueError("int8 IVF blocks support cosine/dot only")
 
     # ---- coarse stage: rank blocks by their list's centroid score
     cdots = jax.lax.dot_general(
@@ -180,7 +199,19 @@ def ivf_search(
     else:
         cscore = cdots
     bscore = jnp.take(cscore, index.block2list, axis=1)  # [Q, nblocks]
-    _, sel = jax.lax.top_k(bscore, nprobe)  # [Q, nprobe]
+    # exact top_k is a VPU sort — at >8k-wide score rows the TPU-KNN
+    # partial reduction is far cheaper and a slightly approximate PROBE
+    # ORDER only perturbs which marginal lists get scanned (measured:
+    # the wide exact selects, not HBM traffic, dominated v2's latency)
+    # (``exact_select=True`` pins exact top_k everywhere: with
+    # nprobe == nblocks that makes the whole search the exact oracle —
+    # the differential-test anchor)
+    if nblocks > 8192 and not exact_select:
+        _, sel = jax.lax.approx_max_k(
+            bscore, nprobe, recall_target=0.95
+        )
+    else:
+        _, sel = jax.lax.top_k(bscore, nprobe)  # [Q, nprobe]
 
     if is_int8:
         from .quantization import sq8_quantize
@@ -190,41 +221,84 @@ def ivf_search(
     else:
         qv = q.astype(index.blocks.dtype)
 
-    init = (
-        jnp.full((q.shape[0], k), NEG_INF, dtype=jnp.float32),
-        jnp.full((q.shape[0], k), -1, dtype=jnp.int32),
-    )
+    # ---- probe-group geometry (all static)
+    esize = index.blocks.dtype.itemsize
+    g = max(1, min(nprobe, group_bytes // max(1, nq * cap * d * esize)))
+    n_groups = -(-nprobe // g)
+    pad = n_groups * g - nprobe
+    if pad:
+        # out-of-range block id: gathers fill rows of 0 and ids of -1,
+        # which the validity mask drops — padding never duplicates rows
+        sel = jnp.concatenate(
+            [sel, jnp.full((nq, pad), nblocks, dtype=sel.dtype)], axis=1
+        )
+    sel_g = sel.reshape(nq, n_groups, g)
 
-    def body(carry, p):
-        bsel = jax.lax.dynamic_index_in_dim(
-            sel, p, axis=1, keepdims=False
-        )  # [Q]
-        rows = jnp.take(index.blocks, bsel, axis=0)  # [Q, cap, d] gather
-        ids = jnp.take(index.block_ids, bsel, axis=0)  # [Q, cap]
+    def score_group(bsel):
+        """bsel [Q, g] -> (scores [Q, g*cap] fp32, ids [Q, g*cap])."""
+        rows = jnp.take(
+            index.blocks, bsel, axis=0, mode="fill", fill_value=0
+        )  # [Q, g, cap, d]
+        ids = jnp.take(
+            index.block_ids, bsel, axis=0, mode="fill", fill_value=-1
+        ).reshape(nq, g * cap)
+        rows = rows.reshape(nq, g * cap, d)
         dots = jax.lax.dot_general(
             qv,
             rows,
             dimension_numbers=(((1,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.int32 if is_int8 else jnp.float32,
-        )  # [Q, cap]
-        if is_int8:
-            scores = dots.astype(jnp.float32) * factor
-        else:
-            scores = dots
+        )  # [Q, g*cap]
+        scores = dots.astype(jnp.float32) * factor if is_int8 else dots
         if distance_like:
             r_sq = jnp.sum(jnp.square(rows.astype(jnp.float32)), axis=-1)
             scores = 2.0 * scores - r_sq
         valid = ids >= 0
         if mask is not None:
             valid &= jnp.take(mask, ids, mode="fill", fill_value=False)
-        scores = jnp.where(valid, scores, NEG_INF)
-        s, loc = jax.lax.top_k(scores, k_eff)
-        i = jnp.take_along_axis(ids, loc, axis=1)
-        return _merge_topk([carry[0], s], [carry[1], i], k), None
+        return jnp.where(valid, scores, NEG_INF), ids
 
-    (top_s, top_i), _ = jax.lax.scan(
-        body, init, jnp.arange(nprobe, dtype=jnp.int32)
-    )
+    def select(scores, kk):
+        """Top-kk over a [Q, g*cap] score row: exact when narrow, the
+        fused approx_max_k reduction when wide (visited-row SCORES stay
+        exact either way; only marginal candidate order is approximate,
+        the same contract as the exhaustive ``approx_topk``)."""
+        if scores.shape[1] > 8192 and not exact_select:
+            return jax.lax.approx_max_k(scores, kk, recall_target=0.95)
+        return jax.lax.top_k(scores, kk)
+
+    k_eff = min(k, g * cap)
+    if n_groups == 1:
+        scores, ids = score_group(sel_g[:, 0, :])
+        top_s, loc = select(scores, k_eff)
+        top_i = jnp.take_along_axis(ids, loc, axis=1)
+        if k_eff < k:  # fewer eligible slots than k: pad the tail
+            w = k - k_eff
+            top_s = jnp.concatenate(
+                [top_s, jnp.full((nq, w), NEG_INF, jnp.float32)], axis=1
+            )
+            top_i = jnp.concatenate(
+                [top_i, jnp.full((nq, w), -1, jnp.int32)], axis=1
+            )
+    else:
+        init = (
+            jnp.full((nq, k), NEG_INF, dtype=jnp.float32),
+            jnp.full((nq, k), -1, dtype=jnp.int32),
+        )
+
+        def body(carry, gi):
+            bsel = jax.lax.dynamic_index_in_dim(
+                sel_g, gi, axis=1, keepdims=False
+            )  # [Q, g]
+            scores, ids = score_group(bsel)
+            s, loc = select(scores, k_eff)
+            i = jnp.take_along_axis(ids, loc, axis=1)
+            return _merge_topk([carry[0], s], [carry[1], i], k), None
+
+        (top_s, top_i), _ = jax.lax.scan(
+            body, init, jnp.arange(n_groups, dtype=jnp.int32)
+        )
+
     live = top_s > NEG_INF * 0.5
     if distance_like:
         q_sq = jnp.sum(jnp.square(q), axis=-1, keepdims=True)
@@ -233,13 +307,15 @@ def ivf_search(
     return top_s, top_i
 
 
-def auto_nprobe(nblocks: int, fraction: float = 0.1) -> int:
-    """Default probe budget: scan ~``fraction`` of the blocks, at least 4.
+def auto_nprobe(nblocks: int, fraction: float = 0.02) -> int:
+    """Default probe budget: ~``fraction`` of the blocks, at least 32.
 
-    Candidate recall at a given fraction is data-dependent (measured:
-    0.88 at 10% on a deliberately hard synthetic mixture, ~0.95+ at the
-    same fraction once lists are plentiful — tests/test_ivf_ops.py and
-    the docs/ROOFLINE.md round-4 IVF table); pin ``nprobe`` to trade
-    latency against recall explicitly.
+    The floor keeps small indexes honest (scanning 32 blocks of a
+    few-hundred-block index is cheap and recall-rich); the fraction
+    keeps the big-index scan sublinear. Candidate recall at a given
+    fraction is data-dependent (tests/test_ivf_ops.py sweeps a hard
+    synthetic; the docs/ROOFLINE.md round-4 IVF table has on-chip
+    numbers) — pin ``nprobe`` to trade latency against recall
+    explicitly.
     """
-    return max(4, min(nblocks, int(np.ceil(nblocks * fraction))))
+    return max(32, min(nblocks, int(np.ceil(nblocks * fraction))))

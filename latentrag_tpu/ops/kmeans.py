@@ -43,16 +43,20 @@ def kmeans(
     assigned to a k-th ghost segment and never touch real sums.
     """
     n, d = x.shape
-    x = x.astype(jnp.float32)
+    # keep the big operand in its STORE dtype (int8/bf16 corpora): a
+    # wholesale fp32 cast + padded copy materialises ~2 full fp32
+    # corpora inside one program (8.2 GB each at 32M x 64 — the measured
+    # r4 OOM); only the [block_size, d] slice is cast, exactly like the
+    # search kernels
     k_eff = min(k, n)
     init_idx = jax.random.choice(key, n, (k_eff,), replace=False)
-    cent = x[init_idx]
+    cent = x[init_idx].astype(jnp.float32)
     if k_eff < k:  # degenerate tiny inputs: duplicate rows to keep shape
         reps = -(-k // k_eff)
         cent = jnp.tile(cent, (reps, 1))[:k]
 
     pad = (-n) % block_size
-    xp = jnp.concatenate([x, jnp.zeros((pad, d), jnp.float32)]) if pad else x
+    xp = jnp.concatenate([x, jnp.zeros((pad, d), x.dtype)]) if pad else x
     n_blocks = xp.shape[0] // block_size
     row_ids = jnp.arange(block_size)
 
@@ -61,7 +65,7 @@ def kmeans(
             sums, counts = carry
             xb = jax.lax.dynamic_slice_in_dim(
                 xp, b * block_size, block_size, axis=0
-            )
+            ).astype(jnp.float32)
             scores = xb @ cent.T - 0.5 * jnp.sum(cent * cent, axis=1)[None, :]
             assign = jnp.argmax(scores, axis=1)
             valid = (b * block_size + row_ids) < n
@@ -79,7 +83,7 @@ def kmeans(
         # empty clusters: re-seed from (deterministic) random data rows
         reseed = x[jax.random.randint(
             jax.random.fold_in(key, it), (k,), 0, n
-        )]
+        )].astype(jnp.float32)
         empty = counts < 0.5
         new_cent = sums / jnp.maximum(counts, 1.0)[:, None]
         return jnp.where(empty[:, None], reseed, new_cent)

@@ -626,15 +626,29 @@ class DenseRetriever:
         """Route this search through the device IVF? Only the production
         approx path ('xla'), single-device float/int8 stores, and SMALL
         query batches — large batches amortise the exhaustive sweep over
-        the MXU, which pruning cannot beat (see ops/ivf.py)."""
-        return (
+        the MXU, which pruning cannot beat (see ops/ivf.py). The last
+        guard compares the batch's estimated gather traffic
+        (nq*nprobe*cap rows) against a quarter of the exhaustive sweep
+        (n rows): the measured break-even (8.8M int8, r4 IVF table) sits
+        near half the sweep — gathers cost ~2x a streaming read per
+        byte — so a quarter keeps every routed search a clear win."""
+        if not (
             self.ivf_nlist > 0
             and backend == "xla"
             and self.mesh is None
             and self._rescore_host is None
             and nq <= self.ivf_query_limit
             and self._corpus_n >= self.IVF_MIN_ROWS
-        )
+        ):
+            return False
+        if self.ivf_nprobe:
+            return True  # pinned nprobe is an explicit user choice
+        from ..ops.ivf import auto_nprobe
+
+        # nblocks ~= n/cap before the index exists (per-list padding
+        # only adds partial blocks; close enough for a routing guard)
+        nprobe_est = auto_nprobe(max(1, self._corpus_n // self.ivf_cap))
+        return nq * nprobe_est * self.ivf_cap <= self._corpus_n // 4
 
     def _ensure_ivf(self):
         if self._ivf_index is None:

@@ -1,0 +1,171 @@
+"""Device IVF-Flat vs exhaustive scan: the small-batch latency story.
+
+The exhaustive tiers read the whole corpus per search, so a SINGLE query
+at 1M-8.8M pays the same HBM sweep as 1024. The device IVF
+(``ops/ivf.py``) prunes to the top ``nprobe`` blocks per query; this
+script pins the crossover on the real chip: per-batch latency
+(in-program two-point methodology, ``bench.py::bench_device``) and
+candidate recall vs the exact oracle, across query-batch sizes and probe
+budgets, on a clustered synthetic corpus (mixture of Gaussians — text
+embedding corpora cluster; a uniform sphere would understate IVF recall
+at every budget, so the cluster spread is a flag).
+
+  python scripts/ivf_bench.py                        # real chip, 1M
+  python scripts/ivf_bench.py --n 8800000 --store int8
+  JAX_PLATFORMS=cpu python scripts/ivf_bench.py --n 100000  # smoke
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+import jax
+
+if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+
+from bench import bench_device, sync
+from latentrag_tpu.ops import approx_topk
+from latentrag_tpu.ops.ivf import auto_nprobe, ivf_build, ivf_search
+from latentrag_tpu.ops.quantization import sq8_quantize, sq8_topk
+
+
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("n", "d", "n_centers", "spread"))
+def _clustered(seed: int, n: int, d: int, n_centers: int, spread: float):
+    """Mixture-of-Gaussians rows, unit-normalized, generated ON DEVICE.
+
+    One jitted program: run eagerly, the take/add/normalize chain keeps
+    ~3 full [n, d] fp32 buffers live at once (with the 64->128 lane
+    padding that is ~26 GB at 16.7M — the measured r4 staging OOM);
+    fused, only the output buffer materialises.
+    """
+    kc, kw, kn = jax.random.split(jax.random.PRNGKey(seed), 3)
+    centers = jax.random.normal(kc, (n_centers, d), jnp.float32)
+    centers = centers / jnp.linalg.norm(centers, axis=1, keepdims=True)
+    which = jax.random.randint(kw, (n,), 0, n_centers)
+    x = jnp.take(centers, which, axis=0) + spread * jax.random.normal(
+        kn, (n, d), jnp.float32
+    )
+    return x / jnp.linalg.norm(x, axis=1, keepdims=True)
+
+
+def _recall(ids, ref_ids):
+    ids, ref_ids = np.asarray(ids), np.asarray(ref_ids)
+    hits = sum(
+        len(set(map(int, a)) & set(map(int, b)))
+        for a, b in zip(ids, ref_ids)
+    )
+    return hits / ref_ids.size
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--n", type=int, default=1_048_576)
+    p.add_argument("--d", type=int, default=64)
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--queries", type=int, nargs="+", default=[1, 16, 64])
+    p.add_argument("--nlist", type=int, default=4096)
+    p.add_argument("--cap", type=int, default=512)
+    p.add_argument("--fractions", type=float, nargs="+",
+                   default=[0.01, 0.02, 0.05, 0.1])
+    p.add_argument("--centers", type=int, default=0,
+                   help="mixture components (0 = 4*nlist)")
+    p.add_argument("--spread", type=float, default=0.3)
+    p.add_argument("--store", choices=["bf16", "int8"], default="bf16")
+    p.add_argument("--r", type=int, nargs=2, default=[8, 40],
+                   metavar=("R_SMALL", "R_BIG"))
+    args = p.parse_args(argv)
+
+    backend = jax.default_backend()
+    print(f"[ivf_bench] backend={backend} n={args.n} d={args.d} "
+          f"store={args.store}", file=sys.stderr)
+
+    centers = args.centers or 4 * args.nlist
+    corpus32 = _clustered(2, args.n, args.d, centers, args.spread)
+    if args.store == "int8":
+        store, scale = sq8_quantize(corpus32)
+    else:
+        store, scale = corpus32.astype(jnp.bfloat16), None
+    sync(store)
+    corpus32.delete()  # free the fp32 staging copy (8.2 GB at 32M x 64)
+
+    print(f"[ivf_bench] building IVF nlist={args.nlist} cap={args.cap}",
+          file=sys.stderr)
+    import time as _t
+
+    t0 = _t.perf_counter()
+    idx = ivf_build(store, args.nlist, args.cap)
+    sync(idx.blocks)
+    build_s = _t.perf_counter() - t0
+    nblocks = idx.nblocks
+    print(f"[ivf_bench] built: nblocks={nblocks} in {build_s:.1f}s",
+          file=sys.stderr)
+
+    out = {
+        "n": args.n, "d": args.d, "k": args.k, "store": args.store,
+        "nlist": args.nlist, "cap": args.cap, "nblocks": nblocks,
+        "build_s": round(build_s, 2), "backend": backend, "rows": [],
+    }
+    r_small, r_big = args.r
+    for nq in args.queries:
+        q = _clustered(100 + nq, nq, args.d, centers, args.spread)
+
+        # exhaustive baseline at this batch size — also the recall
+        # reference (same store, so recall isolates the PRUNING loss
+        # from quantization loss)
+        if args.store == "int8":
+            def ex_search(qq, st):
+                return sq8_topk(qq, st, scale, k=args.k)
+        else:
+            def ex_search(qq, st):
+                return approx_topk(qq, st, k=args.k, recall_target=0.99)
+        dt, _ = bench_device(ex_search, q, store, r_small, r_big)
+        _, ref_i = ex_search(q, store)
+        ref_i = np.asarray(ref_i)
+        row = {
+            "queries": nq,
+            "exhaustive_ms": round(dt * 1e3, 3),
+            "ivf": [],
+        }
+        for frac in args.fractions:
+            nprobe = auto_nprobe(nblocks, frac)
+
+            def iv_search(qq, ix, _np=nprobe):
+                return ivf_search(
+                    qq, ix, k=args.k, nprobe=_np, scale=scale
+                )
+
+            dt_i, _ = bench_device(iv_search, q, idx, r_small, r_big)
+            _, iv_i = iv_search(q, idx)
+            row["ivf"].append({
+                "fraction": frac,
+                "nprobe": nprobe,
+                "ms": round(dt_i * 1e3, 3),
+                "recall": round(_recall(iv_i, ref_i), 4),
+                "speedup": round(dt / dt_i, 2),
+            })
+            print(f"[ivf_bench] Q={nq} exhaustive={dt*1e3:.3f}ms | "
+                  f"nprobe={nprobe} ({frac:.0%}): {dt_i*1e3:.3f}ms "
+                  f"recall={row['ivf'][-1]['recall']:.3f} "
+                  f"({row['ivf'][-1]['speedup']}x)", file=sys.stderr)
+        out["rows"].append(row)
+
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

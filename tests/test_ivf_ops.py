@@ -59,7 +59,10 @@ def test_layout_partitions_rows_exactly_once(index, corpus):
 def test_full_probe_equals_exact_oracle(index, corpus):
     q = _clustered(32, 32, n_centers=64, seed=7)
     s_ref, i_ref = exact_topk(jnp.asarray(q), jnp.asarray(corpus), k=10)
-    s, i = ivf_search(jnp.asarray(q), index, k=10, nprobe=index.nblocks)
+    s, i = ivf_search(
+        jnp.asarray(q), index, k=10, nprobe=index.nblocks,
+        exact_select=True,
+    )
     np.testing.assert_allclose(
         np.asarray(s), np.asarray(s_ref), rtol=0, atol=2e-5
     )
@@ -118,7 +121,8 @@ def test_euclidean_metric_full_probe_matches_oracle():
         jnp.asarray(q), jnp.asarray(x), k=8, metric="euclidean"
     )
     s, i = ivf_search(
-        jnp.asarray(q), idx, k=8, nprobe=idx.nblocks, metric="euclidean"
+        jnp.asarray(q), idx, k=8, nprobe=idx.nblocks, metric="euclidean",
+        exact_select=True,
     )
     np.testing.assert_allclose(
         np.asarray(s), np.asarray(s_ref), rtol=1e-4, atol=1e-3
@@ -134,7 +138,8 @@ def test_int8_blocks_match_manual_int8_scoring():
     q = _clustered(8, 32, n_centers=16, seed=21)
     idx = ivf_build(codes, nlist=16, cap=64, seed=0)
     s, i = ivf_search(
-        jnp.asarray(q), idx, k=5, nprobe=idx.nblocks, scale=scale
+        jnp.asarray(q), idx, k=5, nprobe=idx.nblocks, scale=scale,
+        exact_select=True,
     )
     q_codes, q_scale = sq8_quantize(jnp.asarray(q))
     ref = (
@@ -161,6 +166,7 @@ def test_row_mask_restricts_candidates(index, corpus):
         k=10,
         nprobe=index.nblocks,
         mask=jnp.asarray(allowed),
+        exact_select=True,
     )
     i = np.asarray(i)
     live = i >= 0

@@ -38,16 +38,22 @@ def _build(corpus, **kw):
 
 
 def test_small_batch_routes_through_ivf_and_matches_oracle(corpus, queries):
-    # nprobe huge -> clamped to all blocks -> exact: must equal the oracle
+    # nprobe huge -> clamped to all blocks: candidate set is the whole
+    # corpus, so only the wide-select approx_max_k (rt=0.95, the same
+    # contract as the production exhaustive path) separates this from
+    # the oracle — overlap must be near-total and top-1 exact
     r = _build(corpus, ivf_nprobe=10**6)
     oracle = DenseRetriever(backend="xla_exact", store_dtype="float32")
     oracle.build(corpus, [f"t{i}" for i in range(N)])
     s, i = r.search(queries, K)
     assert r._ivf_index is not None  # the IVF actually served this search
     s_ref, i_ref = oracle.search(queries, K)
-    np.testing.assert_allclose(s, s_ref, atol=2e-5)
-    for a, b in zip(i, i_ref):
-        assert set(a) == set(b)
+    assert (i[:, 0] == i_ref[:, 0]).all()  # k=1-class selection is exact
+    np.testing.assert_allclose(s[:, 0], s_ref[:, 0], atol=2e-5)
+    overlap = np.mean(
+        [len(set(a) & set(b)) / K for a, b in zip(i, i_ref)]
+    )
+    assert overlap >= 0.9, overlap
 
 
 def test_large_batch_stays_exhaustive(corpus):
@@ -81,13 +87,22 @@ def test_mutations_invalidate_the_ivf(corpus, queries):
 
 
 def test_partial_probe_recall_via_retriever(corpus, queries):
-    r = _build(corpus, ivf_nprobe=0)  # auto (~10% of blocks)
+    r = _build(corpus, ivf_nprobe=24)  # ~13% of blocks on this corpus
     oracle = DenseRetriever(backend="xla_exact", store_dtype="float32")
     oracle.build(corpus, [f"t{i}" for i in range(N)])
     _, i = r.search(queries, K)
+    assert r._ivf_index is not None
     _, i_ref = oracle.search(queries, K)
     hits = sum(len(set(a) & set(b)) for a, b in zip(i, i_ref))
     assert hits / i_ref.size >= 0.75  # hard synthetic; see test_ivf_ops
+
+
+def test_auto_nprobe_traffic_guard_keeps_toy_corpora_exhaustive(corpus):
+    # auto policy at 10k rows: estimated gather traffic for even a small
+    # batch exceeds half the exhaustive sweep -> stays exhaustive
+    r = _build(corpus, ivf_nprobe=0)
+    r.search(corpus[:16], K)
+    assert r._ivf_index is None
 
 
 def test_filtered_ivf_search_respects_the_subset(corpus, queries):
@@ -98,12 +113,16 @@ def test_filtered_ivf_search_respects_the_subset(corpus, queries):
     live = i >= 0
     assert live.any()
     assert np.all(i[live] % 7 == 0)
-    # equality vs the exhaustive filtered path at full probe
+    # near-equality vs the exhaustive filtered path at full probe (both
+    # paths select with approx_max_k at these widths)
     r2 = _build(corpus, ivf_nlist=0)
-    s2, i2 = r2.search(queries, K, filter=spec)
-    np.testing.assert_allclose(
-        np.where(live, s, 0), np.where(i2 >= 0, s2, 0), atol=2e-5
-    )
+    _, i2 = r2.search(queries, K, filter=spec)
+    overlap = np.mean([
+        len({v for v in a if v >= 0} & {v for v in b if v >= 0})
+        / max(1, (np.asarray(b) >= 0).sum())
+        for a, b in zip(i, i2)
+    ])
+    assert overlap >= 0.8, overlap
 
 
 def test_int8_store_full_probe_matches_exhaustive_sq8(corpus, queries):

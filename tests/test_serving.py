@@ -96,8 +96,11 @@ def test_microbatcher_max_batch_flushes_early():
     try:
         t0 = time.monotonic()
         _fire(8, lambda i: b.submit([f"q{i}"], 1, None, None))
-        # a 10 s window would block without the max_batch flush
-        assert time.monotonic() - t0 < 5
+        # a 10 s window would block without the max_batch flush; the
+        # bound only asserts "flushed before the window", with margin
+        # for a loaded 1-core CI box (observed >5 s under full-suite +
+        # concurrent-benchmark load)
+        assert time.monotonic() - t0 < 8
         assert all(c <= 4 for c in calls)
     finally:
         b.close()
