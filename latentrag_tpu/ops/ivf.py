@@ -79,6 +79,34 @@ def _layout_device(assign, sizes_dev, block_start_dev, nblocks, cap):
     return flat.at[slot].set(order.astype(jnp.int32))
 
 
+def _grouped_blocks(rows, assign, nlist, cap, *, id_base=0):
+    """Group ``rows`` by their ``assign`` list into padded cap-blocks.
+
+    Returns (blocks [nb, cap, d], block_ids [nb, cap] holding
+    ``id_base + local_row`` or -1, block2list [nb] host np). Only the
+    [nlist] size vector touches the host.
+    """
+    n, d = int(rows.shape[0]), int(rows.shape[1])
+    sizes_dev = jnp.zeros((nlist,), jnp.int32).at[assign].add(jnp.int32(1))
+    sizes = np.asarray(sizes_dev)  # [nlist] ints — the only host fetch
+    nblk = -(-sizes // cap)  # ceil; empty lists own zero blocks
+    nblocks = int(nblk.sum())
+    block_start = np.concatenate(([0], np.cumsum(nblk)[:-1])).astype(
+        np.int32
+    )
+    block2list = np.repeat(np.arange(nlist, dtype=np.int32), nblk)
+    flat = _layout_device(
+        assign, sizes_dev, jnp.asarray(block_start), nblocks, cap
+    )
+    blocks = jnp.take(
+        rows, flat, axis=0, mode="fill", fill_value=0
+    ).reshape(nblocks, cap, d)
+    ids = flat.reshape(nblocks, cap)
+    if id_base:
+        ids = jnp.where(ids >= 0, ids + jnp.int32(id_base), ids)
+    return blocks, ids, block2list
+
+
 def ivf_build(
     corpus: jax.Array,
     nlist: int,
@@ -116,29 +144,48 @@ def ivf_build(
         train = corpus
     centroids = kmeans(train, nlist, key=k_train, iters=kmeans_iters)
     assign = assign_clusters(corpus, centroids)
-    sizes_dev = (
-        jnp.zeros((nlist,), jnp.int32).at[assign].add(jnp.int32(1))
-    )
-    sizes = np.asarray(sizes_dev)  # [nlist] ints — the only host fetch
-    nblk = -(-sizes // cap)  # ceil; empty lists own zero blocks
-    nblocks = int(nblk.sum())
-    block_start = np.concatenate(([0], np.cumsum(nblk)[:-1])).astype(
-        np.int32
-    )
-    block2list = np.repeat(
-        np.arange(nlist, dtype=np.int32), nblk
-    )
-    flat = _layout_device(
-        assign, sizes_dev, jnp.asarray(block_start), nblocks, cap
-    )
-    blocks = jnp.take(
-        corpus, flat, axis=0, mode="fill", fill_value=0
-    ).reshape(nblocks, cap, d)
+    blocks, ids, block2list = _grouped_blocks(corpus, assign, nlist, cap)
     return IVFIndex(
         centroids=centroids,
         blocks=blocks,
-        block_ids=flat.reshape(nblocks, cap),
+        block_ids=ids,
         block2list=jnp.asarray(block2list),
+    )
+
+
+def ivf_append(
+    index: IVFIndex, new_rows: jax.Array, id_base: int
+) -> IVFIndex:
+    """Append rows to an existing layout without re-clustering.
+
+    New rows are assigned to the EXISTING centroids and packed into NEW
+    blocks appended after the current ones (existing blocks and their
+    tail padding are untouched). ``block2list`` gains extra entries for
+    already-represented lists, which search handles by construction —
+    every block of a probed list carries that list's centroid score.
+    ``id_base`` is the corpus position of the first new row (append-only
+    stores keep prior row ids stable — the retriever's ``add``).
+
+    Trade-off: each append materialises at least one cap-row block per
+    touched list, so many tiny appends accrete padding; callers bound
+    that by rebuilding once appended rows exceed a fraction of the
+    corpus (see ``DenseRetriever._ivf_append_budget``).
+    """
+    if int(new_rows.shape[0]) == 0:
+        return index
+    new_rows = new_rows.astype(index.blocks.dtype)
+    nlist = int(index.centroids.shape[0])
+    assign = assign_clusters(new_rows, index.centroids)
+    blocks, ids, block2list = _grouped_blocks(
+        new_rows, assign, nlist, index.cap, id_base=id_base
+    )
+    return IVFIndex(
+        centroids=index.centroids,
+        blocks=jnp.concatenate([index.blocks, blocks], axis=0),
+        block_ids=jnp.concatenate([index.block_ids, ids], axis=0),
+        block2list=jnp.concatenate(
+            [index.block2list, jnp.asarray(block2list)], axis=0
+        ),
     )
 
 

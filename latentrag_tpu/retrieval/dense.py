@@ -204,9 +204,10 @@ class DenseRetriever:
     # given the corpus, never persisted. 0 = disabled.
     ivf_nlist: int = 0
     ivf_cap: int = 512
-    ivf_nprobe: int = 0  # 0 = auto (~10% of blocks)
+    ivf_nprobe: int = 0  # 0 = auto (~2% of blocks, floor 32)
     ivf_query_limit: int = 64
     _ivf_index: Any = None
+    _ivf_appended: int = 0  # rows appended since the last full IVF build
     # compiled filter masks (device-resident, keyed by canonical spec);
     # dropped wholesale on any mutation — row order defines mask meaning
     _filter_cache: Any = None
@@ -490,7 +491,18 @@ class DenseRetriever:
         self.metadata = extend_aligned_metadata(
             self.metadata, start, metadata, len(texts)
         )
+        ivf = self._ivf_index
         self._mark_mutated()
+        if ivf is not None and self._ivf_append_budget(emb.shape[0]):
+            # incremental append: new rows assign to the EXISTING
+            # centroids and land in appended blocks, so the latency tier
+            # survives live adds without the full k-means rebuild (~86 s
+            # at 8.8M). add() appends rows, so prior ids stay valid —
+            # remove() reindexes and must invalidate (it just did).
+            from ..ops.ivf import ivf_append
+
+            self._ivf_index = ivf_append(ivf, prepared, start)
+            self._ivf_appended += emb.shape[0]
         if self.index_path:
             self._save(self.index_path)
 
@@ -650,6 +662,13 @@ class DenseRetriever:
         nprobe_est = auto_nprobe(max(1, self._corpus_n // self.ivf_cap))
         return nq * nprobe_est * self.ivf_cap <= self._corpus_n // 4
 
+    def _ivf_append_budget(self, m: int) -> bool:
+        """Allow an incremental IVF append? Each append accretes block
+        padding (>= one cap-row block per touched list), so once the
+        appended total passes a quarter of the corpus the next eligible
+        search rebuilds the layout fresh instead."""
+        return (self._ivf_appended + m) * 4 <= self._corpus_n
+
     def _ensure_ivf(self):
         if self._ivf_index is None:
             from ..ops.ivf import ivf_build
@@ -660,6 +679,7 @@ class DenseRetriever:
                 self.ivf_nlist,
                 self.ivf_cap,
             )
+            self._ivf_appended = 0
             from ..utils.timing import force_completion
 
             force_completion(self._ivf_index.blocks)

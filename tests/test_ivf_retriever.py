@@ -70,20 +70,36 @@ def test_small_corpus_never_builds_ivf():
     assert r._ivf_index is None  # below IVF_MIN_ROWS
 
 
-def test_mutations_invalidate_the_ivf(corpus, queries):
+def test_add_appends_to_the_ivf_and_remove_invalidates(corpus, queries):
     r = _build(corpus, ivf_nprobe=10**6)
     r.search(queries, K)
     assert r._ivf_index is not None
+    nblocks0 = r._ivf_index.nblocks
     extra = _clustered(8, D, seed=11)
     r.add(extra, [f"new{i}" for i in range(8)],
           doc_ids=[f"n{i}" for i in range(8)])
-    assert r._ivf_index is None  # add() staled it
-    # rebuilt lazily and the new rows are findable at full probe
-    texts, _, ids = r.retrieve(extra[3], top_k=1)
+    # small add: incremental append (no k-means rebuild), new rows land
+    # in appended blocks and are immediately findable
     assert r._ivf_index is not None
+    assert r._ivf_index.nblocks > nblocks0
+    assert r._ivf_appended == 8
+    texts, _, ids = r.retrieve(extra[3], top_k=1)
     assert ids[0] == "n3"
-    r.remove(["n3"])
+    r.remove(["n3"])  # reindexes rows: the layout MUST be invalidated
     assert r._ivf_index is None
+
+
+def test_large_add_invalidates_instead_of_appending(corpus):
+    r = _build(corpus, ivf_nprobe=10**6)
+    r.search(corpus[:4], K)
+    assert r._ivf_index is not None
+    extra = _clustered(4000, D, seed=12)  # > n/4: append budget refused
+    r.add(extra, [f"big{i}" for i in range(4000)])
+    assert r._ivf_index is None
+    # next eligible search rebuilds fresh and still finds the new rows
+    _, _, ids = r.retrieve(extra[7], top_k=1)
+    assert r._ivf_index is not None and r._ivf_appended == 0
+    assert ids[0] == N + 7
 
 
 def test_partial_probe_recall_via_retriever(corpus, queries):
