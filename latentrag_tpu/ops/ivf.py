@@ -42,11 +42,54 @@ from .kmeans import assign_clusters, kmeans
 from .topk import NEG_INF, _merge_topk
 
 
+@partial(jax.jit, static_argnames=("d", "block_size"))
+def _assign_packed(packed, centroids, d, block_size=262144):
+    """Nearest-centroid ids for a PACKED sign-bit corpus: each block
+    unpacks to ±1 on the VPU and scores on the MXU — the packed words
+    are the only full-corpus HBM resident (the whole point of the
+    binary tier; an unpacked [N, d] copy would be 8x the store)."""
+    from .binary import binary_unpack
+
+    n = packed.shape[0]
+    c = centroids.astype(jnp.float32)
+    c_half = 0.5 * jnp.sum(c * c, axis=1)[None, :]
+    pad = (-n) % block_size
+    pk = (
+        jnp.concatenate(
+            [packed, jnp.zeros((pad, packed.shape[1]), packed.dtype)]
+        )
+        if pad
+        else packed
+    )
+    n_blocks = pk.shape[0] // block_size
+
+    def block_step(_, b):
+        blk = jax.lax.dynamic_slice_in_dim(
+            pk, b * block_size, block_size, axis=0
+        )
+        xb = binary_unpack(blk, d).astype(jnp.bfloat16)
+        scores = (
+            jax.lax.dot_general(
+                xb,
+                c.astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            - c_half
+        )
+        return None, jnp.argmax(scores, axis=1).astype(jnp.int32)
+
+    _, out = jax.lax.scan(
+        block_step, None, jnp.arange(n_blocks, dtype=jnp.int32)
+    )
+    return out.reshape(-1)[:n]
+
+
 class IVFIndex(NamedTuple):
     """Device-resident inverted-file layout (a pytree — jit-friendly)."""
 
     centroids: jax.Array  # [nlist, d] fp32, prepared space
-    blocks: jax.Array  # [nblocks, cap, d] store dtype (fp32/bf16/int8)
+    blocks: jax.Array  # [nblocks, cap, w] store dtype (fp32/bf16/int8/u32)
     block_ids: jax.Array  # [nblocks, cap] int32 original row ids, -1 pad
     block2list: jax.Array  # [nblocks] int32 owning list per block
 
@@ -56,7 +99,12 @@ class IVFIndex(NamedTuple):
 
     @property
     def cap(self) -> int:
-        return int(self.blocks.shape[1])
+        return int(self.block_ids.shape[1])
+
+    @property
+    def row_width(self) -> int:
+        """Stored row width: d for float/int8 blocks, D/32 words packed."""
+        return int(self.blocks.shape[2])
 
 
 @partial(jax.jit, static_argnames=("nblocks", "cap"))
@@ -98,9 +146,30 @@ def _grouped_blocks(rows, assign, nlist, cap, *, id_base=0):
     flat = _layout_device(
         assign, sizes_dev, jnp.asarray(block_start), nblocks, cap
     )
-    blocks = jnp.take(
-        rows, flat, axis=0, mode="fill", fill_value=0
-    ).reshape(nblocks, cap, d)
+    if rows.dtype == jnp.uint32 and nblocks * cap > 8_388_608:
+        # packed rows are W~2 words wide; a one-shot [total, W] gather
+        # materialises in lane-padded layout (2 -> 128 lanes = 64x — a
+        # measured 55 GB allocation at 100M). Chunked gather + rewrite
+        # keeps the transient bounded (~2 GB per chunk).
+        total = nblocks * cap
+        step = 4_194_304 - (4_194_304 % cap)
+        blocks = jnp.zeros((nblocks, cap, d), rows.dtype)
+        for s in range(0, total, step):
+            e = min(s + step, total)
+            part = jnp.take(
+                rows,
+                jax.lax.slice_in_dim(flat, s, e),
+                axis=0,
+                mode="fill",
+                fill_value=0,
+            ).reshape((e - s) // cap, cap, d)
+            blocks = jax.lax.dynamic_update_slice_in_dim(
+                blocks, part, s // cap, axis=0
+            )
+    else:
+        blocks = jnp.take(
+            rows, flat, axis=0, mode="fill", fill_value=0
+        ).reshape(nblocks, cap, d)
     ids = flat.reshape(nblocks, cap)
     if id_base:
         ids = jnp.where(ids >= 0, ids + jnp.int32(id_base), ids)
@@ -153,8 +222,55 @@ def ivf_build(
     )
 
 
+def ivf_build_binary(
+    packed: jax.Array,
+    d: int,
+    nlist: int,
+    cap: int = 1024,
+    *,
+    seed: int = 0,
+    kmeans_iters: int = 15,
+    train_rows: int | None = None,
+) -> IVFIndex:
+    """Inverted file over a PACKED sign-bit corpus (the 1-bit cascade's
+    stage 1; ``ops/binary.py``). Blocks store the packed uint32 words —
+    HBM stays D/8 bytes/vector — while centroids live in the unpacked
+    ±1 space, trained on a subsampled unpack (the only rows ever
+    unpacked outside a streaming block). Search gathers packed blocks,
+    unpacks on the VPU and scores asymmetrically, exactly like the
+    exhaustive kernel; the SQ8 rescore stage stays wherever the caller
+    keeps it (host-side in the retriever).
+    """
+    n = int(packed.shape[0])
+    if n == 0:
+        raise ValueError("cannot build an IVF over an empty corpus")
+    from .binary import binary_unpack
+
+    nlist = max(1, min(nlist, n))
+    cap = max(8, min(cap, n))
+    key = jax.random.PRNGKey(seed)
+    k_train, k_sub = jax.random.split(key)
+    if train_rows is None:
+        train_rows = min(n, max(100_000, 64 * nlist))
+    if train_rows < n:
+        sub = jax.random.choice(k_sub, n, (train_rows,), replace=False)
+        train_pk = jnp.take(packed, sub, axis=0)
+    else:
+        train_pk = packed
+    train = binary_unpack(train_pk, d)  # ±1 int8; kmeans casts per block
+    centroids = kmeans(train, nlist, key=k_train, iters=kmeans_iters)
+    assign = _assign_packed(packed, centroids, d)
+    blocks, ids, block2list = _grouped_blocks(packed, assign, nlist, cap)
+    return IVFIndex(
+        centroids=centroids,
+        blocks=blocks,
+        block_ids=ids,
+        block2list=jnp.asarray(block2list),
+    )
+
+
 def ivf_append(
-    index: IVFIndex, new_rows: jax.Array, id_base: int
+    index: IVFIndex, new_rows: jax.Array, id_base: int, dim: int = 0
 ) -> IVFIndex:
     """Append rows to an existing layout without re-clustering.
 
@@ -173,9 +289,14 @@ def ivf_append(
     """
     if int(new_rows.shape[0]) == 0:
         return index
-    new_rows = new_rows.astype(index.blocks.dtype)
     nlist = int(index.centroids.shape[0])
-    assign = assign_clusters(new_rows, index.centroids)
+    if index.blocks.dtype == jnp.uint32:  # packed sign-bit store
+        if not dim:
+            raise ValueError("packed IVF append requires dim=<vector dim>")
+        assign = _assign_packed(new_rows, index.centroids, dim)
+    else:
+        new_rows = new_rows.astype(index.blocks.dtype)
+        assign = assign_clusters(new_rows, index.centroids)
     blocks, ids, block2list = _grouped_blocks(
         new_rows, assign, nlist, index.cap, id_base=id_base
     )
@@ -192,7 +313,7 @@ def ivf_append(
 @partial(
     jax.jit,
     static_argnames=(
-        "k", "nprobe", "metric", "group_bytes", "exact_select",
+        "k", "nprobe", "metric", "group_bytes", "exact_select", "dim",
     ),
 )
 def ivf_search(
@@ -205,6 +326,7 @@ def ivf_search(
     mask: jax.Array | None = None,
     group_bytes: int = 256 << 20,
     exact_select: bool = False,
+    dim: int = 0,
 ) -> tuple[jax.Array, jax.Array]:
     """Top-k over the ``nprobe`` best blocks per query.
 
@@ -224,14 +346,21 @@ def ivf_search(
     """
     q = queries.astype(jnp.float32)
     nq = q.shape[0]
-    nblocks, cap, d = index.blocks.shape
+    nblocks = index.nblocks
+    cap = index.cap
+    d = index.row_width  # stored row width (words for packed blocks)
     nprobe = max(1, min(nprobe, nblocks))
     distance_like = metric in ("euclidean", "mahalanobis")
     is_int8 = index.blocks.dtype == jnp.int8
-    if is_int8 and distance_like:
-        # the scaled int8 dots and the unscaled code norms would mix
-        # spaces; the retriever forbids this combination too
-        raise ValueError("int8 IVF blocks support cosine/dot only")
+    # packed sign-bit blocks (ivf_build_binary): d above is WORDS; the
+    # true vector dim arrives via the static ``dim``
+    is_binary = index.blocks.dtype == jnp.uint32
+    if is_binary and not dim:
+        raise ValueError("packed IVF blocks require dim=<vector dim>")
+    if (is_int8 or is_binary) and distance_like:
+        # the scaled int8 dots / sign-bit proxy and the unscaled norms
+        # would mix spaces; the retriever forbids these combinations too
+        raise ValueError("quantized IVF blocks support cosine/dot only")
 
     # ---- coarse stage: rank blocks by their list's centroid score
     cdots = jax.lax.dot_general(
@@ -265,11 +394,14 @@ def ivf_search(
 
         qv, q_scale = sq8_quantize(q)
         factor = (q_scale * scale).astype(jnp.float32)
+    elif is_binary:
+        qv = q.astype(jnp.bfloat16)  # asymmetric: full-precision queries
     else:
         qv = q.astype(index.blocks.dtype)
 
-    # ---- probe-group geometry (all static)
-    esize = index.blocks.dtype.itemsize
+    # ---- probe-group geometry (all static); binary groups budget by
+    # their UNPACKED bf16 working set, not the 16x-smaller packed read
+    esize = 2 * dim // d if is_binary else index.blocks.dtype.itemsize
     g = max(1, min(nprobe, group_bytes // max(1, nq * cap * d * esize)))
     n_groups = -(-nprobe // g)
     pad = n_groups * g - nprobe
@@ -290,6 +422,12 @@ def ivf_search(
             index.block_ids, bsel, axis=0, mode="fill", fill_value=-1
         ).reshape(nq, g * cap)
         rows = rows.reshape(nq, g * cap, d)
+        if is_binary:
+            from .binary import binary_unpack
+
+            rows = binary_unpack(
+                rows.reshape(nq * g * cap, d), dim
+            ).reshape(nq, g * cap, dim).astype(jnp.bfloat16)
         dots = jax.lax.dot_general(
             qv,
             rows,
@@ -328,23 +466,26 @@ def ivf_search(
                 [top_i, jnp.full((nq, w), -1, jnp.int32)], axis=1
             )
     else:
-        init = (
-            jnp.full((nq, k), NEG_INF, dtype=jnp.float32),
-            jnp.full((nq, k), -1, dtype=jnp.int32),
-        )
-
-        def body(carry, gi):
-            bsel = jax.lax.dynamic_index_in_dim(
-                sel_g, gi, axis=1, keepdims=False
-            )  # [Q, g]
-            scores, ids = score_group(bsel)
+        # UNROLLED group loop (n_groups is static and small — the byte
+        # budget keeps it single-digit): a lax.scan here forces XLA to
+        # relayout the whole blocks store for the in-loop gather (a
+        # measured 55 GB allocation at 100M packed), while per-group
+        # static gathers compile like the single-group path
+        parts_s, parts_i = [], []
+        for gi in range(n_groups):
+            scores, ids = score_group(sel_g[:, gi, :])
             s, loc = select(scores, k_eff)
-            i = jnp.take_along_axis(ids, loc, axis=1)
-            return _merge_topk([carry[0], s], [carry[1], i], k), None
-
-        (top_s, top_i), _ = jax.lax.scan(
-            body, init, jnp.arange(n_groups, dtype=jnp.int32)
-        )
+            parts_s.append(s)
+            parts_i.append(jnp.take_along_axis(ids, loc, axis=1))
+        top_s, top_i = _merge_topk(parts_s, parts_i, k)
+        if top_s.shape[1] < k:  # fewer candidates than k overall
+            w = k - top_s.shape[1]
+            top_s = jnp.concatenate(
+                [top_s, jnp.full((nq, w), NEG_INF, jnp.float32)], axis=1
+            )
+            top_i = jnp.concatenate(
+                [top_i, jnp.full((nq, w), -1, jnp.int32)], axis=1
+            )
 
     live = top_s > NEG_INF * 0.5
     if distance_like:

@@ -501,7 +501,10 @@ class DenseRetriever:
             # remove() reindexes and must invalidate (it just did).
             from ..ops.ivf import ivf_append
 
-            self._ivf_index = ivf_append(ivf, prepared, start)
+            self._ivf_index = ivf_append(
+                ivf, prepared, start,
+                dim=self._dim if self._rescore_host is not None else 0,
+            )
             self._ivf_appended += emb.shape[0]
         if self.index_path:
             self._save(self.index_path)
@@ -634,23 +637,29 @@ class DenseRetriever:
     # block is already a single fused matmul there (docs/ROOFLINE.md)
     IVF_MIN_ROWS = 8192
 
-    def _ivf_eligible(self, nq: int, backend: str) -> bool:
+    def _ivf_eligible(
+        self, nq: int, backend: str, *, binary: bool = False
+    ) -> bool:
         """Route this search through the device IVF? Only the production
-        approx path ('xla'), single-device float/int8 stores, and SMALL
-        query batches — large batches amortise the exhaustive sweep over
-        the MXU, which pruning cannot beat (see ops/ivf.py). The last
-        guard compares the batch's estimated gather traffic
-        (nq*nprobe*cap rows) against a quarter of the exhaustive sweep
-        (n rows): the measured break-even (8.8M int8, r4 IVF table) sits
-        near half the sweep — gathers cost ~2x a streaming read per
-        byte — so a quarter keeps every routed search a clear win."""
+        approx path ('xla'), single-device stores, and SMALL query
+        batches — large batches amortise the exhaustive sweep over the
+        MXU, which pruning cannot beat (see ops/ivf.py). The last guard
+        compares the batch's estimated gather traffic (nq*nprobe*cap
+        rows) against a quarter of the exhaustive sweep (n rows): the
+        measured break-even (8.8M int8, r4 IVF table) sits near half the
+        sweep — gathers cost ~2x a streaming read per byte — so a
+        quarter keeps every routed search a clear win. ``binary=True``
+        is the 1-bit cascade's stage 1 (its own branch, inherently
+        approximate — no backend condition)."""
         if not (
             self.ivf_nlist > 0
-            and backend == "xla"
             and self.mesh is None
-            and self._rescore_host is None
             and nq <= self.ivf_query_limit
             and self._corpus_n >= self.IVF_MIN_ROWS
+        ):
+            return False
+        if not binary and not (
+            backend == "xla" and self._rescore_host is None
         ):
             return False
         if self.ivf_nprobe:
@@ -671,14 +680,22 @@ class DenseRetriever:
 
     def _ensure_ivf(self):
         if self._ivf_index is None:
-            from ..ops.ivf import ivf_build
+            from ..ops.ivf import ivf_build, ivf_build_binary
 
             t0 = time.perf_counter()
-            self._ivf_index = ivf_build(
-                self._corpus_dev[: self._corpus_n],
-                self.ivf_nlist,
-                self.ivf_cap,
-            )
+            if self._rescore_host is not None:  # packed sign-bit store
+                self._ivf_index = ivf_build_binary(
+                    self._corpus_dev[: self._corpus_n],
+                    self._dim,
+                    self.ivf_nlist,
+                    self.ivf_cap,
+                )
+            else:
+                self._ivf_index = ivf_build(
+                    self._corpus_dev[: self._corpus_n],
+                    self.ivf_nlist,
+                    self.ivf_cap,
+                )
             self._ivf_appended = 0
             from ..utils.timing import force_completion
 
@@ -697,14 +714,16 @@ class DenseRetriever:
 
         idx = self._ensure_ivf()
         nprobe = self.ivf_nprobe or auto_nprobe(idx.nblocks)
+        is_binary = self._rescore_host is not None
         return ivf_search(
             q_prepared,
             idx,
             k=min(k, self._corpus_n),
             nprobe=nprobe,
             metric=self.metric,
-            scale=self._corpus_scale,
+            scale=None if is_binary else self._corpus_scale,
             mask=mask,
+            dim=self._dim if is_binary else 0,
         )
 
     def _device_search_prepared(
@@ -746,6 +765,15 @@ class DenseRetriever:
                     q_prepared, self._corpus_dev, jnp.int32(self._corpus_n),
                     mask_shard=mask,
                 )
+            elif allow_ivf and self._ivf_eligible(
+                q_prepared.shape[0], backend, binary=True
+            ):
+                # stage 1 through the device IVF: gather only the
+                # top-nprobe packed blocks instead of unpacking the
+                # whole corpus (the exhaustive sweep is unpack-rate-
+                # bound, so a single query pays the full-corpus cost
+                # without this). Sentinels (-1) come back pre-applied.
+                _, cand = self._ivf_search(q_prepared, ok, mask)
             else:
                 from ..ops.binary import binary_topk
 

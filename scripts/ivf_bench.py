@@ -36,7 +36,13 @@ import numpy as np
 
 from bench import bench_device, sync
 from latentrag_tpu.ops import approx_topk
-from latentrag_tpu.ops.ivf import auto_nprobe, ivf_build, ivf_search
+from latentrag_tpu.ops.binary import binary_quantize, binary_topk
+from latentrag_tpu.ops.ivf import (
+    auto_nprobe,
+    ivf_build,
+    ivf_build_binary,
+    ivf_search,
+)
 from latentrag_tpu.ops.quantization import sq8_quantize, sq8_topk
 
 
@@ -84,7 +90,12 @@ def main(argv=None) -> int:
     p.add_argument("--centers", type=int, default=0,
                    help="mixture components (0 = 4*nlist)")
     p.add_argument("--spread", type=float, default=0.3)
-    p.add_argument("--store", choices=["bf16", "int8"], default="bf16")
+    p.add_argument("--store", choices=["bf16", "int8", "binary"],
+                   default="bf16")
+    p.add_argument("--random-bits", action="store_true",
+                   help="binary only: stage random packed words directly "
+                        "(no fp32 corpus — unlocks 100M-scale TIMING; "
+                        "recall on structureless bits is not meaningful)")
     p.add_argument("--r", type=int, nargs=2, default=[8, 40],
                    metavar=("R_SMALL", "R_BIG"))
     args = p.parse_args(argv)
@@ -94,20 +105,32 @@ def main(argv=None) -> int:
           f"store={args.store}", file=sys.stderr)
 
     centers = args.centers or 4 * args.nlist
-    corpus32 = _clustered(2, args.n, args.d, centers, args.spread)
-    if args.store == "int8":
-        store, scale = sq8_quantize(corpus32)
+    scale = None
+    if args.store == "binary" and args.random_bits:
+        store = jax.random.bits(
+            jax.random.PRNGKey(2), (args.n, args.d // 32), jnp.uint32
+        )
+        sync(store)
     else:
-        store, scale = corpus32.astype(jnp.bfloat16), None
-    sync(store)
-    corpus32.delete()  # free the fp32 staging copy (8.2 GB at 32M x 64)
+        corpus32 = _clustered(2, args.n, args.d, centers, args.spread)
+        if args.store == "int8":
+            store, scale = sq8_quantize(corpus32)
+        elif args.store == "binary":
+            store = binary_quantize(corpus32)
+        else:
+            store = corpus32.astype(jnp.bfloat16)
+        sync(store)
+        corpus32.delete()  # free fp32 staging (8.2 GB at 32M x 64)
 
     print(f"[ivf_bench] building IVF nlist={args.nlist} cap={args.cap}",
           file=sys.stderr)
     import time as _t
 
     t0 = _t.perf_counter()
-    idx = ivf_build(store, args.nlist, args.cap)
+    if args.store == "binary":
+        idx = ivf_build_binary(store, args.d, args.nlist, args.cap)
+    else:
+        idx = ivf_build(store, args.nlist, args.cap)
     sync(idx.blocks)
     build_s = _t.perf_counter() - t0
     nblocks = idx.nblocks
@@ -129,6 +152,9 @@ def main(argv=None) -> int:
         if args.store == "int8":
             def ex_search(qq, st):
                 return sq8_topk(qq, st, scale, k=args.k)
+        elif args.store == "binary":
+            def ex_search(qq, st):  # stage-1 only, like the IVF side
+                return binary_topk(qq, st, d=args.d, k=args.k)
         else:
             def ex_search(qq, st):
                 return approx_topk(qq, st, k=args.k, recall_target=0.99)
@@ -143,9 +169,11 @@ def main(argv=None) -> int:
         for frac in args.fractions:
             nprobe = auto_nprobe(nblocks, frac)
 
+            dim = args.d if args.store == "binary" else 0
+
             def iv_search(qq, ix, _np=nprobe):
                 return ivf_search(
-                    qq, ix, k=args.k, nprobe=_np, scale=scale
+                    qq, ix, k=args.k, nprobe=_np, scale=scale, dim=dim
                 )
 
             dt_i, _ = bench_device(iv_search, q, idx, r_small, r_big)

@@ -43,13 +43,12 @@ def test_layout_partitions_rows_exactly_once(index, corpus):
     assert len(np.unique(real)) == len(corpus)
     # every block's rows belong to its owning list (nearest centroid)
     cents = np.asarray(index.centroids)
-    blocks = np.asarray(index.blocks, dtype=np.float32)
-    b2l = np.asarray(index.block2list)
-    d2 = (
-        -2.0 * blocks.reshape(-1, blocks.shape[-1]) @ cents.T
-        + (cents**2).sum(1)[None, :]
+    blocks = np.asarray(index.blocks, dtype=np.float32).reshape(
+        -1, index.row_width
     )
-    nearest = d2.argmin(1).reshape(blocks.shape[:2])
+    b2l = np.asarray(index.block2list)
+    d2 = -2.0 * blocks @ cents.T + (cents**2).sum(1)[None, :]
+    nearest = d2.argmin(1).reshape(index.nblocks, index.cap)
     mask = np.asarray(index.block_ids) >= 0
     assert np.all(nearest[mask] == np.broadcast_to(
         b2l[:, None], mask.shape
