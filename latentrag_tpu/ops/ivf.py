@@ -374,7 +374,14 @@ def ivf_search(
         cscore = 2.0 * cdots - c_sq[None, :]
     else:
         cscore = cdots
-    bscore = jnp.take(cscore, index.block2list, axis=1)  # [Q, nblocks]
+    # block2list == -1 marks PAD blocks (the mesh-sharded build pads
+    # every shard's block count to a uniform shape): they score NEG_INF
+    # so no probe budget is ever spent on them
+    b2l = index.block2list
+    bscore = jnp.take(
+        cscore, jnp.maximum(b2l, 0), axis=1
+    )  # [Q, nblocks]
+    bscore = jnp.where(b2l[None, :] >= 0, bscore, NEG_INF)
     # exact top_k is a VPU sort — at >8k-wide score rows the TPU-KNN
     # partial reduction is far cheaper and a slightly approximate PROBE
     # ORDER only perturbs which marginal lists get scanned (measured:

@@ -493,7 +493,12 @@ class DenseRetriever:
         )
         ivf = self._ivf_index
         self._mark_mutated()
-        if ivf is not None and self._ivf_append_budget(emb.shape[0]):
+        # (mesh-sharded IVFs re-shard on add — rebuild lazily instead)
+        if (
+            ivf is not None
+            and self.mesh is None
+            and self._ivf_append_budget(emb.shape[0])
+        ):
             # incremental append: new rows assign to the EXISTING
             # centroids and land in appended blocks, so the latency tier
             # survives live adds without the full k-means rebuild (~86 s
@@ -653,23 +658,27 @@ class DenseRetriever:
         approximate — no backend condition)."""
         if not (
             self.ivf_nlist > 0
-            and self.mesh is None
             and nq <= self.ivf_query_limit
             and self._corpus_n >= self.IVF_MIN_ROWS
         ):
             return False
-        if not binary and not (
-            backend == "xla" and self._rescore_host is None
-        ):
+        if binary:
+            # the 1-bit cascade's sharded stage 1 keeps the exhaustive
+            # kernels for now; single-device routes through the IVF
+            if self.mesh is not None:
+                return False
+        elif not (backend == "xla" and self._rescore_host is None):
             return False
         if self.ivf_nprobe:
             return True  # pinned nprobe is an explicit user choice
         from ..ops.ivf import auto_nprobe
 
-        # nblocks ~= n/cap before the index exists (per-list padding
-        # only adds partial blocks; close enough for a routing guard)
-        nprobe_est = auto_nprobe(max(1, self._corpus_n // self.ivf_cap))
-        return nq * nprobe_est * self.ivf_cap <= self._corpus_n // 4
+        # per-DEVICE economics: with a mesh each shard sweeps n/P rows
+        # and gathers nq*nprobe*cap rows; nblocks ~= rows/cap before the
+        # index exists (per-list padding only adds partial blocks)
+        rows = self._corpus_n // (self.mesh.size if self.mesh else 1)
+        nprobe_est = auto_nprobe(max(1, rows // self.ivf_cap))
+        return nq * nprobe_est * self.ivf_cap <= rows // 4
 
     def _ivf_append_budget(self, m: int) -> bool:
         """Allow an incremental IVF append? Each append accretes block
@@ -680,10 +689,20 @@ class DenseRetriever:
 
     def _ensure_ivf(self):
         if self._ivf_index is None:
-            from ..ops.ivf import ivf_build, ivf_build_binary
-
             t0 = time.perf_counter()
-            if self._rescore_host is not None:  # packed sign-bit store
+            if self.mesh is not None:
+                # per-shard inverted files over the already-sharded
+                # corpus (parallel/ivf.py); pad rows are masked at the
+                # merge via n_valid like every sharded kernel
+                from ..parallel.ivf import build_sharded_ivf
+
+                self._ivf_index = build_sharded_ivf(
+                    self._corpus_dev, self.mesh,
+                    self.ivf_nlist, self.ivf_cap,
+                )
+            elif self._rescore_host is not None:  # packed sign-bit store
+                from ..ops.ivf import ivf_build_binary
+
                 self._ivf_index = ivf_build_binary(
                     self._corpus_dev[: self._corpus_n],
                     self._dim,
@@ -691,6 +710,8 @@ class DenseRetriever:
                     self.ivf_cap,
                 )
             else:
+                from ..ops.ivf import ivf_build
+
                 self._ivf_index = ivf_build(
                     self._corpus_dev[: self._corpus_n],
                     self.ivf_nlist,
@@ -701,11 +722,11 @@ class DenseRetriever:
 
             force_completion(self._ivf_index.blocks)
             log.info(
-                "device IVF built: nlist=%d nblocks=%d cap=%d in %.2fs",
-                self._ivf_index.centroids.shape[0],
+                "device IVF built: nblocks=%d cap=%d in %.2fs%s",
                 self._ivf_index.nblocks,
-                self._ivf_index.cap,
+                self.ivf_cap,
                 time.perf_counter() - t0,
+                " (per shard)" if self.mesh is not None else "",
             )
         return self._ivf_index
 
@@ -715,6 +736,22 @@ class DenseRetriever:
         idx = self._ensure_ivf()
         nprobe = self.ivf_nprobe or auto_nprobe(idx.nblocks)
         is_binary = self._rescore_host is not None
+        if self.mesh is not None:
+            from ..parallel.ivf import make_sharded_ivf_topk
+
+            k_eff = min(k, self._corpus_n)
+            key = ("ivf", k_eff, nprobe, mask is not None)
+            fn = self._sharded_cache.get(key)
+            if fn is None:
+                fn = make_sharded_ivf_topk(
+                    self.mesh, k=k_eff, nprobe=nprobe, metric=self.metric,
+                    filtered=mask is not None,
+                )
+                self._sharded_cache[key] = fn
+            return fn(
+                q_prepared, idx, self._corpus_n,
+                scale=self._corpus_scale, mask_shard=mask,
+            )
         return ivf_search(
             q_prepared,
             idx,

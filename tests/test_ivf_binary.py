@@ -100,6 +100,23 @@ def test_binary_retriever_cascade_routes_stage1_through_ivf(corpus):
     assert overlap >= 0.8  # sign-dot ties can reorder marginal slots
 
 
+def test_binary_retriever_add_appends_packed_blocks(corpus):
+    r = DenseRetriever(
+        store_dtype="binary", backend="auto", ivf_nlist=32, ivf_cap=128,
+        ivf_nprobe=10**6,
+    )
+    r.build(corpus, [f"t{i}" for i in range(N)])
+    r.search(_clustered(2, D, seed=1), K)
+    assert r._ivf_index is not None
+    nb0 = r._ivf_index.nblocks
+    extra = _clustered(8, D, seed=21)
+    r.add(extra, [f"x{i}" for i in range(8)],
+          doc_ids=[f"x{i}" for i in range(8)])
+    assert r._ivf_index is not None and r._ivf_index.nblocks > nb0
+    _, _, ids = r.retrieve(extra[5], top_k=1)
+    assert ids[0] == "x5"  # rescore is exact: self-match wins
+
+
 def test_binary_ivf_filtered_search(corpus):
     r = DenseRetriever(
         store_dtype="binary", backend="auto", ivf_nlist=32, ivf_cap=128,

@@ -1,0 +1,156 @@
+"""Mesh-sharded IVF: per-shard inverted files + all-gather merge vs the
+single-device oracles, on the 8-virtual-device CPU mesh (conftest)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from latentrag_tpu.ops.binary import binary_quantize
+from latentrag_tpu.ops.quantization import sq8_quantize
+from latentrag_tpu.ops.topk import exact_topk
+from latentrag_tpu.parallel import make_mesh, shard_rows
+from latentrag_tpu.parallel.ivf import (
+    build_sharded_ivf,
+    make_sharded_ivf_topk,
+)
+
+N, D, K = 20_001, 32, 10  # deliberately NOT a mesh multiple (pad rows)
+
+
+def _clustered(n, d, seed=0, n_centers=64, spread=0.15):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_centers, d)).astype(np.float32)
+    which = rng.integers(0, n_centers, size=n)
+    x = centers[which] + spread * rng.normal(size=(n, d)).astype(np.float32)
+    return (x / np.linalg.norm(x, axis=1, keepdims=True)).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh()
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return _clustered(N, D, seed=0)
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return _clustered(16, D, seed=5)
+
+
+def test_full_probe_matches_exact_oracle(mesh, corpus, queries):
+    sharded = shard_rows(jnp.asarray(corpus), mesh)
+    sivf = build_sharded_ivf(sharded, mesh, nlist=64, cap=64)
+    assert sivf.centroids.shape[0] == mesh.size
+    search = make_sharded_ivf_topk(mesh, k=K, nprobe=10**6)
+    s, i = search(jnp.asarray(queries), sivf, N)
+    s_ref, i_ref = exact_topk(
+        jnp.asarray(queries), jnp.asarray(corpus), k=K
+    )
+    np.testing.assert_allclose(
+        np.asarray(s), np.asarray(s_ref), atol=2e-5
+    )
+    for a, b in zip(np.asarray(i), np.asarray(i_ref)):
+        assert set(a) == set(b)
+    assert (np.asarray(i) < N).all()  # pad rows can never surface
+
+
+def test_partial_probe_recall(mesh, corpus, queries):
+    sharded = shard_rows(jnp.asarray(corpus), mesh)
+    # enough lists per shard to give each shard a usable coarse
+    # quantizer (nlist is the TOTAL budget: 256/8 = 32 lists/shard);
+    # measured on this synthetic: 30% probe -> recall 0.92, 20% -> 0.84
+    sivf = build_sharded_ivf(sharded, mesh, nlist=256, cap=32)
+    nprobe = max(8, int(0.3 * sivf.nblocks))
+    search = make_sharded_ivf_topk(mesh, k=K, nprobe=nprobe)
+    _, i = search(jnp.asarray(queries), sivf, N)
+    _, i_ref = exact_topk(jnp.asarray(queries), jnp.asarray(corpus), k=K)
+    hits = sum(
+        len(set(map(int, a)) & set(map(int, b)))
+        for a, b in zip(np.asarray(i), np.asarray(i_ref))
+    )
+    assert hits / i_ref.size >= 0.85  # every shard probes its best lists
+
+
+def test_int8_sharded_ivf(mesh, corpus, queries):
+    codes, scale = sq8_quantize(jnp.asarray(corpus))
+    sharded = shard_rows(codes, mesh)
+    sivf = build_sharded_ivf(sharded, mesh, nlist=64, cap=64)
+    search = make_sharded_ivf_topk(mesh, k=1, nprobe=10**6)
+    s, i = search(jnp.asarray(corpus[:8]), sivf, N, scale=scale)
+    # self-retrieval through int8 quantization at full probe
+    assert (np.asarray(i)[:, 0] == np.arange(8)).all()
+
+
+def test_binary_sharded_ivf(mesh, corpus, queries):
+    packed = binary_quantize(jnp.asarray(corpus))
+    sharded = shard_rows(packed, mesh)
+    sivf = build_sharded_ivf(sharded, mesh, nlist=64, cap=64, dim=D)
+    search = make_sharded_ivf_topk(mesh, k=K, nprobe=10**6, dim=D)
+    s, i = search(jnp.asarray(queries), sivf, N)
+    signs = np.where(corpus >= 0, 1.0, -1.0).astype(np.float32)
+    ref = queries @ signs.T
+    want = np.sort(np.take_along_axis(
+        ref, np.argsort(-ref, axis=1)[:, :K], axis=1
+    ), axis=1)[:, ::-1]
+    np.testing.assert_allclose(np.asarray(s), want, rtol=0.02, atol=0.05)
+
+
+def test_filtered_sharded_ivf(mesh, corpus, queries):
+    sharded = shard_rows(jnp.asarray(corpus), mesh)
+    sivf = build_sharded_ivf(sharded, mesh, nlist=64, cap=64)
+    allowed = np.zeros(N, dtype=bool)
+    allowed[::5] = True
+    pad = sharded.shape[0] - N
+    mask = shard_rows(jnp.asarray(allowed), mesh)
+    search = make_sharded_ivf_topk(mesh, k=K, nprobe=10**6, filtered=True)
+    s, i = search(jnp.asarray(queries), sivf, N, mask_shard=mask)
+    i = np.asarray(i)
+    live = i >= 0
+    assert live.any()
+    assert np.all(i[live] % 5 == 0)
+    del pad
+
+
+def test_retriever_mesh_routes_small_batches_through_sharded_ivf(
+    mesh, corpus, queries
+):
+    from latentrag_tpu.retrieval import DenseRetriever
+
+    r = DenseRetriever(
+        backend="xla", store_dtype="float32", mesh=mesh,
+        ivf_nlist=256, ivf_cap=32, ivf_nprobe=10**6,
+    )
+    r.build(corpus, [f"t{i}" for i in range(N)], sanity_check=False)
+    s, i = r.search(queries, K)
+    from latentrag_tpu.parallel.ivf import ShardedIVF
+
+    assert isinstance(r._ivf_index, ShardedIVF)
+    oracle = DenseRetriever(backend="xla_exact", store_dtype="float32")
+    oracle.build(corpus, [f"t{i}" for i in range(N)])
+    s_ref, i_ref = oracle.search(queries, K)
+    # full probe -> whole corpus is the candidate set; widths here stay
+    # under the approx-select threshold so the match is exact
+    np.testing.assert_allclose(s, s_ref, atol=2e-5)
+    for a, b in zip(i, i_ref):
+        assert set(a) == set(b)
+    # a large batch keeps the exhaustive sharded path (no new routing)
+    big = _clustered(256, D, seed=9)
+    r.ivf_query_limit = 16
+    s2, _ = r.search(big, K)
+    assert s2.shape == (256, K)
+
+
+def test_mask_contract_errors(mesh, corpus):
+    sharded = shard_rows(jnp.asarray(corpus), mesh)
+    sivf = build_sharded_ivf(sharded, mesh, nlist=64, cap=64)
+    plain = make_sharded_ivf_topk(mesh, k=2, nprobe=4)
+    with pytest.raises(ValueError, match="without"):
+        plain(jnp.asarray(corpus[:2]), sivf, N,
+              mask_shard=shard_rows(jnp.ones(N, bool), mesh))
+    filt = make_sharded_ivf_topk(mesh, k=2, nprobe=4, filtered=True)
+    with pytest.raises(ValueError, match="filtered=True"):
+        filt(jnp.asarray(corpus[:2]), sivf, N)
