@@ -314,6 +314,7 @@ def ivf_append(
     jax.jit,
     static_argnames=(
         "k", "nprobe", "metric", "group_bytes", "exact_select", "dim",
+        "recall_target",
     ),
 )
 def ivf_search(
@@ -327,6 +328,7 @@ def ivf_search(
     group_bytes: int = 256 << 20,
     exact_select: bool = False,
     dim: int = 0,
+    recall_target: float = 0.95,
 ) -> tuple[jax.Array, jax.Array]:
     """Top-k over the ``nprobe`` best blocks per query.
 
@@ -391,7 +393,7 @@ def ivf_search(
     # the differential-test anchor)
     if nblocks > 8192 and not exact_select:
         _, sel = jax.lax.approx_max_k(
-            bscore, nprobe, recall_target=0.95
+            bscore, nprobe, recall_target=recall_target
         )
     else:
         _, sel = jax.lax.top_k(bscore, nprobe)  # [Q, nprobe]
@@ -456,7 +458,9 @@ def ivf_search(
         exact either way; only marginal candidate order is approximate,
         the same contract as the exhaustive ``approx_topk``)."""
         if scores.shape[1] > 8192 and not exact_select:
-            return jax.lax.approx_max_k(scores, kk, recall_target=0.95)
+            return jax.lax.approx_max_k(
+                scores, kk, recall_target=recall_target
+            )
         return jax.lax.top_k(scores, kk)
 
     k_eff = min(k, g * cap)

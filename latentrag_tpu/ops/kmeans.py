@@ -95,18 +95,23 @@ def kmeans(
 def assign_clusters(
     x: jax.Array, centroids: jax.Array, *, block_size: int = 131072
 ) -> jax.Array:
-    """[n] int32 nearest-centroid (L2) ids, blocked like ``kmeans``."""
+    """[n] int32 nearest-centroid (L2) ids, blocked like ``kmeans``.
+
+    Like ``kmeans``, the big operand keeps its STORE dtype end to end
+    (this is the sweep that touches EVERY corpus row — a wholesale fp32
+    cast + padded copy is ~2 full fp32 corpora in one program, the
+    measured r4 32M OOM); only the [block_size, d] slice is cast.
+    """
     n, d = x.shape
-    x = x.astype(jnp.float32)
     c = centroids.astype(jnp.float32)
     pad = (-n) % block_size
-    xp = jnp.concatenate([x, jnp.zeros((pad, d), jnp.float32)]) if pad else x
+    xp = jnp.concatenate([x, jnp.zeros((pad, d), x.dtype)]) if pad else x
     n_blocks = xp.shape[0] // block_size
 
     def block_step(_, b):
         xb = jax.lax.dynamic_slice_in_dim(
             xp, b * block_size, block_size, axis=0
-        )
+        ).astype(jnp.float32)
         scores = xb @ c.T - 0.5 * jnp.sum(c * c, axis=1)[None, :]
         return None, jnp.argmax(scores, axis=1).astype(jnp.int32)
 

@@ -154,6 +154,7 @@ def make_sharded_ivf_topk(
     metric: str = "cosine",
     dim: int = 0,
     axis: str = DATA_AXIS,
+    recall_target: float = 0.95,
     filtered: bool = False,
 ):
     """Build a jitted sharded-IVF search.
@@ -180,6 +181,7 @@ def make_sharded_ivf_topk(
             s, i = ivf_search(
                 q, idx, k=local_k, nprobe=nprobe, metric=metric,
                 scale=scale, mask=m_shard, dim=dim,
+                recall_target=recall_target,
             )  # [Q, local_k] LOCAL rows, -1 pads
             offset = jax.lax.axis_index(axis) * rows_per_shard
             gi = jnp.where(i >= 0, i + offset, -1)

@@ -736,16 +736,20 @@ class DenseRetriever:
         idx = self._ensure_ivf()
         nprobe = self.ivf_nprobe or auto_nprobe(idx.nblocks)
         is_binary = self._rescore_host is not None
+        # the retriever's recall_target policy governs the IVF's
+        # approximate SELECT stages too (candidate-set pruning via
+        # nprobe is a separate, orthogonal approximation)
+        rt = self._effective_recall_target(k)
         if self.mesh is not None:
             from ..parallel.ivf import make_sharded_ivf_topk
 
             k_eff = min(k, self._corpus_n)
-            key = ("ivf", k_eff, nprobe, mask is not None)
+            key = ("ivf", k_eff, nprobe, rt, mask is not None)
             fn = self._sharded_cache.get(key)
             if fn is None:
                 fn = make_sharded_ivf_topk(
                     self.mesh, k=k_eff, nprobe=nprobe, metric=self.metric,
-                    filtered=mask is not None,
+                    recall_target=rt, filtered=mask is not None,
                 )
                 self._sharded_cache[key] = fn
             return fn(
@@ -761,6 +765,7 @@ class DenseRetriever:
             scale=None if is_binary else self._corpus_scale,
             mask=mask,
             dim=self._dim if is_binary else 0,
+            recall_target=rt,
         )
 
     def _device_search_prepared(
@@ -944,8 +949,13 @@ class DenseRetriever:
         ``filter`` (optional) restricts eligibility to matching documents —
         see ``retrieval.filtering`` for the spec format. Filtering happens
         IN the fused device kernels (scores masked to -inf before top-k),
-        so results are exactly "search over the allowed subset"; when fewer
-        than k documents match, the tail rows carry -1 ids."""
+        so results are exactly "search over the allowed subset".
+
+        Whenever fewer than k candidates exist — a filter matched fewer
+        documents, or a device-IVF route with a pinned small ``nprobe``
+        probed fewer rows — the tail slots come back as (-inf, -1);
+        callers must skip ids < 0 before indexing texts/doc_ids (a raw
+        ``texts[-1]`` would silently alias the last document)."""
         if not self.is_built:
             raise RuntimeError("index not built")
         t0 = time.perf_counter()
@@ -962,9 +972,10 @@ class DenseRetriever:
         s_dev, i_dev = self._device_search_prepared(q, k, mask=mask)
         s = np.asarray(s_dev)
         i = np.asarray(i_dev)
-        if filter is not None:
-            # slots the filter left at NEG_INF hold arbitrary row ids
-            i = np.where(s > NEG_INF * 0.5, i, -1)
+        # NEG_INF slots hold arbitrary (or already -1) row ids on every
+        # path that can under-fill — filters, IVF probe budgets —
+        # normalise them all to the -1 sentinel
+        i = np.where(s > NEG_INF * 0.5, i, -1)
         self.stats.add_search_batch(time.perf_counter() - t0, q.shape[0])
         return s, i
 

@@ -223,7 +223,9 @@ class RetrievalConfig:
     # dependent recall), visited scores exact.
     ivf_nlist: int = 0
     ivf_cap: int = 512  # rows per IVF block (the fixed-shape gather unit)
-    ivf_nprobe: int = 0  # probed blocks per query; 0 = auto (~10% of blocks)
+    # probed blocks per query; 0 = auto (~2% of blocks, floor 32 — see
+    # ops/ivf.auto_nprobe; recall curves in docs/ROOFLINE.md r4)
+    ivf_nprobe: int = 0
     ivf_query_limit: int = 64  # batches above this Q stay exhaustive
 
 

@@ -103,6 +103,16 @@ def main(argv=None) -> int:
     backend = jax.default_backend()
     print(f"[ivf_bench] backend={backend} n={args.n} d={args.d} "
           f"store={args.store}", file=sys.stderr)
+    if backend != "cpu":
+        # probe-then-run (CLAUDE.md relay discipline): the relay can go
+        # dark for 10-60+ min and a hang inside the runtime is not
+        # interruptible — ask a killable subprocess first
+        from bench import _relay_alive
+
+        if not _relay_alive(300.0):
+            print("[ivf_bench] relay dark — aborting before dispatch",
+                  file=sys.stderr)
+            return 2
 
     centers = args.centers or 4 * args.nlist
     scale = None
