@@ -96,6 +96,12 @@ def main(argv=None) -> int:
                    help="binary only: stage random packed words directly "
                         "(no fp32 corpus — unlocks 100M-scale TIMING; "
                         "recall on structureless bits is not meaningful)")
+    p.add_argument("--cascade", action="store_true",
+                   help="binary only: measure END-TO-END cascade quality "
+                        "(stage-1 oversample + exact SQ8 rescore, scored "
+                        "against the fp32 exact oracle) for the "
+                        "exhaustive and IVF stage-1 variants")
+    p.add_argument("--oversample", type=int, default=8)
     p.add_argument("--r", type=int, nargs=2, default=[8, 40],
                    metavar=("R_SMALL", "R_BIG"))
     args = p.parse_args(argv)
@@ -114,8 +120,12 @@ def main(argv=None) -> int:
                   file=sys.stderr)
             return 2
 
+    if args.cascade and (args.store != "binary" or args.random_bits):
+        p.error("--cascade requires --store binary without --random-bits")
+
     centers = args.centers or 4 * args.nlist
     scale = None
+    rescore_codes = None
     if args.store == "binary" and args.random_bits:
         store = jax.random.bits(
             jax.random.PRNGKey(2), (args.n, args.d // 32), jnp.uint32
@@ -127,10 +137,19 @@ def main(argv=None) -> int:
             store, scale = sq8_quantize(corpus32)
         elif args.store == "binary":
             store = binary_quantize(corpus32)
+            if args.cascade:
+                # device-resident SQ8 rescore codes + the fp32 oracle
+                # (production keeps codes host-side; the arithmetic is
+                # identical and a 0.5 GB host fetch would crawl through
+                # the relay tunnel)
+                rescore_codes, scale = sq8_quantize(corpus32)
         else:
             store = corpus32.astype(jnp.bfloat16)
         sync(store)
-        corpus32.delete()  # free fp32 staging (8.2 GB at 32M x 64)
+        if args.cascade:
+            oracle32 = corpus32  # kept alive for exact end-to-end recall
+        else:
+            corpus32.delete()  # free fp32 staging (8.2 GB at 32M x 64)
 
     print(f"[ivf_bench] building IVF nlist={args.nlist} cap={args.cap}",
           file=sys.stderr)
@@ -199,6 +218,55 @@ def main(argv=None) -> int:
                   f"nprobe={nprobe} ({frac:.0%}): {dt_i*1e3:.3f}ms "
                   f"recall={row['ivf'][-1]['recall']:.3f} "
                   f"({row['ivf'][-1]['speedup']}x)", file=sys.stderr)
+
+        if args.cascade:
+            # end-to-end cascade quality: stage-1 oversample (exhaustive
+            # vs IVF) -> exact SQ8 rescore -> final k, recall vs the
+            # fp32 exact oracle. Ties in stage-1 sign-dots are irrelevant
+            # here — the rescore re-ranks the candidate set exactly.
+            from latentrag_tpu.ops.topk import exact_topk
+
+            ok = min(args.oversample * args.k, args.n)
+            _, oracle_i = exact_topk(q, oracle32, k=args.k)
+            oracle_i = np.asarray(oracle_i)
+            q_codes, q_scale = sq8_quantize(q)
+            factor = jnp.float32(q_scale * scale)
+
+            def rescore(cand):
+                rows = jnp.take(
+                    rescore_codes, jnp.maximum(cand, 0), axis=0
+                )  # [Q, ok, d] int8
+                dots = jax.lax.dot_general(
+                    q_codes, rows,
+                    dimension_numbers=(((1,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.int32,
+                )
+                s = dots.astype(jnp.float32) * factor
+                s = jnp.where(cand >= 0, s, jnp.float32(-3.4e38))
+                _, loc = jax.lax.top_k(s, args.k)
+                return np.asarray(jnp.take_along_axis(cand, loc, axis=1))
+
+            _, cand_ex = binary_topk(q, store, d=args.d, k=ok)
+            casc = {
+                "oversample": args.oversample,
+                "end_recall_exhaustive": round(
+                    _recall(rescore(cand_ex), oracle_i), 4
+                ),
+                "ivf": [],
+            }
+            for frac in args.fractions:
+                nprobe = auto_nprobe(nblocks, frac)
+                _, cand_iv = ivf_search(
+                    q, idx, k=ok, nprobe=nprobe, dim=args.d
+                )
+                r = round(_recall(rescore(cand_iv), oracle_i), 4)
+                casc["ivf"].append(
+                    {"fraction": frac, "nprobe": nprobe, "end_recall": r}
+                )
+                print(f"[ivf_bench] Q={nq} cascade end recall@{args.k}: "
+                      f"exhaustive={casc['end_recall_exhaustive']:.3f} "
+                      f"ivf@{frac:.1%}={r:.3f}", file=sys.stderr)
+            row["cascade"] = casc
         out["rows"].append(row)
 
     print(json.dumps(out))
