@@ -68,6 +68,62 @@ def _clustered(seed: int, n: int, d: int, n_centers: int, spread: float):
     return x / jnp.linalg.norm(x, axis=1, keepdims=True)
 
 
+@partial(
+    jax.jit, static_argnames=("rows", "d", "n_centers", "spread")
+)
+def _clustered_chunk(seed, chunk, rows, d, n_centers, spread):
+    """One chunk of the SAME mixture as ``_clustered(seed, ...)`` would
+    draw (same centers; which/noise keyed by chunk), unit-normalized."""
+    kc, kw, kn = jax.random.split(jax.random.PRNGKey(seed), 3)
+    centers = jax.random.normal(kc, (n_centers, d), jnp.float32)
+    centers = centers / jnp.linalg.norm(centers, axis=1, keepdims=True)
+    kw = jax.random.fold_in(kw, chunk)
+    kn = jax.random.fold_in(kn, chunk)
+    which = jax.random.randint(kw, (rows,), 0, n_centers)
+    x = jnp.take(centers, which, axis=0) + spread * jax.random.normal(
+        kn, (rows, d), jnp.float32
+    )
+    return x / jnp.linalg.norm(x, axis=1, keepdims=True)
+
+
+def _staged_quantized(seed, n, d, n_centers, spread, store, chunks=4):
+    """int8/binary corpus staged in ``chunks`` pieces so no full fp32
+    copy ever exists (the single-shot fp32 output is 17 GB lane-padded
+    at 32M — past HBM even fused). Two passes for int8 (global abs-max
+    scale first, exactly ``sq8_quantize``'s semantics), one for binary.
+    Returns (store_array, scale|None).
+    """
+    rows = -(-n // chunks)
+    sizes = [min(rows, n - i * rows) for i in range(chunks)]
+    if store == "int8":
+        m = 0.0
+        for i, sz in enumerate(sizes):
+            x = _clustered_chunk(seed, i, rows, d, n_centers, spread)
+            m = max(m, float(jnp.max(jnp.abs(x[:sz]))))
+            x.delete()
+        scale = jnp.float32(max(m / 127.0, 1e-12))
+        out = jnp.zeros((n, d), jnp.int8)
+        for i, sz in enumerate(sizes):
+            x = _clustered_chunk(seed, i, rows, d, n_centers, spread)
+            codes = jnp.clip(
+                jnp.round(x[:sz] / scale), -127, 127
+            ).astype(jnp.int8)
+            out = jax.lax.dynamic_update_slice_in_dim(
+                out, codes, i * rows, axis=0
+            )
+            x.delete()
+        return out, scale
+    out = None
+    for i, sz in enumerate(sizes):
+        x = _clustered_chunk(seed, i, rows, d, n_centers, spread)
+        pk = binary_quantize(x[:sz])
+        x.delete()
+        if out is None:
+            out = jnp.zeros((n, pk.shape[1]), jnp.uint32)
+        out = jax.lax.dynamic_update_slice_in_dim(out, pk, i * rows, axis=0)
+    return out, None
+
+
 def _recall(ids, ref_ids):
     ids, ref_ids = np.asarray(ids), np.asarray(ref_ids)
     hits = sum(
@@ -131,6 +187,14 @@ def main(argv=None) -> int:
             jax.random.PRNGKey(2), (args.n, args.d // 32), jnp.uint32
         )
         sync(store)
+    elif args.n > 20_000_000 and args.store in ("int8", "binary") \
+            and not args.cascade:
+        # 32M+: stage the quantized corpus in chunks — a single fp32
+        # staging buffer is 17+ GB lane-padded (past HBM even fused)
+        store, scale = _staged_quantized(
+            2, args.n, args.d, centers, args.spread, args.store
+        )
+        sync(store)
     else:
         corpus32 = _clustered(2, args.n, args.d, centers, args.spread)
         if args.store == "int8":
@@ -173,7 +237,14 @@ def main(argv=None) -> int:
     }
     r_small, r_big = args.r
     for nq in args.queries:
-        q = _clustered(100 + nq, nq, args.d, centers, args.spread)
+        # queries draw from the SAME mixture as the corpus (same
+        # centers, fresh noise) — like real queries, which live on the
+        # corpus manifold. (Earlier revisions drew them from a
+        # different-seed mixture = out-of-distribution queries, which
+        # understates candidate recall at every probe budget.)
+        q = _clustered_chunk(
+            2, 10_000 + nq, nq, args.d, centers, args.spread
+        )
 
         # exhaustive baseline at this batch size — also the recall
         # reference (same store, so recall isolates the PRUNING loss
