@@ -643,7 +643,8 @@ class DenseRetriever:
     IVF_MIN_ROWS = 8192
 
     def _ivf_eligible(
-        self, nq: int, backend: str, *, binary: bool = False
+        self, nq: int, backend: str, *, binary: bool = False,
+        pinned: bool = False,
     ) -> bool:
         """Route this search through the device IVF? Only the production
         approx path ('xla'), single-device stores, and SMALL query
@@ -669,8 +670,10 @@ class DenseRetriever:
                 return False
         elif not (backend == "xla" and self._rescore_host is None):
             return False
-        if self.ivf_nprobe:
-            return True  # pinned nprobe is an explicit user choice
+        if pinned or self.ivf_nprobe:
+            # a pinned budget (config field or per-request nprobe) is an
+            # explicit user choice — skip the auto traffic guard
+            return True
         from ..ops.ivf import auto_nprobe
 
         # per-DEVICE economics: with a mesh each shard sweeps n/P rows
@@ -730,11 +733,16 @@ class DenseRetriever:
             )
         return self._ivf_index
 
-    def _ivf_search(self, q_prepared: jax.Array, k: int, mask: Any):
+    def _ivf_search(
+        self, q_prepared: jax.Array, k: int, mask: Any,
+        nprobe_override: int | None = None,
+    ):
         from ..ops.ivf import auto_nprobe, ivf_search
 
         idx = self._ensure_ivf()
-        nprobe = self.ivf_nprobe or auto_nprobe(idx.nblocks)
+        nprobe = (
+            nprobe_override or self.ivf_nprobe or auto_nprobe(idx.nblocks)
+        )
         is_binary = self._rescore_host is not None
         # the retriever's recall_target policy governs the IVF's
         # approximate SELECT stages too (candidate-set pruning via
@@ -770,7 +778,7 @@ class DenseRetriever:
 
     def _device_search_prepared(
         self, q_prepared: jax.Array, k: int, mask: Any = None,
-        allow_ivf: bool = True,
+        allow_ivf: bool = True, nprobe: int | None = None,
     ):
         """Top-k given queries ALREADY in the prepared (normalized/whitened)
         space. Returns (scores, indices) — device arrays, except the binary
@@ -780,8 +788,10 @@ class DenseRetriever:
         lets the self-check pin the exhaustive kernels (its oracle)."""
         backend = self._resolve_backend()
         rt = self._effective_recall_target(k)
-        if allow_ivf and self._ivf_eligible(q_prepared.shape[0], backend):
-            return self._ivf_search(q_prepared, k, mask)
+        if allow_ivf and self._ivf_eligible(
+            q_prepared.shape[0], backend, pinned=nprobe is not None
+        ):
+            return self._ivf_search(q_prepared, k, mask, nprobe)
         if self._rescore_host is not None:  # binary cascade store
             ok = min(self.binary_oversample * k, self._corpus_n)
             if self.mesh is not None:
@@ -808,7 +818,8 @@ class DenseRetriever:
                     mask_shard=mask,
                 )
             elif allow_ivf and self._ivf_eligible(
-                q_prepared.shape[0], backend, binary=True
+                q_prepared.shape[0], backend, binary=True,
+                pinned=nprobe is not None,
             ):
                 # stage 1 through the device IVF: gather only the
                 # top-nprobe packed blocks instead of unpacking the
@@ -941,7 +952,8 @@ class DenseRetriever:
         return m
 
     def search(
-        self, queries: np.ndarray, k: int, filter: dict | None = None
+        self, queries: np.ndarray, k: int, filter: dict | None = None,
+        nprobe: int | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Batched top-k. queries: [Q, D] raw embedding space. Returns
         (scores [Q, k], indices [Q, k]) as numpy.
@@ -950,6 +962,12 @@ class DenseRetriever:
         see ``retrieval.filtering`` for the spec format. Filtering happens
         IN the fused device kernels (scores masked to -inf before top-k),
         so results are exactly "search over the allowed subset".
+
+        ``nprobe`` (optional, device-IVF stores only) pins THIS search's
+        probe budget — the per-request latency/recall knob: like a
+        pinned ``ivf_nprobe`` config it bypasses the auto traffic guard
+        (the query-batch limit still applies), and it is ignored when no
+        IVF is configured.
 
         Whenever fewer than k candidates exist — a filter matched fewer
         documents, or a device-IVF route with a pinned small ``nprobe``
@@ -969,7 +987,9 @@ class DenseRetriever:
         else:
             q = jnp.asarray(np.asarray(queries, dtype=np.float32))
         q = prepare_for_metric(q, self.metric, self._whitener)
-        s_dev, i_dev = self._device_search_prepared(q, k, mask=mask)
+        s_dev, i_dev = self._device_search_prepared(
+            q, k, mask=mask, nprobe=nprobe
+        )
         s = np.asarray(s_dev)
         i = np.asarray(i_dev)
         # NEG_INF slots hold arbitrary (or already -1) row ids on every

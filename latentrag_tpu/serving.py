@@ -33,6 +33,11 @@ class MicroBatcher:
     the caller's lock, so result assembly can never race a concurrent
     index mutation. ``submit`` blocks until its slice is ready and
     re-raises any batch-level exception in every waiting caller.
+
+    Requests carrying a per-request ``nprobe`` (the device-IVF probe
+    budget) group separately — the knob changes result semantics, so it
+    is part of the group key; ``run_batch`` receives it as a keyword
+    only when set (3-arg callbacks keep working unchanged).
     """
 
     def __init__(
@@ -56,7 +61,7 @@ class MicroBatcher:
 
     def submit(
         self, queries: Sequence[str], k: int, filter: dict | None,
-        filter_key: str | None,
+        filter_key: str | None, nprobe: int | None = None,
     ) -> tuple:
         """Enqueue and block until the coalesced batch completes.
 
@@ -67,7 +72,7 @@ class MicroBatcher:
         with self._cv:
             if self._closed:
                 raise RuntimeError("MicroBatcher is closed")
-            key = (int(k), filter_key)
+            key = (int(k), filter_key, nprobe)
             group = self._pending.setdefault(key, [])
             if not group:
                 self._opened_at[key] = time.monotonic()
@@ -146,12 +151,16 @@ class MicroBatcher:
                         )
             key, group = ready
             k = key[0]
+            nprobe = key[2] if len(key) > 2 else None
             queries = [q for qs, *_ in group for q in qs]
             # all members share the canonical filter key, so the first
             # member's spec is the group's spec
             spec = group[0][1]
             try:
-                out = self._run_batch(queries, k, spec)
+                out = self._run_batch(
+                    queries, k, spec,
+                    **({"nprobe": nprobe} if nprobe is not None else {}),
+                )
             except Exception as e:  # noqa: BLE001 - fan the error out
                 for _, _, fut, _ in group:
                     if not fut.done():

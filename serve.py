@@ -24,6 +24,10 @@ Protocol:
   {"query": "...", "filter": {...}}         -> predicate-filtered search
                                                (doc_ids / exclude_doc_ids /
                                                where — retrieval.filtering)
+  {"query": "...", "nprobe": 64}            -> per-request device-IVF
+                                               probe budget (dense backend
+                                               with retrieval.ivf_nlist;
+                                               the latency/recall knob)
   {"add": {"texts": ["..."], "doc_ids": [..],
            "metadata": [{...}, ...]}}       -> incremental index growth
   {"remove": {"doc_ids": [..]}}             -> drop docs (dense tiers;
@@ -138,7 +142,7 @@ def make_handle(cfg, args, runner, compressor, retriever, mode):
     lock = threading.Lock()
 
     def _validate_search(req: dict):
-        """Shared request validation -> (queries, k, filter_spec)."""
+        """Shared request validation -> (queries, k, filter, nprobe)."""
         queries = req.get("queries")
         if queries is None:
             queries = [req["query"]]
@@ -147,11 +151,11 @@ def make_handle(cfg, args, runner, compressor, retriever, mode):
             raise ValueError('"queries" must be a list of strings')
         k = int(req.get("k", cfg.retrieval.top_k))
         flt = req.get("filter")
+        import inspect
+
         if flt is not None:
             # dense + ANN tiers take filter=; others raise a clear
             # protocol error instead of silently ignoring the key
-            import inspect
-
             if "filter" not in inspect.signature(
                 retriever.search
             ).parameters:
@@ -159,13 +163,27 @@ def make_handle(cfg, args, runner, compressor, retriever, mode):
                     f"{type(retriever).__name__} does not support filtered "
                     'search; use backend "dense", "hnsw" or "ivfpq"'
                 )
-        return queries, k, flt
+        nprobe = req.get("nprobe")
+        if nprobe is not None:
+            # the per-request device-IVF probe budget (latency/recall
+            # knob); reject clearly where it cannot mean anything
+            nprobe = int(nprobe)
+            if nprobe <= 0:
+                raise ValueError('"nprobe" must be a positive integer')
+            if "nprobe" not in inspect.signature(
+                retriever.search
+            ).parameters or not getattr(retriever, "ivf_nlist", 0):
+                raise ValueError(
+                    '"nprobe" requires the dense backend with '
+                    "retrieval.ivf_nlist > 0 (the device IVF tier)"
+                )
+        return queries, k, flt, nprobe
 
     # optional second-stage cross-encoder (retrieval.rerank=cross): boot
     # fails fast with the training command when the checkpoint is absent
     reranker = runner._ensure_reranker()
 
-    def _hits_for(queries, k, flt):
+    def _hits_for(queries, k, flt, nprobe=None):
         """Encode + search (+ rerank) + assemble per-query hit lists. Must
         run under the lock: hit assembly reads texts/doc_ids, which
         mutations rewrite."""
@@ -173,10 +191,12 @@ def make_handle(cfg, args, runner, compressor, retriever, mode):
         if reranker is not None:
             fetch_k = max(k, cfg.retrieval.rerank_candidates or 4 * k)
         q_emb = compressor.encode_text(queries)
+        kw = {}
         if flt is not None:
-            scores, idx = retriever.search(q_emb, fetch_k, filter=flt)
-        else:
-            scores, idx = retriever.search(q_emb, fetch_k)
+            kw["filter"] = flt
+        if nprobe is not None:
+            kw["nprobe"] = nprobe
+        scores, idx = retriever.search(q_emb, fetch_k, **kw)
         if reranker is not None:
             import numpy as _np
 
@@ -211,7 +231,7 @@ def make_handle(cfg, args, runner, compressor, retriever, mode):
         from latentrag_tpu.models.encoder.minilm import _bucket_batch
         from latentrag_tpu.serving import MicroBatcher
 
-        def _score_batch(queries, k, flt):
+        def _score_batch(queries, k, flt, nprobe=None):
             # burst sizes are arbitrary; pad the query list to the same
             # power-of-two buckets the encoder uses so coalesced batches
             # reuse a handful of compiled programs instead of paying a
@@ -220,7 +240,7 @@ def make_handle(cfg, args, runner, compressor, retriever, mode):
             nb = _bucket_batch(n)
             padded = list(queries) + [queries[0]] * (nb - n)
             with lock:
-                return _hits_for(padded, k, flt)[:n]
+                return _hits_for(padded, k, flt, nprobe)[:n]
 
         batcher = MicroBatcher(
             _score_batch, window_ms=window_ms,
@@ -239,10 +259,10 @@ def make_handle(cfg, args, runner, compressor, retriever, mode):
                 canonical_filter_key,
             )
 
-            queries, k, flt = _validate_search(req)
+            queries, k, flt, nprobe = _validate_search(req)
             fkey = canonical_filter_key(flt) if flt is not None else None
             t0 = time.perf_counter()
-            hits = batcher.submit(queries, k, flt, fkey)
+            hits = batcher.submit(queries, k, flt, fkey, nprobe)
             out = {
                 "results": [
                     {"query": q, "hits": h} for q, h in zip(queries, hits)
@@ -320,9 +340,9 @@ def make_handle(cfg, args, runner, compressor, retriever, mode):
                 "n_total": len(retriever.texts),
                 "latency_ms": round((time.perf_counter() - t0) * 1000, 3),
             }
-        queries, k, flt = _validate_search(req)
+        queries, k, flt, nprobe = _validate_search(req)
         t0 = time.perf_counter()
-        hits = _hits_for(queries, k, flt)
+        hits = _hits_for(queries, k, flt, nprobe)
         latency_ms = (time.perf_counter() - t0) * 1000
         results = [
             {"query": q, "hits": h} for q, h in zip(queries, hits)

@@ -228,6 +228,42 @@ def test_serve_add_protocol_grows_index(tmp_path, capsys):
     assert "error" in lines[2]  # empty add rejected
 
 
+def test_serve_nprobe_protocol(tmp_path, capsys):
+    import serve
+
+    payload = (
+        json.dumps({"query": "galaxies", "k": 2, "nprobe": 8}) + "\n"
+        + json.dumps({"query": "galaxies", "k": 2, "nprobe": 0}) + "\n"
+    )
+    # with the IVF configured, a per-request nprobe is accepted (on a
+    # tiny corpus the eligibility floor keeps the search exhaustive —
+    # the knob is advisory routing, not a correctness switch)
+    with patch.object(sys, "stdin", io.StringIO(payload)):
+        assert serve.main(
+            ["--ae_type", "none", "--set"] + _overrides(tmp_path)
+            + ["retrieval.ivf_nlist=16"]
+        ) == 0
+    lines = [
+        json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+        if line.strip()
+    ]
+    assert lines[0]["results"][0]["hits"]
+    assert "error" in lines[1]  # nprobe must be positive
+
+    # without an IVF configured the knob is a clear protocol error
+    with patch.object(sys, "stdin", io.StringIO(
+        json.dumps({"query": "galaxies", "k": 2, "nprobe": 8}) + "\n"
+    )):
+        assert serve.main(
+            ["--ae_type", "none", "--set"] + _overrides(tmp_path)
+        ) == 0
+    err_line = json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1]
+    )
+    assert "error" in err_line and "ivf_nlist" in err_line["error"]
+
+
 def test_serve_remove_protocol_drops_docs(tmp_path, capsys):
     import serve
 

@@ -113,6 +113,24 @@ def test_partial_probe_recall_via_retriever(corpus, queries):
     assert hits / i_ref.size >= 0.75  # hard synthetic; see test_ivf_ops
 
 
+def test_per_request_nprobe_pins_the_route_and_budget(corpus, queries):
+    # auto policy refuses this corpus (traffic guard) — an explicit
+    # per-request nprobe is a user choice and routes anyway
+    r = _build(corpus, ivf_nprobe=0)
+    r.search(queries, K)
+    assert r._ivf_index is None  # auto guard refused
+    s, i = r.search(queries, K, nprobe=10**6)  # full probe, pinned
+    assert r._ivf_index is not None
+    oracle = DenseRetriever(backend="xla_exact", store_dtype="float32")
+    oracle.build(corpus, [f"t{i}" for i in range(N)])
+    _, i_ref = oracle.search(queries, K)
+    overlap = np.mean([len(set(a) & set(b)) / K for a, b in zip(i, i_ref)])
+    assert overlap >= 0.9
+    # a tiny pinned budget under-fills and sentinels the tail
+    s2, i2 = r.search(queries, 3 * r.ivf_cap, nprobe=1)
+    assert ((i2 >= 0).sum(axis=1) <= r.ivf_cap).all()
+
+
 def test_auto_nprobe_traffic_guard_keeps_toy_corpora_exhaustive(corpus):
     # auto policy at 10k rows: estimated gather traffic for even a small
     # batch exceeds half the exhaustive sweep -> stays exhaustive

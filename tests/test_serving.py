@@ -85,6 +85,46 @@ def test_microbatcher_groups_by_k_and_filter_key():
         b.close()
 
 
+def test_microbatcher_groups_by_nprobe_and_passes_it_through():
+    seen = []
+
+    def run_batch(queries, k, flt, nprobe=None):
+        seen.append((nprobe, tuple(queries)))
+        return [(q, nprobe) for q in queries]
+
+    b = MicroBatcher(run_batch, window_ms=40, max_batch=64)
+    try:
+        def call(i):
+            if i % 2:
+                return b.submit([f"p{i}"], 3, None, None, nprobe=16)
+            return b.submit([f"d{i}"], 3, None, None)
+
+        results = _fire(6, call)
+        for i, r in enumerate(results):
+            assert list(r) == [(f"{'p' if i % 2 else 'd'}{i}",
+                                16 if i % 2 else None)]
+        # nprobe requests never coalesced with default ones
+        for nprobe, qs in seen:
+            assert all(
+                q.startswith("p" if nprobe == 16 else "d") for q in qs
+            )
+    finally:
+        b.close()
+
+
+def test_microbatcher_three_arg_callback_still_works():
+    # callbacks written before the nprobe knob take (queries, k, flt);
+    # the batcher only passes nprobe as a kwarg when one was submitted
+    def run_batch(queries, k, flt):
+        return list(queries)
+
+    b = MicroBatcher(run_batch, window_ms=5, max_batch=8)
+    try:
+        assert b.submit(["x"], 2, None, None) == ["x"]
+    finally:
+        b.close()
+
+
 def test_microbatcher_max_batch_flushes_early():
     calls = []
 
