@@ -663,12 +663,9 @@ class DenseRetriever:
             and self._corpus_n >= self.IVF_MIN_ROWS
         ):
             return False
-        if binary:
-            # the 1-bit cascade's sharded stage 1 keeps the exhaustive
-            # kernels for now; single-device routes through the IVF
-            if self.mesh is not None:
-                return False
-        elif not (backend == "xla" and self._rescore_host is None):
+        if not binary and not (
+            backend == "xla" and self._rescore_host is None
+        ):
             return False
         if pinned or self.ivf_nprobe:
             # a pinned budget (config field or per-request nprobe) is an
@@ -702,6 +699,8 @@ class DenseRetriever:
                 self._ivf_index = build_sharded_ivf(
                     self._corpus_dev, self.mesh,
                     self.ivf_nlist, self.ivf_cap,
+                    # packed sign-bit shards need the true vector dim
+                    dim=self._dim if self._rescore_host is not None else 0,
                 )
             elif self._rescore_host is not None:  # packed sign-bit store
                 from ..ops.ivf import ivf_build_binary
@@ -758,11 +757,13 @@ class DenseRetriever:
                 fn = make_sharded_ivf_topk(
                     self.mesh, k=k_eff, nprobe=nprobe, metric=self.metric,
                     recall_target=rt, filtered=mask is not None,
+                    dim=self._dim if is_binary else 0,
                 )
                 self._sharded_cache[key] = fn
             return fn(
                 q_prepared, idx, self._corpus_n,
-                scale=self._corpus_scale, mask_shard=mask,
+                scale=None if is_binary else self._corpus_scale,
+                mask_shard=mask,
             )
         return ivf_search(
             q_prepared,
@@ -794,7 +795,18 @@ class DenseRetriever:
             return self._ivf_search(q_prepared, k, mask, nprobe)
         if self._rescore_host is not None:  # binary cascade store
             ok = min(self.binary_oversample * k, self._corpus_n)
-            if self.mesh is not None:
+            if allow_ivf and self._ivf_eligible(
+                q_prepared.shape[0], backend, binary=True,
+                pinned=nprobe is not None,
+            ):
+                # stage 1 through the device IVF (single-device OR
+                # per-shard over the mesh): gather only the top-nprobe
+                # packed blocks instead of unpacking the whole corpus
+                # (the exhaustive sweep is unpack-rate-bound, so a
+                # single query pays the full-corpus cost without this).
+                # Sentinels (-1) come back pre-applied.
+                _, cand = self._ivf_search(q_prepared, ok, mask, nprobe)
+            elif self.mesh is not None:
                 # stage 1 sharded: packed sign bits row-sharded over the
                 # mesh ([N/P, d/32] — the same layout as the SQ8 tier),
                 # per-shard asymmetric scoring with the P-1 over-candidate
@@ -817,16 +829,6 @@ class DenseRetriever:
                     q_prepared, self._corpus_dev, jnp.int32(self._corpus_n),
                     mask_shard=mask,
                 )
-            elif allow_ivf and self._ivf_eligible(
-                q_prepared.shape[0], backend, binary=True,
-                pinned=nprobe is not None,
-            ):
-                # stage 1 through the device IVF: gather only the
-                # top-nprobe packed blocks instead of unpacking the
-                # whole corpus (the exhaustive sweep is unpack-rate-
-                # bound, so a single query pays the full-corpus cost
-                # without this). Sentinels (-1) come back pre-applied.
-                _, cand = self._ivf_search(q_prepared, ok, mask)
             else:
                 from ..ops.binary import binary_topk
 
