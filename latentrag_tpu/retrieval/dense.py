@@ -739,9 +739,18 @@ class DenseRetriever:
         from ..ops.ivf import auto_nprobe, ivf_search
 
         idx = self._ensure_ivf()
-        nprobe = (
-            nprobe_override or self.ivf_nprobe or auto_nprobe(idx.nblocks)
-        )
+        if nprobe_override:
+            # per-request budgets are a COMPILE-CACHE key (every novel
+            # value is a fresh ~30-60 s remote compile through the
+            # relay, and gather shapes change with it): bucket to the
+            # next power of two and clamp to the index, so a client
+            # sweeping arbitrary values touches O(log nblocks) programs
+            nprobe = min(
+                1 << (int(nprobe_override) - 1).bit_length(),
+                idx.nblocks,
+            )
+        else:
+            nprobe = self.ivf_nprobe or auto_nprobe(idx.nblocks)
         is_binary = self._rescore_host is not None
         # the retriever's recall_target policy governs the IVF's
         # approximate SELECT stages too (candidate-set pruning via
@@ -969,7 +978,10 @@ class DenseRetriever:
         probe budget — the per-request latency/recall knob: like a
         pinned ``ivf_nprobe`` config it bypasses the auto traffic guard
         (the query-batch limit still applies), and it is ignored when no
-        IVF is configured.
+        IVF is configured. The value is bucketed UP to the next power of
+        two and clamped to the index's block count — every distinct
+        budget is a distinct compiled program, so arbitrary client
+        values must collapse onto O(log nblocks) buckets.
 
         Whenever fewer than k candidates exist — a filter matched fewer
         documents, or a device-IVF route with a pinned small ``nprobe``

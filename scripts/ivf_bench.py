@@ -49,18 +49,29 @@ from latentrag_tpu.ops.quantization import sq8_quantize, sq8_topk
 from functools import partial
 
 
-@partial(jax.jit, static_argnames=("n", "d", "n_centers", "spread"))
-def _clustered(seed: int, n: int, d: int, n_centers: int, spread: float):
+@partial(
+    jax.jit, static_argnames=("n", "d", "n_centers", "spread", "chunk")
+)
+def _mixture(seed, n, d, n_centers, spread, chunk=None):
     """Mixture-of-Gaussians rows, unit-normalized, generated ON DEVICE.
 
     One jitted program: run eagerly, the take/add/normalize chain keeps
     ~3 full [n, d] fp32 buffers live at once (with the 64->128 lane
     padding that is ~26 GB at 16.7M — the measured r4 staging OOM);
     fused, only the output buffer materialises.
+
+    ``chunk`` keys an independent draw from the SAME mixture (identical
+    centers; which/noise folded by chunk) — corpus chunks and
+    in-distribution queries share one generator, so the "queries live
+    on the corpus manifold" invariant cannot silently desynchronize.
+    ``chunk=None`` reproduces the original single-shot stream exactly.
     """
     kc, kw, kn = jax.random.split(jax.random.PRNGKey(seed), 3)
     centers = jax.random.normal(kc, (n_centers, d), jnp.float32)
     centers = centers / jnp.linalg.norm(centers, axis=1, keepdims=True)
+    if chunk is not None:
+        kw = jax.random.fold_in(kw, chunk)
+        kn = jax.random.fold_in(kn, chunk)
     which = jax.random.randint(kw, (n,), 0, n_centers)
     x = jnp.take(centers, which, axis=0) + spread * jax.random.normal(
         kn, (n, d), jnp.float32
@@ -68,22 +79,12 @@ def _clustered(seed: int, n: int, d: int, n_centers: int, spread: float):
     return x / jnp.linalg.norm(x, axis=1, keepdims=True)
 
 
-@partial(
-    jax.jit, static_argnames=("rows", "d", "n_centers", "spread")
-)
+def _clustered(seed, n, d, n_centers, spread):
+    return _mixture(seed, n, d, n_centers, spread)
+
+
 def _clustered_chunk(seed, chunk, rows, d, n_centers, spread):
-    """One chunk of the SAME mixture as ``_clustered(seed, ...)`` would
-    draw (same centers; which/noise keyed by chunk), unit-normalized."""
-    kc, kw, kn = jax.random.split(jax.random.PRNGKey(seed), 3)
-    centers = jax.random.normal(kc, (n_centers, d), jnp.float32)
-    centers = centers / jnp.linalg.norm(centers, axis=1, keepdims=True)
-    kw = jax.random.fold_in(kw, chunk)
-    kn = jax.random.fold_in(kn, chunk)
-    which = jax.random.randint(kw, (rows,), 0, n_centers)
-    x = jnp.take(centers, which, axis=0) + spread * jax.random.normal(
-        kn, (rows, d), jnp.float32
-    )
-    return x / jnp.linalg.norm(x, axis=1, keepdims=True)
+    return _mixture(seed, rows, d, n_centers, spread, chunk=chunk)
 
 
 def _staged_quantized(seed, n, d, n_centers, spread, store, chunks=4):
@@ -178,6 +179,10 @@ def main(argv=None) -> int:
 
     if args.cascade and (args.store != "binary" or args.random_bits):
         p.error("--cascade requires --store binary without --random-bits")
+    if args.cascade and args.n > 20_000_000:
+        # the fp32 oracle corpus cannot be staged past ~20M (17 GB
+        # lane-padded at 32M — see the chunked-staging branch below)
+        p.error("--cascade needs the fp32 oracle resident; use n <= 20M")
 
     centers = args.centers or 4 * args.nlist
     scale = None
@@ -300,20 +305,23 @@ def main(argv=None) -> int:
             ok = min(args.oversample * args.k, args.n)
             _, oracle_i = exact_topk(q, oracle32, k=args.k)
             oracle_i = np.asarray(oracle_i)
-            q_codes, q_scale = sq8_quantize(q)
-            factor = jnp.float32(q_scale * scale)
+            qf = q.astype(jnp.float32)
+            scale_f = jnp.float32(scale)
 
             def rescore(cand):
+                # fp32 queries x dequantized codes — the SAME estimator
+                # as the production cascade (retrieval/rescore.py uses
+                # fp32 queries against codes*scale; an int8-quantized
+                # query here measured a visibly different top-k)
                 rows = jnp.take(
                     rescore_codes, jnp.maximum(cand, 0), axis=0
-                )  # [Q, ok, d] int8
+                ).astype(jnp.float32) * scale_f  # [Q, ok, d]
                 dots = jax.lax.dot_general(
-                    q_codes, rows,
+                    qf, rows,
                     dimension_numbers=(((1,), (2,)), ((0,), (0,))),
-                    preferred_element_type=jnp.int32,
+                    preferred_element_type=jnp.float32,
                 )
-                s = dots.astype(jnp.float32) * factor
-                s = jnp.where(cand >= 0, s, jnp.float32(-3.4e38))
+                s = jnp.where(cand >= 0, dots, jnp.float32(-3.4e38))
                 _, loc = jax.lax.top_k(s, args.k)
                 return np.asarray(jnp.take_along_axis(cand, loc, axis=1))
 

@@ -166,9 +166,11 @@ def make_handle(cfg, args, runner, compressor, retriever, mode):
         nprobe = req.get("nprobe")
         if nprobe is not None:
             # the per-request device-IVF probe budget (latency/recall
-            # knob); reject clearly where it cannot mean anything
-            nprobe = int(nprobe)
-            if nprobe <= 0:
+            # knob); reject clearly where it cannot mean anything —
+            # strict int check: a float would silently truncate and a
+            # bool would coerce to 0/1
+            if isinstance(nprobe, bool) or not isinstance(nprobe, int) \
+                    or nprobe <= 0:
                 raise ValueError('"nprobe" must be a positive integer')
             if "nprobe" not in inspect.signature(
                 retriever.search
