@@ -67,6 +67,21 @@ def make_sharded_topk(
                 recall_target=recall_target, mask=m_shard,
             )
 
+    elif backend == "sq4":
+        # packed int4 shards ([N/P, d/2] uint8 — half SQ8's row bytes);
+        # per-shard unpack + int8 MXU scoring, same merge as every tier
+        from ..ops.quantization import sq4_topk
+
+        if d is None:
+            raise ValueError("backend='sq4' requires d (true vector dim)")
+
+        def local_search(q, c_shard, scale, m_shard):
+            return sq4_topk(
+                q, c_shard, scale, d=d, k=local_k,
+                block_size=block_size,
+                recall_target=recall_target, mask=m_shard,
+            )
+
     elif backend == "binary":
         # stage 1 of the 1-bit cascade: asymmetric sign-bit scoring over
         # the PACKED uint32 shard ([N/P, d/32] — same row sharding as

@@ -167,8 +167,11 @@ class DenseRetriever:
     # 0.976 vs 0.997 is immaterial but the measured cost gap is up to
     # 5.3x at k=100/1M), smaller k keeps rt=0.99. A float pins it.
     recall_target: float | str = "auto"
-    # device dtype of the prepared corpus: float32 | bfloat16 | int8 (SQ8 —
-    # halves HBM vs bf16; cosine/dot only; scores carry ~1e-2 quantization)
+    # device dtype of the prepared corpus: float32 | bfloat16 | int8
+    # (SQ8 — halves HBM vs bf16; cosine/dot only; ~1e-2 score
+    # quantization) | int4 (packed SQ4 — half SQ8 again; coarser
+    # ~1e-1-class scores, rank-usable for candidate generation) |
+    # binary (1-bit cascade)
     store_dtype: str = "bfloat16"
     index_path: str | None = None
     fingerprint: dict | None = None
@@ -191,7 +194,8 @@ class DenseRetriever:
     # With a mesh the packed bits row-shard over "data" exactly like the
     # SQ8 tier (stage 1 per shard + all-gather; stage 2 stays host-side),
     # scaling the ~100M/chip capacity by the mesh size.
-    _rescore_host: Any = None  # np.int8 [N, D] (binary store only)
+    _rescore_host: Any = None  # np.int8 [N, D] (binary/int4 cascades)
+    _sq4_scale: Any = None  # int4 cascade stage-1 scale (packed nibbles)
     _dim: int = 0  # true vector dim (packed stores have D/32 words)
     binary_oversample: int = 8  # cascade stage-1 candidates per k
     _whitener: Any = None
@@ -216,7 +220,9 @@ class DenseRetriever:
 
     def _validate_binary_combo(self):
         if self.metric not in ("cosine", "dot"):
-            raise ValueError("binary store supports cosine/dot only")
+            raise ValueError(
+                f"{self.store_dtype} store supports cosine/dot only"
+            )
 
     def __post_init__(self):
         if self.backend not in BACKENDS:
@@ -224,7 +230,7 @@ class DenseRetriever:
         # quantized stores cannot serve the exact oracle; validate the
         # COMBINATION up front so a persisted index can't smuggle it in
         # through the load path either
-        if self.store_dtype in ("int8", "binary") and self.backend in (
+        if self.store_dtype in ("int8", "int4", "binary") and self.backend in (
             "xla_exact", "pallas_exact",
         ):
             raise ValueError(
@@ -232,7 +238,7 @@ class DenseRetriever:
                 f"but store_dtype={self.store_dtype!r} is quantized; "
                 "use a float store for oracle comparisons"
             )
-        if self.store_dtype == "binary":
+        if self.store_dtype in ("binary", "int4"):
             self._validate_binary_combo()
         if self.mesh is not None and self.mesh.size == 1:
             # a 1-device mesh adds shard_map plumbing for nothing; the
@@ -246,8 +252,8 @@ class DenseRetriever:
             _load_fields = (
                 "texts", "doc_ids", "metadata", "metric", "fingerprint",
                 "_loaded_fingerprint", "_corpus_n", "_corpus_dev",
-                "_corpus_scale", "_rescore_host", "_dim", "_whitener",
-                "_sharded_cache", "_make_sharded",
+                "_corpus_scale", "_rescore_host", "_sq4_scale", "_dim",
+                "_whitener", "_sharded_cache", "_make_sharded",
             )
             snap = {f: getattr(self, f) for f in _load_fields
                     if hasattr(self, f)}
@@ -383,6 +389,22 @@ class DenseRetriever:
             from ..ops.quantization import sq8_quantize
 
             prepared, self._corpus_scale = sq8_quantize(prepared)
+        elif self.store_dtype == "int4":
+            # packed-nibble CASCADE: stage 1 scans two-codes-per-byte
+            # int4 (half SQ8's HBM; 8x the sign-bit tier's resolution,
+            # so far smaller oversamples recover exactness), stage 2
+            # SQ8-rescores host-side like the binary tier — final
+            # scores are exact, 4-bit rounding only shapes candidates
+            if self.metric not in ("cosine", "dot"):
+                raise ValueError("int4 store supports cosine/dot only")
+            from ..ops.quantization import (
+                sq4_quantize,
+                sq8_quantize,
+            )
+
+            codes, self._corpus_scale = sq8_quantize(prepared)
+            self._rescore_host = np.asarray(codes, dtype=np.int8)
+            prepared, self._sq4_scale = sq4_quantize(prepared)
         else:
             dtype = (
                 jnp.bfloat16 if self.store_dtype == "bfloat16" else jnp.float32
@@ -453,14 +475,21 @@ class DenseRetriever:
         prepared = prepare_for_metric(
             jnp.asarray(emb), self.metric, self._whitener
         )
-        if self._rescore_host is not None:  # binary: dual concatenation
-            from ..ops.binary import binary_quantize
-
+        if self._rescore_host is not None:  # cascade: dual concatenation
             self._rescore_host = np.concatenate(
                 [self._rescore_host,
                  np.asarray(self._requantize(prepared))]
             )
-            prepared = binary_quantize(prepared)
+            if self.store_dtype == "int4":
+                from ..ops.quantization import sq4_quantize_with_scale
+
+                prepared = sq4_quantize_with_scale(
+                    prepared, self._sq4_scale
+                )
+            else:
+                from ..ops.binary import binary_quantize
+
+                prepared = binary_quantize(prepared)
         elif self._corpus_scale is not None:
             prepared = self._requantize(prepared)
         else:
@@ -664,7 +693,13 @@ class DenseRetriever:
         ):
             return False
         if not binary and not (
-            backend == "xla" and self._rescore_host is None
+            backend == "xla"
+            and self._rescore_host is None
+            # the IVF layout does not speak packed-int4 blocks (yet):
+            # clustering must happen on unpacked codes, and the int4
+            # tier's regime is mid-batch HBM-bound bulk throughput
+            # where the exhaustive kernels already win
+            and self.store_dtype != "int4"
         ):
             return False
         if pinned or self.ivf_nprobe:
@@ -804,7 +839,8 @@ class DenseRetriever:
             return self._ivf_search(q_prepared, k, mask, nprobe)
         if self._rescore_host is not None:  # binary cascade store
             ok = min(self.binary_oversample * k, self._corpus_n)
-            if allow_ivf and self._ivf_eligible(
+            if allow_ivf and self.store_dtype == "binary" \
+                    and self._ivf_eligible(
                 q_prepared.shape[0], backend, binary=True,
                 pinned=nprobe is not None,
             ):
@@ -824,20 +860,32 @@ class DenseRetriever:
                 # DIFFERENT requested k (hence different auto-policy rt),
                 # so (ok,) alone would serve one regime's program to the
                 # other
-                key = (ok, "binary", rt, mask is not None)
+                stage1 = "sq4" if self.store_dtype == "int4" else "binary"
+                key = (ok, stage1, rt, mask is not None)
                 fn = self._sharded_cache.get(key)
                 if fn is None:
                     fn = self._make_sharded(
                         self.mesh, k=ok, metric=self.metric,
-                        backend="binary", block_size=self.block_size,
+                        backend=stage1, block_size=self.block_size,
                         recall_target=rt, d=self._dim,
                         filtered=mask is not None,
                     )
                     self._sharded_cache[key] = fn
                 _, cand = fn(
                     q_prepared, self._corpus_dev, jnp.int32(self._corpus_n),
-                    mask_shard=mask,
+                    scale=self._sq4_scale, mask_shard=mask,
                 )
+            elif self.store_dtype == "int4":
+                from ..ops.quantization import sq4_topk
+
+                s1, cand = sq4_topk(
+                    q_prepared, self._corpus_dev, self._sq4_scale,
+                    d=self._dim, k=ok, block_size=self.block_size,
+                    recall_target=rt, mask=mask,
+                )
+                if mask is not None:
+                    # filtered-out slots hold arbitrary ids (see below)
+                    cand = jnp.where(s1 > NEG_INF * 0.5, cand, -1)
             else:
                 from ..ops.binary import binary_topk
 
@@ -889,6 +937,7 @@ class DenseRetriever:
                     backend=shard_backend,
                     block_size=self.block_size,
                     recall_target=rt,
+                    d=self._dim,  # packed stores (sq4) need the true dim
                     filtered=mask is not None,
                 )
                 self._sharded_cache[key] = fn
@@ -1053,29 +1102,40 @@ class DenseRetriever:
                 elif os.path.exists(p):
                     os.remove(p)
 
-        if self._rescore_host is not None:  # binary store (mesh or not)
-            # packed bits persist VERBATIM: re-deriving them from the
+        if self._rescore_host is not None:  # binary/int4 cascade store
+            # packed words persist VERBATIM: re-deriving them from the
             # dequantized corpus flips sign bits of near-zero negatives
             # (code 0 reloads as +0.0), so save/load would not be
             # rank-stable otherwise. Sharded stores gather through numpy —
-            # the packed bits are d/32 words/vector, 16x smaller than the
-            # bf16 corpus, and this is a single-controller path (each
-            # multi-process rank re-shards on load instead).
+            # packed rows are d/32 words (binary) or d/2 bytes (int4),
+            # far smaller than the bf16 corpus, and this is a
+            # single-controller path (each multi-process rank re-shards
+            # on load instead).
             packed = np.asarray(self._corpus_dev)[: self._corpus_n]
             scale = np.asarray(self._corpus_scale, dtype=np.float32)
             corpus_arr = (
                 self._rescore_host[: self._corpus_n].astype(np.float32)
                 * float(self._corpus_scale)
             )
-            atomic_save(os.path.join(path, "binary_packed.npy"), packed)
+            pk_name = (
+                "sq4_packed.npy" if self.store_dtype == "int4"
+                else "binary_packed.npy"
+            )
+            atomic_save(os.path.join(path, pk_name), packed)
             atomic_save(os.path.join(path, "sq8_scale.npy"), scale)
             atomic_save(os.path.join(path, "corpus.npy"), corpus_arr)
             stored_digests.update({
-                "binary_packed.npy": _stored_digest(packed),
+                pk_name: _stored_digest(packed),
                 "sq8_scale.npy": _stored_digest(scale),
                 "corpus.npy": _stored_digest(corpus_arr),
             })
-            _drop_stale("sharded")
+            if self.store_dtype == "int4":
+                s4 = np.asarray(self._sq4_scale, dtype=np.float32)
+                atomic_save(os.path.join(path, "sq4_scale.npy"), s4)
+                stored_digests["sq4_scale.npy"] = _stored_digest(s4)
+                _drop_stale("sharded", "binary_packed.npy")
+            else:
+                _drop_stale("sharded", "sq4_packed.npy", "sq4_scale.npy")
         elif self.mesh is not None:
             # sharded corpora write through Orbax: each process persists its
             # own shards — no host gather (crawls through slow links, and
@@ -1100,7 +1160,8 @@ class DenseRetriever:
                 stored_digests["sq8_scale.npy"] = _stored_digest(scale)
             else:
                 _drop_stale("sq8_scale.npy")
-            _drop_stale("binary_packed.npy", "corpus.npy")
+            _drop_stale("binary_packed.npy", "corpus.npy",
+                        "sq4_packed.npy", "sq4_scale.npy")
         else:
             nbytes = self._corpus_n * self.dim * 4
             if nbytes > 1 << 30:
@@ -1118,7 +1179,8 @@ class DenseRetriever:
             corpus_arr = corpus[: self._corpus_n]
             atomic_save(os.path.join(path, "corpus.npy"), corpus_arr)
             stored_digests["corpus.npy"] = _stored_digest(corpus_arr)
-            _drop_stale("binary_packed.npy", "sq8_scale.npy", "sharded")
+            _drop_stale("binary_packed.npy", "sq8_scale.npy", "sharded",
+                        "sq4_packed.npy", "sq4_scale.npy")
         if self._whitener is not None:
             wh = np.asarray(self._whitener, dtype=np.float32)
             atomic_save(os.path.join(path, "whitener.npy"), wh)
@@ -1286,7 +1348,7 @@ class DenseRetriever:
         corpus = np.load(os.path.join(path, "corpus.npy"), mmap_mode="r")
         if corpus.shape[0] != meta["n"]:
             raise ValueError("meta/corpus row mismatch")
-        if self.store_dtype == "binary":
+        if self.store_dtype in ("binary", "int4"):
             # everything host-side: shipping the fp corpus up the (slow)
             # tunnel just to quantize it on device would defeat the tier's
             # purpose at its target scale
@@ -1308,6 +1370,34 @@ class DenseRetriever:
                 np.round(host / scale), -127, 127
             ).astype(np.int8)
             self._dim = int(host.shape[1])
+            if self.store_dtype == "int4":
+                # packed nibbles + their own stage-1 scale; missing
+                # sidecars re-derive deterministically from the fp store
+                ppath = os.path.join(path, "sq4_packed.npy")
+                spath4 = os.path.join(path, "sq4_scale.npy")
+                if os.path.exists(ppath) and os.path.exists(spath4):
+                    prepared = jnp.asarray(np.load(ppath))
+                    self._sq4_scale = jnp.float32(
+                        float(np.load(spath4))
+                    )
+                else:
+                    from ..ops.quantization import sq4_quantize
+
+                    prepared, self._sq4_scale = sq4_quantize(
+                        jnp.asarray(host)
+                    )
+                if self.mesh is not None:
+                    from ..parallel import make_sharded_topk, shard_rows
+
+                    self._corpus_dev = shard_rows(prepared, self.mesh)
+                    self._sharded_cache = {}
+                    self._make_sharded = make_sharded_topk
+                else:
+                    self._corpus_dev = jax.device_put(prepared)
+                log.info(
+                    "index loaded from %s (n=%d)", path, self._corpus_n
+                )
+                return
             ppath = os.path.join(path, "binary_packed.npy")
             if os.path.exists(ppath):  # bit-stable packed store
                 prepared = jnp.asarray(np.load(ppath))
@@ -1341,6 +1431,7 @@ class DenseRetriever:
             return
 
         prepared = jnp.asarray(np.ascontiguousarray(corpus))
+        self._dim = int(prepared.shape[1])
         if self.store_dtype == "int8":
             from ..ops.quantization import sq8_quantize
 

@@ -166,9 +166,10 @@ class RetrievalConfig:
     normalize: bool = True
     block_size: int = 1048576  # corpus block for streamed scoring
     # device dtype of the prepared corpus: bfloat16 | float32 | int8
-    # (SQ8 — halves HBM/storage; 1.8x QPS at 8.8M) | binary (1-bit
-    # cascade: sign-bit candidates + SQ8 rescore — ~1B vectors/chip;
-    # docs/ROOFLINE.md)
+    # (SQ8 — halves HBM/storage; 1.8x QPS at 8.8M) | int4 (packed SQ4 —
+    # half SQ8 again, ~2x capacity/chip; cosine/dot only) | binary
+    # (1-bit cascade: sign-bit candidates + SQ8 rescore — ~1B
+    # vectors/chip; docs/ROOFLINE.md)
     store_dtype: str = "bfloat16"
     binary_oversample: int = 8  # cascade stage-1 candidates per k
     # per-block candidate recall of lax.approx_max_k (selected scores

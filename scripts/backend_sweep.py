@@ -143,6 +143,34 @@ def main(argv=None) -> int:
         _, i1 = sq8_topk(q, codes, scale, k=args.k)
         rows.append(("int8 SQ8", dt, recall_vs(i_ref_np, i1, args.k)))
 
+    if "int4" not in args.skip:
+        # packed-nibble stage 1 (half SQ8's HBM) at the cascade's
+        # oversample, with the host-free part benched in isolation; the
+        # recall row rescores the oversampled candidates exactly — the
+        # tier's production contract (DenseRetriever store_dtype=int4)
+        from latentrag_tpu.ops.quantization import sq4_quantize, sq4_topk
+
+        packed4, scale4 = sq4_quantize(c)
+        sync(packed4)
+        ok = min(8 * args.k, args.n)
+        dt = bench(
+            lambda: sq4_topk(q, packed4, scale4, d=args.d, k=ok),
+            args.reps,
+        )
+        _, cand = sq4_topk(q, packed4, scale4, d=args.d, k=ok)
+        codes8, scale8 = sq8_quantize(c)
+        rows8 = np.asarray(codes8, dtype=np.float32) * float(scale8)
+        qn = np.asarray(q, dtype=np.float32)
+        cand_np = np.asarray(cand)
+        i1 = np.empty((qn.shape[0], args.k), np.int64)
+        for r in range(qn.shape[0]):
+            sc = rows8[cand_np[r]] @ qn[r]
+            i1[r] = cand_np[r][np.argsort(-sc)[: args.k]]
+        rows.append(
+            (f"int4 cascade (stage1 ok={ok} + SQ8 rescore)", dt,
+             recall_vs(i_ref_np, i1, args.k))
+        )
+
     if "pallas_fold" not in args.skip:
         try:
             dt = bench(
