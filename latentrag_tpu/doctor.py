@@ -161,6 +161,12 @@ def _dense_store(path: str):
             f"binary_packed.npy holds {packed_rows} rows vs n={n} "
             "(stale sidecar?)"
         ), notes
+    sq4_rows = rows("sq4_packed.npy")
+    if sq4_rows is not None and sq4_rows != n:
+        return FAIL, (
+            f"sq4_packed.npy holds {sq4_rows} rows vs n={n} "
+            "(stale sidecar?)"
+        ), notes
     # same-n mixed generations: verify each sidecar's sampled digest
     # against meta.json (exactly what warm boot does, O(1) per file)
     from .retrieval.dense import verify_stored_digests
@@ -188,6 +194,8 @@ def _dense_store(path: str):
         notes.append("sharded/ store present and generation-consistent")
     if packed_rows is not None:
         notes.append("binary tier sidecars present")
+    if sq4_rows is not None:
+        notes.append("int4 tier sidecars present")
     if os.path.exists(os.path.join(path, "whitener.npy")):
         notes.append("whitener present (mahalanobis/whitened metric)")
     fp = meta.get("fingerprint") or {}
