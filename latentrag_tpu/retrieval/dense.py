@@ -693,13 +693,7 @@ class DenseRetriever:
         ):
             return False
         if not binary and not (
-            backend == "xla"
-            and self._rescore_host is None
-            # the IVF layout does not speak packed-int4 blocks (yet):
-            # clustering must happen on unpacked codes, and the int4
-            # tier's regime is mid-batch HBM-bound bulk throughput
-            # where the exhaustive kernels already win
-            and self.store_dtype != "int4"
+            backend == "xla" and self._rescore_host is None
         ):
             return False
         if pinned or self.ivf_nprobe:
@@ -937,7 +931,6 @@ class DenseRetriever:
                     backend=shard_backend,
                     block_size=self.block_size,
                     recall_target=rt,
-                    d=self._dim,  # packed stores (sq4) need the true dim
                     filtered=mask is not None,
                 )
                 self._sharded_cache[key] = fn
@@ -1381,11 +1374,34 @@ class DenseRetriever:
                         float(np.load(spath4))
                     )
                 else:
-                    from ..ops.quantization import sq4_quantize
-
-                    prepared, self._sq4_scale = sq4_quantize(
-                        jnp.asarray(host)
+                    # legacy/cross-tier store: pack HOST-side (shipping
+                    # the fp corpus up the slow tunnel to quantize on
+                    # device would defeat this branch's purpose) and
+                    # note the scale re-derivation — it comes from the
+                    # SQ8-dequantized corpus, not the original floats
+                    log.warning(
+                        "int4 index at %s lacks sq4 sidecars — packing "
+                        "nibbles from the fp store with a re-derived "
+                        "scale; stage-1 candidates may differ from the "
+                        "original build (save again to pin them)",
+                        path,
                     )
+                    s4 = max(float(np.abs(host).max()) / 7.0, 1e-12)
+                    codes4 = np.clip(
+                        np.round(host / s4), -7, 7
+                    ).astype(np.int8)
+                    if codes4.shape[1] % 2:
+                        codes4 = np.concatenate(
+                            [codes4,
+                             np.zeros((codes4.shape[0], 1), np.int8)],
+                            axis=1,
+                        )
+                    packed4 = (
+                        (codes4[:, 0::2].astype(np.uint8) & 0xF)
+                        | ((codes4[:, 1::2].astype(np.uint8) & 0xF) << 4)
+                    )
+                    prepared = jnp.asarray(packed4)
+                    self._sq4_scale = jnp.float32(s4)
                 if self.mesh is not None:
                     from ..parallel import make_sharded_topk, shard_rows
 

@@ -159,12 +159,17 @@ def main(argv=None) -> int:
         )
         _, cand = sq4_topk(q, packed4, scale4, d=args.d, k=ok)
         codes8, scale8 = sq8_quantize(c)
-        rows8 = np.asarray(codes8, dtype=np.float32) * float(scale8)
+        # gather ONLY the Q*ok candidate rows on device (fetching the
+        # whole SQ8 corpus to host crawls through the relay — 537 MB at
+        # 8.8M; the candidates are ~80 KB)
+        rows8 = np.asarray(
+            jnp.take(codes8, cand, axis=0), dtype=np.float32
+        ) * float(scale8)  # [Q, ok, d]
         qn = np.asarray(q, dtype=np.float32)
         cand_np = np.asarray(cand)
         i1 = np.empty((qn.shape[0], args.k), np.int64)
         for r in range(qn.shape[0]):
-            sc = rows8[cand_np[r]] @ qn[r]
+            sc = rows8[r] @ qn[r]
             i1[r] = cand_np[r][np.argsort(-sc)[: args.k]]
         rows.append(
             (f"int4 cascade (stage1 ok={ok} + SQ8 rescore)", dt,

@@ -132,6 +132,26 @@ def test_int4_persistence_roundtrip(rng, tmp_path):
     assert np.array_equal(i1, i2)
 
 
+def test_int4_cross_tier_load_packs_host_side(rng, tmp_path, caplog):
+    # opening a store saved WITHOUT sq4 sidecars (e.g. an int8-tier
+    # save) as int4 re-packs from the fp corpus HOST-side with a
+    # re-derived scale — and says so
+    import logging
+
+    x = _normed(rng, 300, 32)
+    path = str(tmp_path / "idx")
+    r1 = DenseRetriever(backend="xla", store_dtype="int8",
+                        index_path=path)
+    r1.build(x, [f"t{i}" for i in range(300)])
+    with caplog.at_level(logging.WARNING, logger="latentrag.retrieval"):
+        r2 = DenseRetriever(backend="xla", store_dtype="int4",
+                            index_path=path)
+    assert r2.is_built and r2._corpus_dev.dtype == jnp.uint8
+    assert any("sq4 sidecars" in m for m in caplog.messages)
+    _, _, ids = r2.retrieve(x[5], top_k=1)
+    assert ids[0] == 5
+
+
 def test_int4_mesh_sharded_matches_single_device(rng):
     from latentrag_tpu.parallel import make_mesh
 
