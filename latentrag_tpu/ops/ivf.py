@@ -25,8 +25,10 @@ Scores of visited rows are exact (same kernels' arithmetic); only the
 candidate set is approximate, parameterised by ``nprobe``. With
 ``nprobe == nblocks`` the search degenerates to the exact oracle — the
 differential test anchor. Supports every prepared-space metric (cosine /
-dot / euclidean / whitened mahalanobis), fp32/bf16/int8 block stores,
-and the packed row-mask predicate filters of the exhaustive tiers.
+dot / euclidean / whitened mahalanobis), fp32/bf16/int8 block stores
+plus the two packed cascade stage-1 stores (uint32 sign bits, uint8 SQ4
+nibbles), and the packed row-mask predicate filters of the exhaustive
+tiers.
 """
 
 from __future__ import annotations
@@ -42,12 +44,13 @@ from .kmeans import assign_clusters, kmeans
 from .topk import NEG_INF, _merge_topk
 
 
-@partial(jax.jit, static_argnames=("d", "block_size"))
-def _assign_packed(packed, centroids, d, block_size=262144):
-    """Nearest-centroid ids for a PACKED sign-bit corpus: each block
-    unpacks to ±1 on the VPU and scores on the MXU — the packed words
-    are the only full-corpus HBM resident (the whole point of the
-    binary tier; an unpacked [N, d] copy would be 8x the store)."""
+@partial(jax.jit, static_argnames=("d", "kind", "block_size"))
+def _assign_packed(packed, centroids, d, kind="binary", block_size=262144):
+    """Nearest-centroid ids for a PACKED corpus (sign bits or SQ4
+    nibbles): each block unpacks on the VPU and scores on the MXU — the
+    packed words stay the only full-corpus HBM resident (the whole point
+    of the packed tiers; an unpacked [N, d] copy would be 8x / 2x the
+    store)."""
     from .binary import binary_unpack
 
     n = packed.shape[0]
@@ -67,7 +70,12 @@ def _assign_packed(packed, centroids, d, block_size=262144):
         blk = jax.lax.dynamic_slice_in_dim(
             pk, b * block_size, block_size, axis=0
         )
-        xb = binary_unpack(blk, d).astype(jnp.bfloat16)
+        if kind == "sq4":
+            from .quantization import sq4_unpack
+
+            xb = sq4_unpack(blk, d).astype(jnp.bfloat16)
+        else:
+            xb = binary_unpack(blk, d).astype(jnp.bfloat16)
         scores = (
             jax.lax.dot_general(
                 xb,
@@ -89,7 +97,7 @@ class IVFIndex(NamedTuple):
     """Device-resident inverted-file layout (a pytree — jit-friendly)."""
 
     centroids: jax.Array  # [nlist, d] fp32, prepared space
-    blocks: jax.Array  # [nblocks, cap, w] store dtype (fp32/bf16/int8/u32)
+    blocks: jax.Array  # [nblocks, cap, w] store dtype (fp32/bf16/int8/u32/u8)
     block_ids: jax.Array  # [nblocks, cap] int32 original row ids, -1 pad
     block2list: jax.Array  # [nblocks] int32 owning list per block
 
@@ -103,7 +111,8 @@ class IVFIndex(NamedTuple):
 
     @property
     def row_width(self) -> int:
-        """Stored row width: d for float/int8 blocks, D/32 words packed."""
+        """Stored row width: d for float/int8 blocks, D/32 uint32 words
+        (sign bits) or ceil(D/2) bytes (SQ4 nibbles) for packed blocks."""
         return int(self.blocks.shape[2])
 
 
@@ -146,11 +155,13 @@ def _grouped_blocks(rows, assign, nlist, cap, *, id_base=0):
     flat = _layout_device(
         assign, sizes_dev, jnp.asarray(block_start), nblocks, cap
     )
-    if rows.dtype == jnp.uint32 and nblocks * cap > 8_388_608:
-        # packed rows are W~2 words wide; a one-shot [total, W] gather
-        # materialises in lane-padded layout (2 -> 128 lanes = 64x — a
-        # measured 55 GB allocation at 100M). Chunked gather + rewrite
-        # keeps the transient bounded (~2 GB per chunk).
+    packed_dtype = rows.dtype in (jnp.uint32, jnp.uint8)
+    if packed_dtype and nblocks * cap > 8_388_608:
+        # packed rows are narrow (W~2 uint32 words, or d/2 uint8
+        # nibbles); a one-shot [total, W] gather materialises in
+        # lane-padded layout (2 -> 128 lanes = 64x — a measured 55 GB
+        # allocation at 100M). Chunked gather + rewrite keeps the
+        # transient bounded (~2 GB per chunk).
         total = nblocks * cap
         step = 4_194_304 - (4_194_304 % cap)
         blocks = jnp.zeros((nblocks, cap, d), rows.dtype)
@@ -269,6 +280,53 @@ def ivf_build_binary(
     )
 
 
+def ivf_build_sq4(
+    packed: jax.Array,
+    d: int,
+    nlist: int,
+    cap: int = 1024,
+    *,
+    seed: int = 0,
+    kmeans_iters: int = 15,
+    train_rows: int | None = None,
+) -> IVFIndex:
+    """Inverted file over a PACKED int4 corpus (the SQ4 cascade's
+    stage 1; ``ops/quantization.py``). Blocks store the packed nibble
+    bytes — HBM stays ceil(D/2) bytes/vector — while centroids live in
+    the unpacked int4 CODE space (the global SQ4 scale commutes out of
+    k-means, exactly like the SQ8 build's note), trained on a
+    subsampled unpack. Search gathers packed blocks, unpacks on the VPU
+    and scores as the same int8 x int8 MXU matmul as ``sq4_topk``; the
+    exact SQ8 rescore stage stays wherever the caller keeps it
+    (host-side in the retriever)."""
+    n = int(packed.shape[0])
+    if n == 0:
+        raise ValueError("cannot build an IVF over an empty corpus")
+    from .quantization import sq4_unpack
+
+    nlist = max(1, min(nlist, n))
+    cap = max(8, min(cap, n))
+    key = jax.random.PRNGKey(seed)
+    k_train, k_sub = jax.random.split(key)
+    if train_rows is None:
+        train_rows = min(n, max(100_000, 64 * nlist))
+    if train_rows < n:
+        sub = jax.random.choice(k_sub, n, (train_rows,), replace=False)
+        train_pk = jnp.take(packed, sub, axis=0)
+    else:
+        train_pk = packed
+    train = sq4_unpack(train_pk, d)  # int8 codes; kmeans casts per block
+    centroids = kmeans(train, nlist, key=k_train, iters=kmeans_iters)
+    assign = _assign_packed(packed, centroids, d, kind="sq4")
+    blocks, ids, block2list = _grouped_blocks(packed, assign, nlist, cap)
+    return IVFIndex(
+        centroids=centroids,
+        blocks=blocks,
+        block_ids=ids,
+        block2list=jnp.asarray(block2list),
+    )
+
+
 def ivf_append(
     index: IVFIndex, new_rows: jax.Array, id_base: int, dim: int = 0
 ) -> IVFIndex:
@@ -290,10 +348,11 @@ def ivf_append(
     if int(new_rows.shape[0]) == 0:
         return index
     nlist = int(index.centroids.shape[0])
-    if index.blocks.dtype == jnp.uint32:  # packed sign-bit store
+    if index.blocks.dtype in (jnp.uint32, jnp.uint8):  # packed store
         if not dim:
             raise ValueError("packed IVF append requires dim=<vector dim>")
-        assign = _assign_packed(new_rows, index.centroids, dim)
+        kind = "sq4" if index.blocks.dtype == jnp.uint8 else "binary"
+        assign = _assign_packed(new_rows, index.centroids, dim, kind=kind)
     else:
         new_rows = new_rows.astype(index.blocks.dtype)
         assign = assign_clusters(new_rows, index.centroids)
@@ -354,12 +413,13 @@ def ivf_search(
     nprobe = max(1, min(nprobe, nblocks))
     distance_like = metric in ("euclidean", "mahalanobis")
     is_int8 = index.blocks.dtype == jnp.int8
-    # packed sign-bit blocks (ivf_build_binary): d above is WORDS; the
-    # true vector dim arrives via the static ``dim``
+    # packed blocks (ivf_build_binary / ivf_build_sq4): d above is
+    # WORDS / nibble bytes; the true vector dim arrives via ``dim``
     is_binary = index.blocks.dtype == jnp.uint32
-    if is_binary and not dim:
+    is_sq4 = index.blocks.dtype == jnp.uint8
+    if (is_binary or is_sq4) and not dim:
         raise ValueError("packed IVF blocks require dim=<vector dim>")
-    if (is_int8 or is_binary) and distance_like:
+    if (is_int8 or is_binary or is_sq4) and distance_like:
         # the scaled int8 dots / sign-bit proxy and the unscaled norms
         # would mix spaces; the retriever forbids these combinations too
         raise ValueError("quantized IVF blocks support cosine/dot only")
@@ -398,9 +458,11 @@ def ivf_search(
     else:
         _, sel = jax.lax.top_k(bscore, nprobe)  # [Q, nprobe]
 
-    if is_int8:
+    if is_int8 or is_sq4:
         from .quantization import sq8_quantize
 
+        # sq4: same arithmetic as sq4_topk — int8-quantized queries
+        # against the unpacked int4 codes, one combined scale out front
         qv, q_scale = sq8_quantize(q)
         factor = (q_scale * scale).astype(jnp.float32)
     elif is_binary:
@@ -408,9 +470,14 @@ def ivf_search(
     else:
         qv = q.astype(index.blocks.dtype)
 
-    # ---- probe-group geometry (all static); binary groups budget by
-    # their UNPACKED bf16 working set, not the 16x-smaller packed read
-    esize = 2 * dim // d if is_binary else index.blocks.dtype.itemsize
+    # ---- probe-group geometry (all static); packed stores budget by
+    # their UNPACKED working set (bf16 / int8), not the smaller read
+    if is_binary:
+        esize = 2 * dim // d
+    elif is_sq4:
+        esize = -(-dim // d)  # ~2 int8 bytes per stored nibble byte
+    else:
+        esize = index.blocks.dtype.itemsize
     g = max(1, min(nprobe, group_bytes // max(1, nq * cap * d * esize)))
     n_groups = -(-nprobe // g)
     pad = n_groups * g - nprobe
@@ -437,13 +504,20 @@ def ivf_search(
             rows = binary_unpack(
                 rows.reshape(nq * g * cap, d), dim
             ).reshape(nq, g * cap, dim).astype(jnp.bfloat16)
+        elif is_sq4:
+            from .quantization import sq4_unpack
+
+            rows = sq4_unpack(
+                rows.reshape(nq * g * cap, d), dim
+            ).reshape(nq, g * cap, dim)
+        int_dot = is_int8 or is_sq4
         dots = jax.lax.dot_general(
             qv,
             rows,
             dimension_numbers=(((1,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.int32 if is_int8 else jnp.float32,
+            preferred_element_type=jnp.int32 if int_dot else jnp.float32,
         )  # [Q, g*cap]
-        scores = dots.astype(jnp.float32) * factor if is_int8 else dots
+        scores = dots.astype(jnp.float32) * factor if int_dot else dots
         if distance_like:
             r_sq = jnp.sum(jnp.square(rows.astype(jnp.float32)), axis=-1)
             scores = 2.0 * scores - r_sq

@@ -30,7 +30,9 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.ivf import IVFIndex, ivf_build, ivf_build_binary, ivf_search
+from ..ops.ivf import (
+    IVFIndex, ivf_build, ivf_build_binary, ivf_build_sq4, ivf_search,
+)
 from .mesh import DATA_AXIS
 
 NEG_INF = float(-3.4e38)
@@ -87,22 +89,24 @@ def build_sharded_ivf(
     ``n_valid`` exactly like the exhaustive sharded path). ``nlist`` is
     the TOTAL budget — each shard trains ``nlist // P`` lists over its
     own rows, preserving mean list size. ``dim`` (vector dim) marks a
-    packed sign-bit corpus (uint32 words).
+    packed corpus (uint32 sign-bit words or uint8 SQ4 nibbles).
     """
     p = mesh.shape[axis]
     nlist_shard = max(1, nlist // p)
-    is_packed = corpus_sharded.dtype == jnp.uint32
+    is_binary = corpus_sharded.dtype == jnp.uint32
+    is_sq4 = corpus_sharded.dtype == jnp.uint8
     shards = sorted(
         corpus_sharded.addressable_shards, key=lambda s: s.index[0].start
     )
     built: list[IVFIndex] = []
     for sh in shards:
         x = sh.data  # device-resident; compute stays on that device
-        if is_packed:
+        if is_binary or is_sq4:
             if not dim:
                 raise ValueError("packed corpus requires dim=<vector dim>")
+            build_packed = ivf_build_sq4 if is_sq4 else ivf_build_binary
             built.append(
-                ivf_build_binary(x, dim, nlist_shard, cap, seed=seed)
+                build_packed(x, dim, nlist_shard, cap, seed=seed)
             )
         else:
             built.append(ivf_build(x, nlist_shard, cap, seed=seed))

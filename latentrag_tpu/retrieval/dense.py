@@ -731,6 +731,15 @@ class DenseRetriever:
                     # packed sign-bit shards need the true vector dim
                     dim=self._dim if self._rescore_host is not None else 0,
                 )
+            elif self.store_dtype == "int4":  # packed nibble store
+                from ..ops.ivf import ivf_build_sq4
+
+                self._ivf_index = ivf_build_sq4(
+                    self._corpus_dev[: self._corpus_n],
+                    self._dim,
+                    self.ivf_nlist,
+                    self.ivf_cap,
+                )
             elif self._rescore_host is not None:  # packed sign-bit store
                 from ..ops.ivf import ivf_build_binary
 
@@ -780,7 +789,13 @@ class DenseRetriever:
             )
         else:
             nprobe = self.ivf_nprobe or auto_nprobe(idx.nblocks)
-        is_binary = self._rescore_host is not None
+        packed = self._rescore_host is not None  # binary/int4 stage 1
+        if self.store_dtype == "int4":
+            ivf_scale = self._sq4_scale
+        elif packed:
+            ivf_scale = None  # sign bits score asymmetric, unscaled
+        else:
+            ivf_scale = self._corpus_scale
         # the retriever's recall_target policy governs the IVF's
         # approximate SELECT stages too (candidate-set pruning via
         # nprobe is a separate, orthogonal approximation)
@@ -795,12 +810,12 @@ class DenseRetriever:
                 fn = make_sharded_ivf_topk(
                     self.mesh, k=k_eff, nprobe=nprobe, metric=self.metric,
                     recall_target=rt, filtered=mask is not None,
-                    dim=self._dim if is_binary else 0,
+                    dim=self._dim if packed else 0,
                 )
                 self._sharded_cache[key] = fn
             return fn(
                 q_prepared, idx, self._corpus_n,
-                scale=None if is_binary else self._corpus_scale,
+                scale=ivf_scale,
                 mask_shard=mask,
             )
         return ivf_search(
@@ -809,9 +824,9 @@ class DenseRetriever:
             k=min(k, self._corpus_n),
             nprobe=nprobe,
             metric=self.metric,
-            scale=None if is_binary else self._corpus_scale,
+            scale=ivf_scale,
             mask=mask,
-            dim=self._dim if is_binary else 0,
+            dim=self._dim if packed else 0,
             recall_target=rt,
         )
 
@@ -831,9 +846,9 @@ class DenseRetriever:
             q_prepared.shape[0], backend, pinned=nprobe is not None
         ):
             return self._ivf_search(q_prepared, k, mask, nprobe)
-        if self._rescore_host is not None:  # binary cascade store
+        if self._rescore_host is not None:  # binary/int4 cascade store
             ok = min(self.binary_oversample * k, self._corpus_n)
-            if allow_ivf and self.store_dtype == "binary" \
+            if allow_ivf and self.store_dtype in ("binary", "int4") \
                     and self._ivf_eligible(
                 q_prepared.shape[0], backend, binary=True,
                 pinned=nprobe is not None,
@@ -841,9 +856,10 @@ class DenseRetriever:
                 # stage 1 through the device IVF (single-device OR
                 # per-shard over the mesh): gather only the top-nprobe
                 # packed blocks instead of unpacking the whole corpus
-                # (the exhaustive sweep is unpack-rate-bound, so a
-                # single query pays the full-corpus cost without this).
-                # Sentinels (-1) come back pre-applied.
+                # (the exhaustive sweep is unpack-rate-bound for both
+                # packed stores, so a single query pays the full-corpus
+                # cost without this). Sentinels (-1) come back
+                # pre-applied.
                 _, cand = self._ivf_search(q_prepared, ok, mask, nprobe)
             elif self.mesh is not None:
                 # stage 1 sharded: packed sign bits row-sharded over the

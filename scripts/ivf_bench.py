@@ -41,9 +41,16 @@ from latentrag_tpu.ops.ivf import (
     auto_nprobe,
     ivf_build,
     ivf_build_binary,
+    ivf_build_sq4,
     ivf_search,
 )
-from latentrag_tpu.ops.quantization import sq8_quantize, sq8_topk
+from latentrag_tpu.ops.quantization import (
+    sq4_quantize,
+    sq4_quantize_with_scale,
+    sq4_topk,
+    sq8_quantize,
+    sq8_topk,
+)
 
 
 from functools import partial
@@ -88,14 +95,30 @@ def _clustered_chunk(seed, chunk, rows, d, n_centers, spread):
 
 
 def _staged_quantized(seed, n, d, n_centers, spread, store, chunks=4):
-    """int8/binary corpus staged in ``chunks`` pieces so no full fp32
-    copy ever exists (the single-shot fp32 output is 17 GB lane-padded
-    at 32M — past HBM even fused). Two passes for int8 (global abs-max
-    scale first, exactly ``sq8_quantize``'s semantics), one for binary.
-    Returns (store_array, scale|None).
+    """int8/int4/binary corpus staged in ``chunks`` pieces so no full
+    fp32 copy ever exists (the single-shot fp32 output is 17 GB
+    lane-padded at 32M — past HBM even fused). Two passes for int8/int4
+    (global abs-max scale first, exactly the quantizers' semantics),
+    one for binary. Returns (store_array, scale|None).
     """
     rows = -(-n // chunks)
     sizes = [min(rows, n - i * rows) for i in range(chunks)]
+    if store == "int4":
+        m = 0.0
+        for i, sz in enumerate(sizes):
+            x = _clustered_chunk(seed, i, rows, d, n_centers, spread)
+            m = max(m, float(jnp.max(jnp.abs(x[:sz]))))
+            x.delete()
+        scale = jnp.float32(max(m / 7.0, 1e-12))  # SQ4_LEVELS
+        out = jnp.zeros((n, -(-d // 2)), jnp.uint8)
+        for i, sz in enumerate(sizes):
+            x = _clustered_chunk(seed, i, rows, d, n_centers, spread)
+            pk = sq4_quantize_with_scale(x[:sz], scale)
+            out = jax.lax.dynamic_update_slice_in_dim(
+                out, pk, i * rows, axis=0
+            )
+            x.delete()
+        return out, scale
     if store == "int8":
         m = 0.0
         for i, sz in enumerate(sizes):
@@ -147,7 +170,7 @@ def main(argv=None) -> int:
     p.add_argument("--centers", type=int, default=0,
                    help="mixture components (0 = 4*nlist)")
     p.add_argument("--spread", type=float, default=0.3)
-    p.add_argument("--store", choices=["bf16", "int8", "binary"],
+    p.add_argument("--store", choices=["bf16", "int8", "int4", "binary"],
                    default="bf16")
     p.add_argument("--random-bits", action="store_true",
                    help="binary only: stage random packed words directly "
@@ -192,7 +215,7 @@ def main(argv=None) -> int:
             jax.random.PRNGKey(2), (args.n, args.d // 32), jnp.uint32
         )
         sync(store)
-    elif args.n > 20_000_000 and args.store in ("int8", "binary") \
+    elif args.n > 20_000_000 and args.store in ("int8", "int4", "binary") \
             and not args.cascade:
         # 32M+: stage the quantized corpus in chunks — a single fp32
         # staging buffer is 17+ GB lane-padded (past HBM even fused)
@@ -204,6 +227,8 @@ def main(argv=None) -> int:
         corpus32 = _clustered(2, args.n, args.d, centers, args.spread)
         if args.store == "int8":
             store, scale = sq8_quantize(corpus32)
+        elif args.store == "int4":
+            store, scale = sq4_quantize(corpus32)
         elif args.store == "binary":
             store = binary_quantize(corpus32)
             if args.cascade:
@@ -227,6 +252,8 @@ def main(argv=None) -> int:
     t0 = _t.perf_counter()
     if args.store == "binary":
         idx = ivf_build_binary(store, args.d, args.nlist, args.cap)
+    elif args.store == "int4":
+        idx = ivf_build_sq4(store, args.d, args.nlist, args.cap)
     else:
         idx = ivf_build(store, args.nlist, args.cap)
     sync(idx.blocks)
@@ -257,6 +284,9 @@ def main(argv=None) -> int:
         if args.store == "int8":
             def ex_search(qq, st):
                 return sq8_topk(qq, st, scale, k=args.k)
+        elif args.store == "int4":
+            def ex_search(qq, st):
+                return sq4_topk(qq, st, scale, d=args.d, k=args.k)
         elif args.store == "binary":
             def ex_search(qq, st):  # stage-1 only, like the IVF side
                 return binary_topk(qq, st, d=args.d, k=args.k)
@@ -274,7 +304,7 @@ def main(argv=None) -> int:
         for frac in args.fractions:
             nprobe = auto_nprobe(nblocks, frac)
 
-            dim = args.d if args.store == "binary" else 0
+            dim = args.d if args.store in ("binary", "int4") else 0
 
             def iv_search(qq, ix, _np=nprobe):
                 return ivf_search(

@@ -169,6 +169,31 @@ def test_retriever_mesh_binary_cascade_routes_stage1_through_ivf(
     np.testing.assert_allclose(s[:, 0], s1[:, 0], atol=1e-5)
 
 
+def test_retriever_mesh_int4_cascade_routes_stage1_through_ivf(
+    mesh, corpus, queries
+):
+    from latentrag_tpu.parallel.ivf import ShardedIVF
+    from latentrag_tpu.retrieval import DenseRetriever
+
+    r = DenseRetriever(
+        backend="xla", store_dtype="int4", mesh=mesh,
+        ivf_nlist=256, ivf_cap=32, ivf_nprobe=10**6, binary_oversample=8,
+    )
+    r.build(corpus, [f"t{i}" for i in range(N)], sanity_check=False)
+    s, i = r.search(queries, 5)
+    assert isinstance(r._ivf_index, ShardedIVF)
+    assert r._ivf_index.blocks.dtype == jnp.uint8
+    # full probe -> stage-1 candidate set == whole corpus; the exact
+    # SQ8 rescore then matches the single-device cascade
+    r1 = DenseRetriever(
+        backend="xla", store_dtype="int4", binary_oversample=8
+    )
+    r1.build(corpus, [f"t{i}" for i in range(N)], sanity_check=False)
+    s1, i1 = r1.search(queries, 5)
+    assert (np.asarray(i)[:, 0] == np.asarray(i1)[:, 0]).all()
+    np.testing.assert_allclose(s[:, 0], s1[:, 0], atol=1e-5)
+
+
 def test_mask_contract_errors(mesh, corpus):
     sharded = shard_rows(jnp.asarray(corpus), mesh)
     sivf = build_sharded_ivf(sharded, mesh, nlist=64, cap=64)
