@@ -185,3 +185,41 @@ def test_guarded_falls_back_when_probe_dark(monkeypatch):
     )
     assert bench._run_guarded() == 0
     assert switched == [("jax_platforms", "cpu")] and seen == [True]
+
+
+def _scripted_timer(seq):
+    it = iter(seq)
+    return lambda: next(it)
+
+
+def test_bench_device_two_point_quotient():
+    import jax.numpy as jnp
+
+    q = jnp.ones((2, 4), jnp.float32)
+    c = jnp.ones((8, 4), jnp.float32)
+    search = lambda qq, cc: (qq @ cc.T, None)  # noqa: E731
+    # r_small=2 measured 1s, r_big=4 measured 3s -> 1 s/call
+    dt, _ = bench.bench_device(
+        search, q, c, r_small=2, r_big=4, reps=1,
+        timer=_scripted_timer([0.0, 1.0, 0.0, 3.0]),
+    )
+    assert abs(dt - 1.0) < 1e-9
+
+
+def test_bench_device_negative_quotient_falls_back_to_upper_bound():
+    """Relay jitter can make the big trip count finish 'faster' than the
+    small one; the old clamp to 1e-9 turned that into a million-x
+    speedup downstream.  After one retry the quotient must fall back to
+    the dispatch-inclusive upper bound times[r_big]/r_big."""
+    import jax.numpy as jnp
+
+    q = jnp.ones((2, 4), jnp.float32)
+    c = jnp.ones((8, 4), jnp.float32)
+    search = lambda qq, cc: (qq @ cc.T, None)  # noqa: E731
+    # both attempts: small=10s, big=5s -> quotient negative twice
+    seq = [0.0, 10.0, 10.0, 15.0] * 2
+    dt, _ = bench.bench_device(
+        search, q, c, r_small=2, r_big=4, reps=1,
+        timer=_scripted_timer(seq),
+    )
+    assert abs(dt - 5.0 / 4.0) < 1e-9
