@@ -210,7 +210,13 @@ class DenseRetriever:
     ivf_cap: int = 512
     ivf_nprobe: int = 0  # 0 = auto (~2% of blocks, floor 32)
     ivf_query_limit: int = 64
+    # rows sampled for the build-time candidate-recall probe (0 skips).
+    # IVF pruning quality is a CORPUS property: on a weakly clustered
+    # corpus no small probe budget finds the true neighbors, and
+    # nothing else in the serving path would ever say so.
+    ivf_selfcheck: int = 64
     _ivf_index: Any = None
+    _ivf_recall_estimate: Any = None  # float | None, set by the probe
     _ivf_appended: int = 0  # rows appended since the last full IVF build
     # compiled filter masks (device-resident, keyed by canonical spec);
     # dropped wholesale on any mutation — row order defines mask meaning
@@ -364,6 +370,7 @@ class DenseRetriever:
         if self._filter_cache is not None:
             self._filter_cache.clear()
         self._ivf_index = None  # derived from the corpus being replaced
+        self._ivf_recall_estimate = None
         if len(self.texts) != x.shape[0]:
             raise ValueError("texts and embeddings row count mismatch")
         if self.metric == "mahalanobis":
@@ -559,6 +566,7 @@ class DenseRetriever:
             self._filter_cache.clear()
         # the IVF layout indexes rows by position — any mutation stales it
         self._ivf_index = None
+        self._ivf_recall_estimate = None
 
     def remove(self, doc_ids: Sequence) -> int:
         """Remove documents by doc_id; returns the number of rows dropped.
@@ -768,7 +776,131 @@ class DenseRetriever:
                 time.perf_counter() - t0,
                 " (per shard)" if self.mesh is not None else "",
             )
+            if self.ivf_selfcheck and self.mesh is None:
+                # mesh builds skip the probe: the sharded merge program
+                # is per-(k, nprobe) and the single-device estimate
+                # transfers (shards share the corpus geometry)
+                self._ivf_recall_estimate = self._ivf_recall_probe(
+                    self._ivf_index
+                )
+                r_est = self._ivf_recall_estimate
+                if r_est is not None:
+                    (log.warning if r_est < 0.8 else log.info)(
+                        "device IVF candidate recall ~%.3f@10 at the "
+                        "configured probe budget (%d corpus-row probes)"
+                        "%s",
+                        r_est,
+                        min(self.ivf_selfcheck, self._corpus_n),
+                        "" if r_est >= 0.8 else
+                        " — weakly clustered corpus for this budget: "
+                        "raise retrieval.ivf_nprobe or disable "
+                        "ivf_nlist (docs/ROOFLINE.md r4 IVF section)",
+                    )
         return self._ivf_index
+
+    def _ivf_scale(self):
+        """Stage-1 score scale for ``ivf_search`` on this store."""
+        if self.store_dtype == "int4":
+            return self._sq4_scale
+        if self._rescore_host is not None:
+            return None  # sign bits score asymmetric, unscaled
+        return self._corpus_scale
+
+    def _ivf_probe_queries(self, rows: np.ndarray) -> jax.Array:
+        """Reconstruct prepared-space float queries from stored rows
+        (the probe must query in the same space the searcher does)."""
+        if self.store_dtype == "int4":
+            from ..ops.quantization import sq4_unpack
+
+            pk = jnp.take(self._corpus_dev, jnp.asarray(rows), axis=0)
+            return (
+                sq4_unpack(pk, self._dim).astype(jnp.float32)
+                * self._sq4_scale
+            )
+        if self._rescore_host is not None:  # binary: SQ8 codes host-side
+            return (
+                jnp.asarray(self._rescore_host[rows], jnp.float32)
+                * self._corpus_scale
+            )
+        x = jnp.take(
+            self._corpus_dev, jnp.asarray(rows), axis=0
+        ).astype(jnp.float32)
+        if self._corpus_scale is not None:  # int8 codes
+            x = x * self._corpus_scale
+        return x
+
+    def _ivf_recall_probe(self, idx) -> float | None:
+        """Candidate recall@10 of the production probe budget, measured
+        on a corpus-row sample against the exhaustive stage-1 kernel.
+
+        IVF pruning quality is a CORPUS property, not a code property:
+        on a weakly clustered corpus no probe budget short of a full
+        sweep finds the true neighbors (measured in-distribution recall
+        0.1-0.5 at 0.5-1% probe on a spread-0.3 synthetic mixture vs
+        1.000 on a spread-0.1 one — docs/ROOFLINE.md r4 IVF section).
+        An operator turning on ``ivf_nlist`` needs that number for
+        THEIR corpus, so the first build measures it: two extra
+        compiles plus milliseconds of device time, logged and surfaced
+        through the serve ``stats`` protocol. Corpus rows as probes
+        flatter the estimate slightly (each probe's own row usually
+        sits in a probed list) — read it as an upper bound. Packed
+        cascade tiers measure stage-1 vs stage-1 (pruning loss only,
+        the same definition as scripts/ivf_bench.py rows).
+        """
+        if self.metric not in ("cosine", "dot"):
+            return None  # distance metrics: quantized IVF forbids them
+        s = max(2, min(self.ivf_selfcheck, self._corpus_n))
+        rows = np.linspace(0, self._corpus_n - 1, s).astype(np.int32)
+        q = self._ivf_probe_queries(rows)
+        kk = min(10, self._corpus_n)
+        rt = self._effective_recall_target(kk)
+        corpus = self._corpus_dev[: self._corpus_n]
+        if self.store_dtype == "int4":
+            from ..ops.quantization import sq4_topk
+
+            _, ref = sq4_topk(
+                q, corpus, self._sq4_scale, d=self._dim, k=kk,
+                block_size=self.block_size, recall_target=rt,
+            )
+        elif self._rescore_host is not None:
+            from ..ops.binary import binary_topk
+
+            _, ref = binary_topk(
+                q, corpus, d=self._dim, k=kk,
+                block_size=self.block_size, recall_target=rt,
+            )
+        elif self._corpus_scale is not None:
+            from ..ops.quantization import sq8_topk
+
+            _, ref = sq8_topk(
+                q, corpus, self._corpus_scale, k=kk,
+                block_size=self.block_size, recall_target=rt,
+            )
+        else:
+            _, ref = approx_topk(
+                q.astype(corpus.dtype), corpus, k=kk,
+                metric=self.metric, block_size=self.block_size,
+                recall_target=rt,
+            )
+        from ..ops.ivf import auto_nprobe, ivf_search
+
+        packed = self._rescore_host is not None
+        _, est = ivf_search(
+            q, idx, k=kk,
+            nprobe=min(
+                self.ivf_nprobe or auto_nprobe(idx.nblocks), idx.nblocks
+            ),
+            metric=self.metric,
+            scale=self._ivf_scale(),
+            dim=self._dim if packed else 0,
+            recall_target=rt,
+        )
+        ref, est = np.asarray(ref), np.asarray(est)
+        hits = sum(
+            len(set(a.tolist()) & set(b.tolist()))
+            for a, b in zip(est, ref)
+        )
+        return hits / ref.size
 
     def _ivf_search(
         self, q_prepared: jax.Array, k: int, mask: Any,
@@ -790,12 +922,7 @@ class DenseRetriever:
         else:
             nprobe = self.ivf_nprobe or auto_nprobe(idx.nblocks)
         packed = self._rescore_host is not None  # binary/int4 stage 1
-        if self.store_dtype == "int4":
-            ivf_scale = self._sq4_scale
-        elif packed:
-            ivf_scale = None  # sign bits score asymmetric, unscaled
-        else:
-            ivf_scale = self._corpus_scale
+        ivf_scale = self._ivf_scale()
         # the retriever's recall_target policy governs the IVF's
         # approximate SELECT stages too (candidate-set pruning via
         # nprobe is a separate, orthogonal approximation)

@@ -38,6 +38,7 @@ def _make_dense(cfg: RetrievalConfig, mesh) -> DenseRetriever:
         ivf_cap=cfg.ivf_cap,
         ivf_nprobe=cfg.ivf_nprobe,
         ivf_query_limit=cfg.ivf_query_limit,
+        ivf_selfcheck=cfg.ivf_selfcheck,
     )
 
 

@@ -228,6 +228,11 @@ class RetrievalConfig:
     # ops/ivf.auto_nprobe; recall curves in docs/ROOFLINE.md r4)
     ivf_nprobe: int = 0
     ivf_query_limit: int = 64  # batches above this Q stay exhaustive
+    # corpus-row probes for the build-time candidate-recall estimate
+    # (pruning quality is a corpus property — the probe is the only
+    # thing that will ever say the budget is too small for THIS
+    # corpus); 0 skips it and its two extra compiles
+    ivf_selfcheck: int = 64
 
 
 @dataclass(frozen=True)

@@ -265,7 +265,11 @@ def main(argv=None) -> int:
     out = {
         "n": args.n, "d": args.d, "k": args.k, "store": args.store,
         "nlist": args.nlist, "cap": args.cap, "nblocks": nblocks,
-        "build_s": round(build_s, 2), "backend": backend, "rows": [],
+        "build_s": round(build_s, 2), "backend": backend,
+        # full corpus/query provenance — a recall number without its
+        # mixture geometry is unreproducible (learned the hard way)
+        "centers": centers, "spread": args.spread,
+        "queries_draw": "in-distribution", "rows": [],
     }
     r_small, r_big = args.r
     for nq in args.queries:

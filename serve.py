@@ -297,7 +297,7 @@ def make_handle(cfg, args, runner, compressor, retriever, mode):
     def _handle_locked(req: dict) -> dict:
         if req.get("stats"):
             st = retriever.get_stats(reset=bool(req.get("reset")))
-            return {
+            out_stats = {
                 "stats": st,
                 "n_docs": len(retriever.texts),
                 "boot": mode,
@@ -306,6 +306,10 @@ def make_handle(cfg, args, runner, compressor, retriever, mode):
                 "rerank": cfg.retrieval.rerank,
                 "micro_batch_window_ms": window_ms if batcher else 0,
             }
+            ivf_r = getattr(retriever, "_ivf_recall_estimate", None)
+            if ivf_r is not None:
+                out_stats["ivf_recall_estimate"] = round(float(ivf_r), 4)
+            return out_stats
         if "add" in req:
             spec = req["add"]
             texts = spec.get("texts")

@@ -188,3 +188,59 @@ def test_factory_plumbs_ivf_config(corpus):
     )
     r.search(corpus[:4], 5)
     assert r._ivf_index is not None
+
+
+def test_selfcheck_estimates_recall_on_build(corpus, queries, caplog):
+    # tight synthetic clusters + a generous pinned probe: the build-time
+    # probe must run, land high, and log at INFO (no weak-corpus warning)
+    import logging
+
+    with caplog.at_level(logging.INFO, logger="latentrag.retrieval"):
+        r = _build(corpus, ivf_nprobe=10**6)
+        r.search(queries, K)
+    assert r._ivf_index is not None
+    est = r._ivf_recall_estimate
+    assert est is not None and 0.9 <= est <= 1.0, est
+    assert any("IVF candidate recall" in m for m in caplog.messages)
+
+
+def test_selfcheck_disabled_leaves_estimate_unset(corpus, queries):
+    r = _build(corpus, ivf_nprobe=10**6, ivf_selfcheck=0)
+    r.search(queries, K)
+    assert r._ivf_index is not None
+    assert r._ivf_recall_estimate is None
+
+
+def test_selfcheck_warns_on_weakly_clustered_corpus(queries, caplog):
+    # uniform rows = no cluster structure: a 1-block probe budget cannot
+    # find the true neighbors and the probe must say so loudly
+    import logging
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(N, D)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    with caplog.at_level(logging.WARNING, logger="latentrag.retrieval"):
+        r = _build(x, ivf_nprobe=1)
+        r.search(queries, K)
+    est = r._ivf_recall_estimate
+    assert est is not None and est < 0.8, est
+    assert any("weakly clustered" in m for m in caplog.messages)
+
+
+def test_selfcheck_runs_on_quantized_stores(corpus, queries):
+    # int8 store: probe queries are dequantized codes; stage-1 vs
+    # stage-1 definition still applies
+    r = _build(corpus, ivf_nprobe=10**6, store_dtype="int8",
+               backend="xla")
+    r.search(queries, K)
+    assert r._ivf_index is not None
+    est = r._ivf_recall_estimate
+    assert est is not None and est >= 0.9, est
+
+
+def test_selfcheck_invalidated_with_the_index(corpus, queries):
+    r = _build(corpus, ivf_nprobe=10**6)
+    r.search(queries, K)
+    assert r._ivf_recall_estimate is not None
+    r.remove([0])
+    assert r._ivf_index is None and r._ivf_recall_estimate is None
