@@ -10,6 +10,16 @@ budgets, on a clustered synthetic corpus (mixture of Gaussians — text
 embedding corpora cluster; a uniform sphere would understate IVF recall
 at every budget, so the cluster spread is a flag).
 
+RECALL IS A CORPUS PROPERTY — ``--spread`` decides which regime you
+measure (r4 forensics, docs/ROOFLINE.md): at 0.08 the mixture is
+clustered (same-component cosine ~0.71) and small probe budgets read
+r~1.0; at the DEFAULT 0.3 noise dominates (only ~3% of true top-10
+share the query's component) and no probe budget short of a full sweep
+recalls well — r=0.26-0.49 at 0.5-1%. The published clustered tables
+used --spread 0.08; timing columns are difficulty-independent. The
+JSON records spread/centers so a recall number can't lose its geometry
+again.
+
   python scripts/ivf_bench.py                        # real chip, 1M
   python scripts/ivf_bench.py --n 8800000 --store int8
   JAX_PLATFORMS=cpu python scripts/ivf_bench.py --n 100000  # smoke
