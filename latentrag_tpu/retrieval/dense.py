@@ -218,6 +218,10 @@ class DenseRetriever:
     _ivf_index: Any = None
     _ivf_recall_estimate: Any = None  # float | None, set by the probe
     _ivf_appended: int = 0  # rows appended since the last full IVF build
+    # persisted (centroids, assignments) from a warm-boot load: turns
+    # the next _ensure_ivf into one deterministic layout gather instead
+    # of k-means + a full assignment sweep (~95% of the build cost)
+    _ivf_sidecar: Any = None
     # compiled filter masks (device-resident, keyed by canonical spec);
     # dropped wholesale on any mutation — row order defines mask meaning
     _filter_cache: Any = None
@@ -260,6 +264,7 @@ class DenseRetriever:
                 "_loaded_fingerprint", "_corpus_n", "_corpus_dev",
                 "_corpus_scale", "_rescore_host", "_sq4_scale", "_dim",
                 "_whitener", "_sharded_cache", "_make_sharded",
+                "_ivf_sidecar", "_ivf_recall_estimate",
             )
             snap = {f: getattr(self, f) for f in _load_fields
                     if hasattr(self, f)}
@@ -371,6 +376,7 @@ class DenseRetriever:
             self._filter_cache.clear()
         self._ivf_index = None  # derived from the corpus being replaced
         self._ivf_recall_estimate = None
+        self._ivf_sidecar = None  # assignments describe the OLD rows
         if len(self.texts) != x.shape[0]:
             raise ValueError("texts and embeddings row count mismatch")
         if self.metric == "mahalanobis":
@@ -433,7 +439,7 @@ class DenseRetriever:
         self.stats.add_build(time.perf_counter() - t0)
 
         if self.index_path:
-            self._save(self.index_path)
+            self._save(self.index_path, eager_ivf=True)
 
         if sanity_check and self._corpus_n > 0:
             ok = self._self_check()
@@ -567,6 +573,7 @@ class DenseRetriever:
         # the IVF layout indexes rows by position — any mutation stales it
         self._ivf_index = None
         self._ivf_recall_estimate = None
+        self._ivf_sidecar = None
 
     def remove(self, doc_ids: Sequence) -> int:
         """Remove documents by doc_id; returns the number of rows dropped.
@@ -727,7 +734,22 @@ class DenseRetriever:
     def _ensure_ivf(self):
         if self._ivf_index is None:
             t0 = time.perf_counter()
-            if self.mesh is not None:
+            restored = False
+            if self.mesh is None and self._ivf_sidecar is not None:
+                # warm boot: persisted centroids + assignments skip
+                # k-means and the assignment sweep; the layout gather is
+                # deterministic, so candidates match the saved index
+                from ..ops.ivf import ivf_build_from_assign
+
+                cent, assign = self._ivf_sidecar
+                self._ivf_index = ivf_build_from_assign(
+                    self._corpus_dev[: self._corpus_n],
+                    cent,
+                    np.ascontiguousarray(assign),
+                    self.ivf_cap,
+                )
+                restored = True
+            elif self.mesh is not None:
                 # per-shard inverted files over the already-sharded
                 # corpus (parallel/ivf.py); pad rows are masked at the
                 # merge via n_valid like every sharded kernel
@@ -770,16 +792,24 @@ class DenseRetriever:
 
             force_completion(self._ivf_index.blocks)
             log.info(
-                "device IVF built: nblocks=%d cap=%d in %.2fs%s",
+                "device IVF %s: nblocks=%d cap=%d in %.2fs%s",
+                "restored from sidecar (no k-means)" if restored
+                else "built",
                 self._ivf_index.nblocks,
                 self.ivf_cap,
                 time.perf_counter() - t0,
                 " (per shard)" if self.mesh is not None else "",
             )
-            if self.ivf_selfcheck and self.mesh is None:
-                # mesh builds skip the probe: the sharded merge program
+            if (
+                self.ivf_selfcheck
+                and self.mesh is None
+                and not (restored and self._ivf_recall_estimate is not None)
+            ):
+                # mesh builds skip the probe (the sharded merge program
                 # is per-(k, nprobe) and the single-device estimate
-                # transfers (shards share the corpus geometry)
+                # transfers — shards share the corpus geometry); a
+                # sidecar restore with a persisted estimate reuses it
+                # (the corpus is digest-verified identical)
                 self._ivf_recall_estimate = self._ivf_recall_probe(
                     self._ivf_index
                 )
@@ -1219,7 +1249,7 @@ class DenseRetriever:
 
     # ---------------------------------------------------------- persistence
 
-    def _save(self, path: str) -> None:
+    def _save(self, path: str, eager_ivf: bool = False) -> None:
         os.makedirs(path, exist_ok=True)
         stored_digests: dict[str, str] = {}
         from .textstore import atomic_save
@@ -1323,6 +1353,42 @@ class DenseRetriever:
             stored_digests["whitener.npy"] = _stored_digest(wh)
         else:
             _drop_stale("whitener.npy")
+        # device-IVF warm-boot sidecar: centroids + per-row assignments
+        # (the expensive 95% of a build — k-means + the assignment
+        # sweep); the block layout itself rebuilds from them in one
+        # deterministic device gather on the next eligible search.
+        # ``eager_ivf`` (build()'s save only) pays the k-means ONCE at
+        # persist time instead of at the first search of every boot;
+        # mutation saves never force it (a remove would otherwise pay
+        # ~86 s inline at 8.8M) — they persist a live index's
+        # assignments or drop the stale sidecar.
+        ivf_saved = False
+        if (
+            self.ivf_nlist > 0
+            and self.mesh is None
+            and self._corpus_n >= self.IVF_MIN_ROWS
+            and (self._ivf_index is not None or eager_ivf)
+        ):
+            if self._ivf_index is None:
+                log.info(
+                    "building device IVF at save time so warm boots "
+                    "skip k-means (retrieval.ivf_nlist=%d)",
+                    self.ivf_nlist,
+                )
+            idx = self._ensure_ivf()
+            from ..ops.ivf import ivf_assignments
+
+            cent = np.asarray(idx.centroids, dtype=np.float32)
+            assign = np.asarray(
+                ivf_assignments(idx, self._corpus_n), dtype=np.int32
+            )
+            atomic_save(os.path.join(path, "ivf_centroids.npy"), cent)
+            atomic_save(os.path.join(path, "ivf_assign.npy"), assign)
+            stored_digests["ivf_centroids.npy"] = _stored_digest(cent)
+            stored_digests["ivf_assign.npy"] = _stored_digest(assign)
+            ivf_saved = True
+        else:
+            _drop_stale("ivf_centroids.npy", "ivf_assign.npy")
         # texts live in the LAZY store (utf-8 blob + offsets, mmap'd on
         # load) so a multi-M-doc warm boot neither parses gigabytes of
         # JSON nor holds N Python strings in RAM — serving touches only
@@ -1353,6 +1419,18 @@ class DenseRetriever:
         }
         if metadata_digest is not None:
             meta["metadata_digest"] = metadata_digest
+        if ivf_saved:
+            # the restored layout must regroup with the SAME cap, and a
+            # changed nlist budget means the user wants a re-cluster
+            meta["ivf_cap"] = self.ivf_cap
+            meta["ivf_nlist"] = self.ivf_nlist
+            if self._ivf_recall_estimate is not None:
+                # the corpus a warm boot loads is digest-verified
+                # identical, so the measured estimate transfers — reuse
+                # it instead of paying the probe's compiles every boot
+                meta["ivf_recall_estimate"] = float(
+                    self._ivf_recall_estimate
+                )
         if self.mesh is not None and self._rescore_host is None:
             meta["sharded_generation"] = sharded_generation
         if not ids_as_npy:
@@ -1421,6 +1499,28 @@ class DenseRetriever:
         # off the mmap): catches the same-n crash window where a fresh
         # corpus.npy pairs with the previous generation's texts + meta
         verify_stored_digests(path, meta)
+        # device-IVF warm-boot sidecar (digests verified above): honor
+        # it only when the CURRENT config asks for the same structure —
+        # a changed cap regroups differently and a changed nlist means
+        # the user wants a re-cluster (both fall back to a fresh build)
+        self._ivf_sidecar = None
+        if (
+            self.mesh is None
+            and self.ivf_nlist > 0
+            and "ivf_centroids.npy" in (meta.get("stored_digests") or {})
+            and int(meta.get("ivf_cap", -1)) == self.ivf_cap
+            and int(meta.get("ivf_nlist", -1)) == self.ivf_nlist
+        ):
+            cent = np.load(os.path.join(path, "ivf_centroids.npy"))
+            assign = np.load(
+                os.path.join(path, "ivf_assign.npy"), mmap_mode="r"
+            )
+            if assign.shape[0] == n:
+                self._ivf_sidecar = (cent, assign)
+                if meta.get("ivf_recall_estimate") is not None:
+                    self._ivf_recall_estimate = float(
+                        meta["ivf_recall_estimate"]
+                    )
         from .textstore import load_metadata_sidecar
 
         mpath = os.path.join(path, "metadata.jsonl")

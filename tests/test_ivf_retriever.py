@@ -244,3 +244,81 @@ def test_selfcheck_invalidated_with_the_index(corpus, queries):
     assert r._ivf_recall_estimate is not None
     r.remove([0])
     assert r._ivf_index is None and r._ivf_recall_estimate is None
+
+
+def test_ivf_persists_and_restores_without_kmeans(tmp_path, corpus, queries, caplog):
+    import logging
+    import os
+
+    path = str(tmp_path / "idx")
+    r = _build(corpus, ivf_nprobe=10**6, index_path=path)
+    # build()'s save eagerly built + persisted the warm-boot sidecar
+    assert r._ivf_index is not None
+    assert os.path.exists(os.path.join(path, "ivf_assign.npy"))
+    assert os.path.exists(os.path.join(path, "ivf_centroids.npy"))
+    s_ref, i_ref = r.search(queries, K)
+    with caplog.at_level(logging.INFO, logger="latentrag.retrieval"):
+        r2 = DenseRetriever(
+            backend="xla", store_dtype="float32", ivf_nlist=32,
+            ivf_cap=128, ivf_nprobe=10**6, index_path=path,
+        )
+        assert r2._ivf_sidecar is not None  # warm boot picked it up
+        s2, i2 = r2.search(queries, K)
+    assert any("restored from sidecar" in m for m in caplog.messages)
+    # same assignments + deterministic layout gather -> identical serving
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(i_ref))
+    np.testing.assert_allclose(
+        np.asarray(s2), np.asarray(s_ref), atol=2e-5
+    )
+
+
+def test_ivf_sidecar_refused_on_config_change(tmp_path, corpus, queries, caplog):
+    import logging
+
+    path = str(tmp_path / "idx")
+    _build(corpus, ivf_nprobe=10**6, index_path=path)
+    with caplog.at_level(logging.INFO, logger="latentrag.retrieval"):
+        r2 = DenseRetriever(
+            backend="xla", store_dtype="float32", ivf_nlist=16,  # changed
+            ivf_cap=128, ivf_nprobe=10**6, index_path=path,
+        )
+        assert r2._ivf_sidecar is None  # nlist mismatch: re-cluster
+        r2.search(queries, K)
+    assert any(
+        "device IVF built" in m for m in caplog.messages
+    ), caplog.messages
+
+
+def test_ivf_sidecar_dropped_by_mutation_save(tmp_path, corpus, queries):
+    import os
+
+    path = str(tmp_path / "idx")
+    r = _build(corpus, ivf_nprobe=10**6, index_path=path)
+    assert os.path.exists(os.path.join(path, "ivf_assign.npy"))
+    r.remove([0])  # reindexes rows; the mutation save must drop the
+    # stale sidecar rather than let a later boot restore wrong rows
+    assert not os.path.exists(os.path.join(path, "ivf_assign.npy"))
+    assert not os.path.exists(os.path.join(path, "ivf_centroids.npy"))
+
+
+def test_ivf_estimate_persists_and_skips_warm_probe(tmp_path, corpus, queries, caplog):
+    import json
+    import logging
+    import os
+
+    path = str(tmp_path / "idx")
+    r = _build(corpus, ivf_nprobe=10**6, index_path=path)
+    est = r._ivf_recall_estimate
+    assert est is not None
+    meta = json.load(open(os.path.join(path, "meta.json")))
+    assert meta["ivf_recall_estimate"] == pytest.approx(est)
+    with caplog.at_level(logging.INFO, logger="latentrag.retrieval"):
+        r2 = DenseRetriever(
+            backend="xla", store_dtype="float32", ivf_nlist=32,
+            ivf_cap=128, ivf_nprobe=10**6, index_path=path,
+        )
+        r2.search(queries, K)
+    # the digest-verified corpus reuses the measured estimate: no
+    # fresh probe log line on the warm boot
+    assert r2._ivf_recall_estimate == pytest.approx(est)
+    assert not any("candidate recall" in m for m in caplog.messages)
