@@ -322,3 +322,26 @@ def test_ivf_estimate_persists_and_skips_warm_probe(tmp_path, corpus, queries, c
     # fresh probe log line on the warm boot
     assert r2._ivf_recall_estimate == pytest.approx(est)
     assert not any("candidate recall" in m for m in caplog.messages)
+
+
+def test_ivf_persistence_roundtrip_binary_store(tmp_path, corpus, queries, caplog):
+    import logging
+    import os
+
+    path = str(tmp_path / "idx")
+    r = _build(
+        corpus, ivf_nprobe=10**6, index_path=path,
+        store_dtype="binary", backend="xla",
+    )
+    assert os.path.exists(os.path.join(path, "ivf_assign.npy"))
+    _, i_ref = r.search(queries, K)
+    with caplog.at_level(logging.INFO, logger="latentrag.retrieval"):
+        r2 = DenseRetriever(
+            backend="xla", store_dtype="binary", ivf_nlist=32,
+            ivf_cap=128, ivf_nprobe=10**6, index_path=path,
+        )
+        assert r2._ivf_sidecar is not None
+        _, i2 = r2.search(queries, K)
+    assert any("restored from sidecar" in m for m in caplog.messages)
+    # packed bits persist verbatim + same assignments -> same cascade
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(i_ref))
