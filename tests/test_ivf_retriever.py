@@ -312,6 +312,9 @@ def test_ivf_estimate_persists_and_skips_warm_probe(tmp_path, corpus, queries, c
     assert est is not None
     meta = json.load(open(os.path.join(path, "meta.json")))
     assert meta["ivf_recall_estimate"] == pytest.approx(est)
+    # drop records from r's build-time probe: depending on suite order a
+    # prior test may have configured logging so caplog captured them
+    caplog.clear()
     with caplog.at_level(logging.INFO, logger="latentrag.retrieval"):
         r2 = DenseRetriever(
             backend="xla", store_dtype="float32", ivf_nlist=32,
