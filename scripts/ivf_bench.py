@@ -198,7 +198,8 @@ def main(argv=None) -> int:
 
     backend = jax.default_backend()
     print(f"[ivf_bench] backend={backend} n={args.n} d={args.d} "
-          f"store={args.store}", file=sys.stderr)
+          f"store={args.store} spread={args.spread} "
+          f"centers={args.centers or 4 * args.nlist}", file=sys.stderr)
     if backend != "cpu":
         # probe-then-run (CLAUDE.md relay discipline): the relay can go
         # dark for 10-60+ min and a hang inside the runtime is not
