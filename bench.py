@@ -47,6 +47,7 @@ the budgets (probe 0 = skip straight to the child).
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import subprocess
@@ -144,6 +145,16 @@ def bench_device(search, queries, corpus, r_small: int, r_big: int,
     into the carry (keeps every iteration live).  The per-call time is the
     two-point difference quotient, which cancels dispatch + sync overhead
     exactly; ``reps`` medians guard against relay jitter.
+
+    Returns ``(dt_s, overhead_s, info)``. ``info`` carries measurement
+    provenance so JSON rows can distinguish session variance from a real
+    regression (VERDICT r4 weak 7): ``fallback`` — True when relay jitter
+    defeated the quotient twice and ``dt`` is the dispatch-INCLUSIVE
+    upper bound ``times[r_big]/r_big`` (pessimistic, not in-program);
+    ``spread`` — (max-min)/median over the per-rep paired quotients
+    (None when <2 positive pairs); ``reps`` — the sample count. When
+    ``fallback`` fires, ``overhead`` is None (the fit that defines it
+    did not hold).
     """
 
     # rolling a 1-row batch along axis 0 is the identity — the loop body
@@ -162,30 +173,52 @@ def bench_device(search, queries, corpus, r_small: int, r_big: int,
     sync(run(queries, corpus, 2))  # compile + warm
 
     def measure():
-        times = {}
+        raw = {}
         for r in (r_small, r_big):
             samples = []
             for _ in range(reps):
                 t0 = timer()
                 sync(run(queries, corpus, r))
                 samples.append(timer() - t0)
-            times[r] = float(np.median(samples))
-        return times
+            raw[r] = samples
+        return raw
 
-    times = measure()
-    dt = (times[r_big] - times[r_small]) / (r_big - r_small)
+    def quotient(raw):
+        med = {r: float(np.median(v)) for r, v in raw.items()}
+        return (med[r_big] - med[r_small]) / (r_big - r_small), med
+
+    raw = measure()
+    dt, med = quotient(raw)
+    fallback = False
     if dt <= 0:
         # relay jitter can make the big trip count finish "faster" than
         # the small one; a clamped near-zero quotient reads as a
         # million-x speedup downstream (seen once on a Q=1 IVF row).
         # Retry once, then fall back to the dispatch-INCLUSIVE upper
-        # bound — pessimistic but honest.
-        times = measure()
-        dt = (times[r_big] - times[r_small]) / (r_big - r_small)
+        # bound — pessimistic but honest, and FLAGGED so JSON rows never
+        # pass it off as an in-program number.
+        raw = measure()
+        dt, med = quotient(raw)
         if dt <= 0:
-            dt = times[r_big] / r_big
-    overhead = times[r_small] - r_small * dt
-    return max(dt, 1e-9), overhead
+            dt = med[r_big] / r_big
+            fallback = True
+            print(
+                "[bench_device] non-positive difference quotient twice — "
+                f"reporting dispatch-inclusive upper bound {dt * 1e3:.3f} "
+                "ms (fallback=True)", file=sys.stderr,
+            )
+    pairs = [
+        (b - s) / (r_big - r_small)
+        for s, b in zip(raw[r_small], raw[r_big])
+    ]
+    pos = [p for p in pairs if p > 0]
+    spread = (
+        float((max(pos) - min(pos)) / np.median(pos))
+        if len(pos) >= 2 else None
+    )
+    overhead = None if fallback else med[r_small] - r_small * dt
+    info = {"fallback": fallback, "reps": reps, "spread": spread}
+    return max(dt, 1e-9), overhead, info
 
 
 def _make_data(key, n, d, dtype):
@@ -240,7 +273,7 @@ def _bench_encoder(on_tpu: bool):
     # in-program, dispatch-immune (same methodology as the search rows):
     # mix the rolled dummy into the ids so iterations stay live
     qvec = jnp.arange(64, dtype=jnp.float32).reshape(8, 8)
-    dt, _ = bench_device(
+    dt, _, _ = bench_device(
         lambda q, c: (apply(
             params, (ids + q[0, 0].astype(jnp.int32)) % 30522, mask
         )[0],),
@@ -322,14 +355,19 @@ def main(relay_dark: bool = False, child_rc: int | None = None) -> int:
         file=sys.stderr,
     )
     search = lambda q, c: backend(q, c, k=k, metric="cosine")  # noqa: E731
+    prov: dict = {}
     if on_tpu:
-        dt, ovh = bench_device(search, queries, corpus,
-                               r_small=64, r_big=2048)
+        dt, ovh, info = bench_device(search, queries, corpus,
+                                     r_small=64, r_big=2048)
         qps = nq / dt
+        prov["headline"] = info
+        ovh_s = "n/a" if ovh is None else "%.1f ms" % (ovh * 1e3)
+        spr_s = ("n/a" if info["spread"] is None
+                 else "%.2f" % info["spread"])
         print(
             f"[bench] ref-config device throughput: {dt * 1e3:.3f} ms/batch"
-            f" -> {qps:,.0f} QPS (fixed dispatch+sync overhead "
-            f"{ovh * 1e3:.1f} ms excluded by two-point fit)",
+            f" -> {qps:,.0f} QPS (fixed dispatch+sync overhead {ovh_s} "
+            f"excluded by two-point fit; spread {spr_s})",
             file=sys.stderr,
         )
     else:
@@ -356,9 +394,10 @@ def main(relay_dark: bool = False, child_rc: int | None = None) -> int:
                     return backend(q, c, k=k, metric="cosine",
                                    recall_target=_rt)
 
-                dt2, _ = bench_device(
+                dt2, _, info2 = bench_device(
                     s_rt, q2, corpus2, r_small=8, r_big=220,
                 )
+                prov[f"1m_{label}"] = info2
             else:
                 dt2 = bench_call(
                     lambda: backend(q2, corpus2, k=k, metric="cosine"),
@@ -389,7 +428,7 @@ def main(relay_dark: bool = False, child_rc: int | None = None) -> int:
                 return backend(q, c, k=k, metric="cosine",
                                recall_target=0.99, mask=mask50)
 
-            dt3, _ = bench_device(s_f, q2, corpus2, r_small=8, r_big=220)
+            dt3, _, _ = bench_device(s_f, q2, corpus2, r_small=8, r_big=220)
             qps_1m["filtered"] = 1024 / dt3
             print(
                 f"[bench] 1M-corpus filtered (sel=0.5, rt0.99): "
@@ -428,8 +467,48 @@ def main(relay_dark: bool = False, child_rc: int | None = None) -> int:
         payload["qps_1m_filtered"] = round(qps_1m["filtered"], 1)
     if enc_rate:
         payload["encoder_sentences_per_s"] = round(enc_rate, 1)
+    # measurement provenance (VERDICT r4 weak 7): per-point quotient
+    # spread + whether the dispatch-inclusive fallback fired, so a future
+    # reader can tell relay/session variance from a real regression
+    for name, info in prov.items():
+        if info.get("spread") is not None:
+            payload[f"{name}_spread"] = round(info["spread"], 3)
+        if info.get("fallback"):
+            payload[f"{name}_fallback"] = True
+    _vs_prev_round(payload, on_tpu)
     print(json.dumps(payload))
     return 0
+
+
+def _vs_prev_round(payload: dict, on_tpu: bool) -> None:
+    """Tolerance band vs the previous round's chip headline: records the
+    ratio and warns when outside +-15% (beyond the documented relay
+    session variance) — a drift guard, never a hard failure (the driver
+    must always get its JSON line)."""
+    if not on_tpu:
+        return
+    here = os.path.dirname(os.path.abspath(__file__))
+    prev = sorted(glob.glob(os.path.join(here, "BENCH_r0*.json")))
+    if not prev:
+        return
+    try:
+        with open(prev[-1]) as f:
+            last = json.load(f)
+        if last.get("relay_dark") or "value" not in last:
+            return
+        ratio = payload["value"] / float(last["value"])
+        payload["vs_prev_round"] = round(ratio, 3)
+        if not (0.85 <= ratio <= 1.15):
+            print(
+                f"[bench] headline {payload['value']:,.0f} QPS is "
+                f"{ratio:.2f}x the previous round's {last['value']:,.0f} "
+                f"({os.path.basename(prev[-1])}) — outside the +-15% "
+                "band; check spread fields before reading this as a "
+                "regression/speedup", file=sys.stderr,
+            )
+    except Exception as e:
+        print(f"[bench] prev-round comparison skipped: {e}",
+              file=sys.stderr)
 
 
 if __name__ == "__main__":

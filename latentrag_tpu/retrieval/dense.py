@@ -485,6 +485,22 @@ class DenseRetriever:
         if metadata is not None and len(metadata) != emb.shape[0]:
             raise ValueError("metadata/embeddings row count mismatch")
 
+        if (
+            self._ivf_index is None
+            and self._ivf_sidecar is not None
+            and self.mesh is None
+            and self._ivf_append_budget(emb.shape[0])
+        ):
+            # warm boot -> add() before any search: materialise the IVF
+            # from the persisted sidecar NOW (one device gather, no
+            # k-means) so the append below extends the layout instead of
+            # _mark_mutated dropping the sidecar — which would delete the
+            # persisted assignments at save time and hand the next search
+            # the full rebuild (~86 s at 8.8M) persistence exists to
+            # avoid. probe=False: an add() should not pay the recall
+            # probe's two compiles; the estimate (if persisted) carries.
+            self._ensure_ivf(probe=False)
+
         prepared = prepare_for_metric(
             jnp.asarray(emb), self.metric, self._whitener
         )
@@ -731,7 +747,7 @@ class DenseRetriever:
         search rebuilds the layout fresh instead."""
         return (self._ivf_appended + m) * 4 <= self._corpus_n
 
-    def _ensure_ivf(self):
+    def _ensure_ivf(self, probe: bool = True):
         if self._ivf_index is None:
             t0 = time.perf_counter()
             restored = False
@@ -801,7 +817,8 @@ class DenseRetriever:
                 " (per shard)" if self.mesh is not None else "",
             )
             if (
-                self.ivf_selfcheck
+                probe
+                and self.ivf_selfcheck
                 and self.mesh is None
                 and not (restored and self._ivf_recall_estimate is not None)
             ):
@@ -1363,11 +1380,21 @@ class DenseRetriever:
         # ~86 s inline at 8.8M) — they persist a live index's
         # assignments or drop the stale sidecar.
         ivf_saved = False
+        # eager builds only pay off for stores whose searches can route
+        # through the IVF (_ivf_eligible: backend 'xla' for fp/int8,
+        # always for the packed cascade tiers) — backend='exact' with
+        # ivf_nlist>0 would otherwise pay k-means + two probe compiles
+        # at every build()-save for a tier no search ever uses. A LIVE
+        # index still persists regardless (it exists, saving is cheap).
+        eager_ok = eager_ivf and (
+            self._rescore_host is not None
+            or self._resolve_backend() == "xla"
+        )
         if (
             self.ivf_nlist > 0
             and self.mesh is None
             and self._corpus_n >= self.IVF_MIN_ROWS
-            and (self._ivf_index is not None or eager_ivf)
+            and (self._ivf_index is not None or eager_ok)
         ):
             if self._ivf_index is None:
                 log.info(

@@ -214,7 +214,7 @@ def bench_forward(fn, params, b, l, label):
     # cannot be hoisted out of the timing loop as loop-invariant
     qvec = jnp.arange(64, dtype=jnp.float32).reshape(8, 8)
 
-    dt, _ = bench_device(
+    dt, _, _ = bench_device(
         lambda q, c: (fn(params, (ids + q[0, 0].astype(jnp.int32)) % VOCAB,
                          mask)[0],),
         qvec, jnp.zeros((2, 2), jnp.float32),

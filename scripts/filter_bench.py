@@ -82,7 +82,7 @@ def main(argv=None) -> int:
         sync(s_chk)
 
         if on_tpu:
-            dt, _ = bench_device(search, queries, corpus,
+            dt, _, _ = bench_device(search, queries, corpus,
                                  r_small=8, r_big=220)
         else:
             dt = bench_call(lambda: search(queries, corpus), reps=3, warm=1)

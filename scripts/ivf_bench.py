@@ -308,7 +308,7 @@ def main(argv=None) -> int:
         else:
             def ex_search(qq, st):
                 return approx_topk(qq, st, k=args.k, recall_target=0.99)
-        dt, _ = bench_device(ex_search, q, store, r_small, r_big)
+        dt, _, ex_info = bench_device(ex_search, q, store, r_small, r_big)
         _, ref_i = ex_search(q, store)
         ref_i = np.asarray(ref_i)
         row = {
@@ -316,6 +316,8 @@ def main(argv=None) -> int:
             "exhaustive_ms": round(dt * 1e3, 3),
             "ivf": [],
         }
+        if ex_info["fallback"]:
+            row["exhaustive_fallback"] = True
         for frac in args.fractions:
             nprobe = auto_nprobe(nblocks, frac)
 
@@ -326,7 +328,8 @@ def main(argv=None) -> int:
                     qq, ix, k=args.k, nprobe=_np, scale=scale, dim=dim
                 )
 
-            dt_i, _ = bench_device(iv_search, q, idx, r_small, r_big)
+            dt_i, _, iv_info = bench_device(iv_search, q, idx,
+                                            r_small, r_big)
             _, iv_i = iv_search(q, idx)
             row["ivf"].append({
                 "fraction": frac,
@@ -335,6 +338,10 @@ def main(argv=None) -> int:
                 "recall": round(_recall(iv_i, ref_i), 4),
                 "speedup": round(dt / dt_i, 2),
             })
+            if iv_info["fallback"] or ex_info["fallback"]:
+                # a dispatch-inclusive upper bound on either side makes
+                # the speedup column unreliable — mark the row
+                row["ivf"][-1]["fallback"] = True
             print(f"[ivf_bench] Q={nq} exhaustive={dt*1e3:.3f}ms | "
                   f"nprobe={nprobe} ({frac:.0%}): {dt_i*1e3:.3f}ms "
                   f"recall={row['ivf'][-1]['recall']:.3f} "

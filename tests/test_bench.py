@@ -199,11 +199,14 @@ def test_bench_device_two_point_quotient():
     c = jnp.ones((8, 4), jnp.float32)
     search = lambda qq, cc: (qq @ cc.T, None)  # noqa: E731
     # r_small=2 measured 1s, r_big=4 measured 3s -> 1 s/call
-    dt, _ = bench.bench_device(
+    dt, ovh, info = bench.bench_device(
         search, q, c, r_small=2, r_big=4, reps=1,
         timer=_scripted_timer([0.0, 1.0, 0.0, 3.0]),
     )
     assert abs(dt - 1.0) < 1e-9
+    assert info["fallback"] is False and ovh is not None
+    # reps=1 -> a single paired quotient -> no spread estimate
+    assert info["spread"] is None and info["reps"] == 1
 
 
 def test_bench_device_negative_quotient_falls_back_to_upper_bound():
@@ -218,8 +221,28 @@ def test_bench_device_negative_quotient_falls_back_to_upper_bound():
     search = lambda qq, cc: (qq @ cc.T, None)  # noqa: E731
     # both attempts: small=10s, big=5s -> quotient negative twice
     seq = [0.0, 10.0, 10.0, 15.0] * 2
-    dt, _ = bench.bench_device(
+    dt, ovh, info = bench.bench_device(
         search, q, c, r_small=2, r_big=4, reps=1,
         timer=_scripted_timer(seq),
     )
     assert abs(dt - 5.0 / 4.0) < 1e-9
+    # the fallback is flagged and the (meaningless) overhead nulled, so
+    # JSON rows can never pass a dispatch-inclusive bound off as an
+    # in-program quotient (ADVICE r4)
+    assert info["fallback"] is True and ovh is None
+
+
+def test_bench_device_spread_reported_across_reps():
+    import jax.numpy as jnp
+
+    q = jnp.ones((2, 4), jnp.float32)
+    c = jnp.ones((8, 4), jnp.float32)
+    search = lambda qq, cc: (qq @ cc.T, None)  # noqa: E731
+    # reps=2: small samples 1s,1s; big samples 3s,5s ->
+    # paired quotients (3-1)/2=1.0 and (5-1)/2=2.0; median 1.5
+    dt, _, info = bench.bench_device(
+        search, q, c, r_small=2, r_big=4, reps=2,
+        timer=_scripted_timer([0.0, 1.0, 0.0, 1.0, 0.0, 3.0, 0.0, 5.0]),
+    )
+    assert abs(dt - (4.0 - 1.0) / 2.0) < 1e-9  # medians: 1s and 4s
+    assert abs(info["spread"] - (2.0 - 1.0) / 1.5) < 1e-9

@@ -301,6 +301,58 @@ def test_ivf_sidecar_dropped_by_mutation_save(tmp_path, corpus, queries):
     assert not os.path.exists(os.path.join(path, "ivf_centroids.npy"))
 
 
+def test_add_after_warm_boot_keeps_the_sidecar(tmp_path, corpus, queries):
+    """Warm boot -> add() before any search must NOT drop the persisted
+    IVF assignments (ADVICE r4): the appended rows' positions are new,
+    prior rows keep theirs, so the store restores the layout from the
+    sidecar, appends to it, and the mutation save re-persists the grown
+    assignments — the next boot still skips k-means."""
+    import os
+
+    path = str(tmp_path / "idx")
+    _build(corpus, ivf_nprobe=10**6, index_path=path)
+    r2 = DenseRetriever(
+        backend="xla", store_dtype="float32", ivf_nlist=32,
+        ivf_cap=128, ivf_nprobe=10**6, index_path=path,
+    )
+    assert r2._ivf_sidecar is not None and r2._ivf_index is None
+    extra = _clustered(8, D, seed=21)
+    r2.add(extra, [f"new{i}" for i in range(8)],
+           doc_ids=[f"n{i}" for i in range(8)])
+    # the add restored the layout from the sidecar (no k-means) and
+    # appended — instead of leaving _ivf_index None and deleting the
+    # sidecar files at save time
+    assert r2._ivf_index is not None and r2._ivf_appended == 8
+    assert os.path.exists(os.path.join(path, "ivf_assign.npy"))
+    assert np.load(
+        os.path.join(path, "ivf_assign.npy")
+    ).shape[0] == N + 8
+    _, _, ids = r2.retrieve(extra[3], top_k=1)
+    assert ids[0] == "n3"
+    # and a THIRD boot warm-restores the grown index
+    r3 = DenseRetriever(
+        backend="xla", store_dtype="float32", ivf_nlist=32,
+        ivf_cap=128, ivf_nprobe=10**6, index_path=path,
+    )
+    assert r3._ivf_sidecar is not None
+    _, _, ids3 = r3.retrieve(extra[3], top_k=1)
+    assert ids3[0] == "n3"
+
+
+def test_eager_ivf_skipped_for_ineligible_backend(tmp_path, corpus):
+    """backend='exact' never routes searches through the IVF
+    (_ivf_eligible requires 'xla' for fp stores), so the build()-save
+    must not pay k-means + the probe compiles for a tier no search can
+    use (ADVICE r4)."""
+    import os
+
+    path = str(tmp_path / "idx")
+    r = _build(corpus, backend="xla_exact", index_path=path)
+    assert r._ivf_index is None
+    assert not os.path.exists(os.path.join(path, "ivf_assign.npy"))
+    assert not os.path.exists(os.path.join(path, "ivf_centroids.npy"))
+
+
 def test_ivf_estimate_persists_and_skips_warm_probe(tmp_path, corpus, queries, caplog):
     import json
     import logging
