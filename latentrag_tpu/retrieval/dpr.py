@@ -29,10 +29,16 @@ class DPRRetriever:
         context_encoder,
         metric: str = "dot",  # DPR scores raw [CLS] dot products
         backend: str = "auto",
+        store_dtype: str = "bfloat16",
     ):
         self.q_encoder = question_encoder
         self.c_encoder = context_encoder
-        self.dense = DenseRetriever(metric=metric, backend=backend)
+        # store_dtype="float32" pins exact fp32 dot products (the
+        # differential-parity mode, tests/test_dpr_conversion.py);
+        # the bf16 default matches the framework's production store
+        self.dense = DenseRetriever(
+            metric=metric, backend=backend, store_dtype=store_dtype
+        )
 
     def build_index(self, corpus: Sequence[str],
                     metadata: Sequence[dict] | None = None) -> None:
