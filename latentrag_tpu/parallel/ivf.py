@@ -31,7 +31,8 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.ivf import (
-    IVFIndex, ivf_build, ivf_build_binary, ivf_build_sq4, ivf_search,
+    IVFIndex, ivf_assignments, ivf_build, ivf_build_binary,
+    ivf_build_from_assign, ivf_build_sq4, ivf_search,
 )
 from .mesh import DATA_AXIS
 
@@ -140,6 +141,107 @@ def build_sharded_ivf(
     return ShardedIVF(
         centroids=_stack(
             "centroids", (nlist_shard, d), P(axis, None, None)
+        ),
+        blocks=_stack(
+            "blocks", (nb, cap_eff, w), P(axis, None, None, None)
+        ),
+        block_ids=_stack("block_ids", (nb, cap_eff), P(axis, None, None)),
+        block2list=_stack("block2list", (nb,), P(axis, None)),
+        rows_per_shard=rows_per_shard,
+    )
+
+
+def _ordered_shards(arr):
+    """Addressable shards of a leading-axis-sharded array, mesh order."""
+    return sorted(arr.addressable_shards, key=lambda s: s.index[0].start)
+
+
+def local_shard_index(sivf: ShardedIVF, pos: int = 0) -> IVFIndex:
+    """Device-resident ``IVFIndex`` view of one shard's inverted file.
+
+    ``pos`` indexes this PROCESS's addressable shards in mesh order.
+    No data crosses a device boundary — each field's shard slice is the
+    shard's own buffer. Powers the per-shard recall probe (the sharded
+    merge program is per-(k, nprobe); shards share corpus geometry, so
+    one shard's candidate recall transfers)."""
+    fields = (
+        sivf.centroids, sivf.blocks, sivf.block_ids, sivf.block2list
+    )
+    cent, blocks, bids, b2l = (
+        _ordered_shards(f)[pos].data[0] for f in fields
+    )
+    return IVFIndex(cent, blocks, bids, b2l)
+
+
+def sharded_ivf_assignments(sivf: ShardedIVF) -> np.ndarray:
+    """[P, rows_per_shard] int32 LOCAL list id per shard-local row.
+
+    The mesh analogue of ``ops.ivf.ivf_assignments``: recovered per
+    shard from its own block layout (device compute + one
+    [rows_per_shard] fetch each). Together with the [P, nlist_shard, d]
+    centroids this is the whole expensive state of a sharded build —
+    k-means + the assignment sweep per shard — so persisting the pair
+    lets a warm boot regroup each shard with one deterministic gather
+    (``build_sharded_ivf_from_assign``). Single-controller: assumes all
+    shards are addressable (multi-process ranks rebuild cold instead).
+    """
+    rps = sivf.rows_per_shard
+    out = []
+    for pos in range(len(sivf.blocks.addressable_shards)):
+        idx = local_shard_index(sivf, pos)
+        out.append(np.asarray(ivf_assignments(idx, rps), dtype=np.int32))
+    return np.stack(out)
+
+
+def build_sharded_ivf_from_assign(
+    corpus_sharded: jax.Array,
+    mesh: Mesh,
+    centroids: np.ndarray,
+    assign: np.ndarray,
+    cap: int,
+    *,
+    axis: str = DATA_AXIS,
+) -> ShardedIVF:
+    """Restore a ``ShardedIVF`` from persisted per-shard centroids
+    [P, nlist_shard, d] + assignments [P, rows_per_shard] — no k-means,
+    no assignment sweep. Each shard's regrouping is the same
+    deterministic gather as ``ops.ivf.ivf_build_from_assign``, so the
+    restored index serves candidate sets identical to the saved one
+    (same sharded corpus, same cap). The mesh geometry must match the
+    save (callers check ``P == mesh.shape[axis]`` before calling)."""
+    p = mesh.shape[axis]
+    if centroids.shape[0] != p or assign.shape[0] != p:
+        raise ValueError(
+            f"sidecar geometry ({centroids.shape[0]} shards) does not "
+            f"match the mesh ({p} devices)"
+        )
+    shards = _ordered_shards(corpus_sharded)
+    built = [
+        ivf_build_from_assign(
+            sh.data,
+            jnp.asarray(centroids[i], jnp.float32),
+            np.ascontiguousarray(assign[i]),
+            cap,
+        )
+        for i, sh in enumerate(shards)
+    ]
+    nb = max(b.nblocks for b in built)
+    built = [_pad_index(b, nb) for b in built]
+    rows_per_shard = corpus_sharded.shape[0] // p
+    cap_eff, w = built[0].cap, built[0].row_width
+
+    def _stack(field, global_tail, spec):
+        arrays = [
+            jax.device_put(getattr(b, field)[None], sh.device)
+            for b, sh in zip(built, shards)
+        ]
+        return jax.make_array_from_single_device_arrays(
+            (p,) + global_tail, NamedSharding(mesh, spec), arrays
+        )
+
+    return ShardedIVF(
+        centroids=_stack(
+            "centroids", centroids.shape[1:], P(axis, None, None)
         ),
         blocks=_stack(
             "blocks", (nb, cap_eff, w), P(axis, None, None, None)

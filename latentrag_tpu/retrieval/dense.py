@@ -766,17 +766,50 @@ class DenseRetriever:
                 )
                 restored = True
             elif self.mesh is not None:
-                # per-shard inverted files over the already-sharded
-                # corpus (parallel/ivf.py); pad rows are masked at the
-                # merge via n_valid like every sharded kernel
-                from ..parallel.ivf import build_sharded_ivf
+                p = self.mesh.size
+                rps = self._corpus_dev.shape[0] // p
+                if self._ivf_sidecar is not None:
+                    # mesh warm boot: persisted per-shard centroids
+                    # [P, nls, d] + assignments [P, rows_per_shard] skip
+                    # every shard's k-means + assignment sweep; the
+                    # regrouping gather is deterministic per shard, so
+                    # candidates match the saved index
+                    cent, assign = self._ivf_sidecar
+                    if (
+                        cent.ndim == 3 and cent.shape[0] == p
+                        and assign.shape == (p, rps)
+                    ):
+                        from ..parallel.ivf import (
+                            build_sharded_ivf_from_assign,
+                        )
 
-                self._ivf_index = build_sharded_ivf(
-                    self._corpus_dev, self.mesh,
-                    self.ivf_nlist, self.ivf_cap,
-                    # packed sign-bit shards need the true vector dim
-                    dim=self._dim if self._rescore_host is not None else 0,
-                )
+                        self._ivf_index = build_sharded_ivf_from_assign(
+                            self._corpus_dev, self.mesh, cent,
+                            np.ascontiguousarray(assign), self.ivf_cap,
+                        )
+                        restored = True
+                    else:
+                        log.warning(
+                            "mesh IVF sidecar geometry %s/%s does not "
+                            "match the %d-device mesh (rows_per_shard="
+                            "%d); rebuilding cold",
+                            cent.shape, assign.shape, p, rps,
+                        )
+                if self._ivf_index is None:
+                    # per-shard inverted files over the already-sharded
+                    # corpus (parallel/ivf.py); pad rows are masked at
+                    # the merge via n_valid like every sharded kernel
+                    from ..parallel.ivf import build_sharded_ivf
+
+                    self._ivf_index = build_sharded_ivf(
+                        self._corpus_dev, self.mesh,
+                        self.ivf_nlist, self.ivf_cap,
+                        # packed sign-bit shards need the true vector dim
+                        dim=(
+                            self._dim
+                            if self._rescore_host is not None else 0
+                        ),
+                    )
             elif self.store_dtype == "int4":  # packed nibble store
                 from ..ops.ivf import ivf_build_sq4
 
@@ -819,17 +852,23 @@ class DenseRetriever:
             if (
                 probe
                 and self.ivf_selfcheck
-                and self.mesh is None
                 and not (restored and self._ivf_recall_estimate is not None)
             ):
-                # mesh builds skip the probe (the sharded merge program
-                # is per-(k, nprobe) and the single-device estimate
-                # transfers — shards share the corpus geometry); a
-                # sidecar restore with a persisted estimate reuses it
-                # (the corpus is digest-verified identical)
-                self._ivf_recall_estimate = self._ivf_recall_probe(
-                    self._ivf_index
-                )
+                # mesh builds probe SHARD 0 only (shards share the
+                # corpus geometry, so one shard's candidate recall
+                # transfers — and the sharded merge program is
+                # per-(k, nprobe), so a full-mesh probe would compile
+                # an extra program per boot); a sidecar restore with a
+                # persisted estimate reuses it (the corpus is
+                # digest-verified identical)
+                if self.mesh is not None:
+                    self._ivf_recall_estimate = (
+                        self._ivf_recall_probe_mesh(self._ivf_index)
+                    )
+                else:
+                    self._ivf_recall_estimate = self._ivf_recall_probe(
+                        self._ivf_index
+                    )
                 r_est = self._ivf_recall_estimate
                 if r_est is not None:
                     (log.warning if r_est < 0.8 else log.info)(
@@ -860,25 +899,38 @@ class DenseRetriever:
             from ..ops.quantization import sq4_unpack
 
             pk = jnp.take(self._corpus_dev, jnp.asarray(rows), axis=0)
-            return (
+            q = (
                 sq4_unpack(pk, self._dim).astype(jnp.float32)
                 * self._sq4_scale
             )
-        if self._rescore_host is not None:  # binary: SQ8 codes host-side
-            return (
+        elif self._rescore_host is not None:  # binary: SQ8 codes host
+            q = (
                 jnp.asarray(self._rescore_host[rows], jnp.float32)
                 * self._corpus_scale
             )
-        x = jnp.take(
-            self._corpus_dev, jnp.asarray(rows), axis=0
-        ).astype(jnp.float32)
-        if self._corpus_scale is not None:  # int8 codes
-            x = x * self._corpus_scale
-        return x
+        else:
+            q = jnp.take(
+                self._corpus_dev, jnp.asarray(rows), axis=0
+            ).astype(jnp.float32)
+            if self._corpus_scale is not None:  # int8 codes
+                q = q * self._corpus_scale
+        if self.mesh is not None:
+            # a gather from the sharded corpus commits q to the mesh;
+            # the shard-0 probe then mixes it with shard-local arrays in
+            # one program, which XLA refuses. The sample is tiny
+            # (<= ivf_selfcheck rows), so round-trip it to an
+            # uncommitted host-backed array.
+            q = jnp.asarray(np.asarray(q))
+        return q
 
-    def _ivf_recall_probe(self, idx) -> float | None:
+    def _ivf_recall_probe(
+        self, idx, *, corpus=None, n=None
+    ) -> float | None:
         """Candidate recall@10 of the production probe budget, measured
         on a corpus-row sample against the exhaustive stage-1 kernel.
+        ``corpus``/``n`` override the reference sweep's rows (the mesh
+        probe passes one shard's local rows; defaults cover the whole
+        single-device store).
 
         IVF pruning quality is a CORPUS property, not a code property:
         on a weakly clustered corpus no probe budget short of a full
@@ -896,12 +948,14 @@ class DenseRetriever:
         """
         if self.metric not in ("cosine", "dot"):
             return None  # distance metrics: quantized IVF forbids them
-        s = max(2, min(self.ivf_selfcheck, self._corpus_n))
-        rows = np.linspace(0, self._corpus_n - 1, s).astype(np.int32)
+        n = self._corpus_n if n is None else n
+        s = max(2, min(self.ivf_selfcheck, n))
+        rows = np.linspace(0, n - 1, s).astype(np.int32)
         q = self._ivf_probe_queries(rows)
-        kk = min(10, self._corpus_n)
+        kk = min(10, n)
         rt = self._effective_recall_target(kk)
-        corpus = self._corpus_dev[: self._corpus_n]
+        if corpus is None:
+            corpus = self._corpus_dev[: self._corpus_n]
         if self.store_dtype == "int4":
             from ..ops.quantization import sq4_topk
 
@@ -948,6 +1002,29 @@ class DenseRetriever:
             for a, b in zip(est, ref)
         )
         return hits / ref.size
+
+    def _ivf_recall_probe_mesh(self, sivf) -> float | None:
+        """Shard-0 candidate recall@10 for a mesh-sharded IVF.
+
+        Shard 0 holds global rows [0, rows_per_shard) with local ids ==
+        global ids and never carries pad rows (padding lands on the
+        last shard), so its local inverted file probes against its own
+        exhaustive sweep with the single-device machinery unchanged.
+        Shards share the corpus geometry (rows land round-robin-free,
+        contiguous row ranges of one corpus), so one shard's pruning
+        quality transfers — and the probe costs the same two compiles
+        as the single-device one instead of a per-(k, nprobe) sharded
+        merge program per boot."""
+        from ..parallel.ivf import _ordered_shards, local_shard_index
+
+        shards = _ordered_shards(self._corpus_dev)
+        if not shards or shards[0].index[0].start != 0:
+            return None  # this process does not own shard 0
+        idx0 = local_shard_index(sivf, 0)
+        n0 = min(sivf.rows_per_shard, self._corpus_n)
+        return self._ivf_recall_probe(
+            idx0, corpus=shards[0].data[:n0], n=n0
+        )
 
     def _ivf_search(
         self, q_prepared: jax.Array, k: int, mask: Any,
@@ -1392,9 +1469,11 @@ class DenseRetriever:
         )
         if (
             self.ivf_nlist > 0
-            and self.mesh is None
             and self._corpus_n >= self.IVF_MIN_ROWS
             and (self._ivf_index is not None or eager_ok)
+            # mesh sidecars are single-controller (each process would
+            # need its own shard slice; multi-process ranks boot cold)
+            and (self.mesh is None or jax.process_count() == 1)
         ):
             if self._ivf_index is None:
                 log.info(
@@ -1403,12 +1482,20 @@ class DenseRetriever:
                     self.ivf_nlist,
                 )
             idx = self._ensure_ivf()
-            from ..ops.ivf import ivf_assignments
-
             cent = np.asarray(idx.centroids, dtype=np.float32)
-            assign = np.asarray(
-                ivf_assignments(idx, self._corpus_n), dtype=np.int32
-            )
+            if self.mesh is not None:
+                # per-shard state: centroids [P, nlist_shard, d] +
+                # LOCAL assignments [P, rows_per_shard] — the mesh
+                # analogue of the single-device pair below
+                from ..parallel.ivf import sharded_ivf_assignments
+
+                assign = sharded_ivf_assignments(idx)
+            else:
+                from ..ops.ivf import ivf_assignments
+
+                assign = np.asarray(
+                    ivf_assignments(idx, self._corpus_n), dtype=np.int32
+                )
             atomic_save(os.path.join(path, "ivf_centroids.npy"), cent)
             atomic_save(os.path.join(path, "ivf_assign.npy"), assign)
             stored_digests["ivf_centroids.npy"] = _stored_digest(cent)
@@ -1451,6 +1538,11 @@ class DenseRetriever:
             # changed nlist budget means the user wants a re-cluster
             meta["ivf_cap"] = self.ivf_cap
             meta["ivf_nlist"] = self.ivf_nlist
+            if self.mesh is not None:
+                # per-shard assignments are keyed to the row->shard
+                # mapping; a different mesh size re-shards, so the
+                # sidecar only restores onto an equal-size mesh
+                meta["ivf_mesh_p"] = int(self.mesh.size)
             if self._ivf_recall_estimate is not None:
                 # the corpus a warm boot loads is digest-verified
                 # identical, so the measured estimate transfers — reuse
@@ -1532,17 +1624,30 @@ class DenseRetriever:
         # the user wants a re-cluster (both fall back to a fresh build)
         self._ivf_sidecar = None
         if (
-            self.mesh is None
-            and self.ivf_nlist > 0
+            self.ivf_nlist > 0
             and "ivf_centroids.npy" in (meta.get("stored_digests") or {})
             and int(meta.get("ivf_cap", -1)) == self.ivf_cap
             and int(meta.get("ivf_nlist", -1)) == self.ivf_nlist
+            # single-device <-> mesh saves are not interchangeable (a
+            # mesh sidecar is per-shard state keyed to the row->shard
+            # mapping), and a mesh restore needs the SAME device count
+            and (
+                int(meta.get("ivf_mesh_p", -1))
+                == (-1 if self.mesh is None else self.mesh.size)
+            )
         ):
             cent = np.load(os.path.join(path, "ivf_centroids.npy"))
             assign = np.load(
                 os.path.join(path, "ivf_assign.npy"), mmap_mode="r"
             )
-            if assign.shape[0] == n:
+            ok = (
+                assign.ndim == 2 and assign.shape[0] == self.mesh.size
+                if self.mesh is not None
+                else assign.shape[0] == n
+            )
+            if ok:
+                # mesh: rows_per_shard consistency is checked at
+                # _ensure_ivf time (the sharded corpus loads below)
                 self._ivf_sidecar = (cent, assign)
                 if meta.get("ivf_recall_estimate") is not None:
                     self._ivf_recall_estimate = float(
