@@ -58,6 +58,73 @@ def binary_unpack(packed: jax.Array, d: int) -> jax.Array:
     return pm1[:, :d]
 
 
+def binary_quantize_t(x: jax.Array) -> jax.Array:
+    """Pack sign bits TRANSPOSED: [N, D] floats -> uint32 [ceil(D/32), N].
+
+    Same bits as ``binary_quantize`` (word w of column n == word w of row
+    n there), laid out so corpus rows ride the 128-lane dimension — the
+    layout ``binary_topk_t`` consumes.
+    """
+    return binary_quantize(x).T
+
+
+def binary_unpack_t(packed_t: jax.Array, d: int) -> jax.Array:
+    """uint32 [W, N] -> ±1 int8 [d, N] — the transposed unpack.
+
+    Every shift/mask op here runs over an [*, N] vector with corpus rows
+    on the 128-lane axis (full lane width); the row-major unpack's
+    [N, W, 32] intermediates put 32 on the lane axis (25% occupancy) and
+    its [N, d] output 64 (50%) — which is what made the packed sweep
+    unpack-rate-bound (docs/ROOFLINE.md).
+    """
+    w, n = packed_t.shape
+    shifts = jnp.arange(BITS, dtype=jnp.uint32)
+    bits = (packed_t[:, None, :] >> shifts[None, :, None]) & jnp.uint32(1)
+    pm1 = (2 * bits.astype(jnp.int8) - 1).reshape(w * BITS, n)
+    return pm1[:d]
+
+
+@partial(jax.jit, static_argnames=("k", "d", "block_size", "recall_target"))
+def binary_topk_t(
+    queries: jax.Array,
+    packed_t: jax.Array,
+    d: int,
+    k: int,
+    block_size: int = 1_048_576,
+    recall_target: float = 0.95,
+    mask: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Asymmetric top-k over a TRANSPOSED packed store ([W, N] uint32).
+
+    Scores and rank order are identical to ``binary_topk`` over the
+    row-major store (same bits, same estimator); only the unpack's lane
+    occupancy differs. Corpus blocks slice the lane axis.
+    """
+    n = packed_t.shape[1]
+    k = min(k, n)
+    q = queries.astype(jnp.bfloat16)
+
+    def block_topk(pk_t, base, kk):
+        c = binary_unpack_t(pk_t, d).astype(jnp.bfloat16)  # [d, B] ±1
+        dots = jax.lax.dot_general(
+            q, c,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if mask is not None:
+            dots = _apply_mask(
+                dots,
+                jax.lax.dynamic_slice_in_dim(mask, base, pk_t.shape[1]),
+            )
+        s, i = jax.lax.approx_max_k(dots, kk, recall_target=recall_target)
+        return s, i + base
+
+    if n <= block_size:
+        return block_topk(packed_t, 0, k)
+    return blocked_topk(block_topk, packed_t, k, block_size, q.shape[0],
+                        unroll_limit=0, axis=1)
+
+
 @partial(jax.jit, static_argnames=("k", "d", "block_size", "recall_target"))
 def binary_topk(
     queries: jax.Array,

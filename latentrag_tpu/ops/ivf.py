@@ -155,6 +155,10 @@ def _grouped_blocks(rows, assign, nlist, cap, *, id_base=0):
     flat = _layout_device(
         assign, sizes_dev, jnp.asarray(block_start), nblocks, cap
     )
+    # gather index: -1 pads must NOT wrap to rows[n-1] (jnp.take wraps
+    # negatives before the fill check) — remap to n, which IS
+    # out-of-bounds, so mode="fill" zeroes the padding deterministically
+    gidx = jnp.where(flat < 0, jnp.int32(n), flat)
     packed_dtype = rows.dtype in (jnp.uint32, jnp.uint8)
     if packed_dtype and nblocks * cap > 8_388_608:
         # packed rows are narrow (W~2 uint32 words, or d/2 uint8
@@ -169,7 +173,7 @@ def _grouped_blocks(rows, assign, nlist, cap, *, id_base=0):
             e = min(s + step, total)
             part = jnp.take(
                 rows,
-                jax.lax.slice_in_dim(flat, s, e),
+                jax.lax.slice_in_dim(gidx, s, e),
                 axis=0,
                 mode="fill",
                 fill_value=0,
@@ -179,7 +183,7 @@ def _grouped_blocks(rows, assign, nlist, cap, *, id_base=0):
             )
     else:
         blocks = jnp.take(
-            rows, flat, axis=0, mode="fill", fill_value=0
+            rows, gidx, axis=0, mode="fill", fill_value=0
         ).reshape(nblocks, cap, d)
     ids = flat.reshape(nblocks, cap)
     if id_base:
@@ -319,6 +323,174 @@ def ivf_build_sq4(
     centroids = kmeans(train, nlist, key=k_train, iters=kmeans_iters)
     assign = _assign_packed(packed, centroids, d, kind="sq4")
     blocks, ids, block2list = _grouped_blocks(packed, assign, nlist, cap)
+    return IVFIndex(
+        centroids=centroids,
+        blocks=blocks,
+        block_ids=ids,
+        block2list=jnp.asarray(block2list),
+    )
+
+
+def ivf_build_binary_streaming(
+    chunk_fn,
+    n: int,
+    d: int,
+    nlist: int,
+    cap: int = 1024,
+    *,
+    chunk_rows: int = 4_194_304,
+    seed: int = 0,
+    kmeans_iters: int = 10,
+    train_rows: int | None = None,
+    centroids: jax.Array | None = None,
+    assign_block: int = 32768,
+    timings: dict | None = None,
+) -> IVFIndex:
+    """Inverted file over a packed sign-bit corpus that NEVER exists as
+    one array — the capacity-flagship build path (~1B x 64 on a single
+    chip's HBM).
+
+    ``ivf_build_binary`` needs corpus + blocks live together (2x the
+    store) plus an [N]-row argsort; at 1B x 64 that is ~20 GB — past a
+    v5e's HBM. This builder streams instead: ``chunk_fn(i)`` returns
+    packed chunk ``i`` ([>= rows_i, W] uint32, trimmed to the chunk's
+    true size), and the only full-size residents are the OUTPUT blocks
+    + ids. Three phases, all device-side:
+
+    1. train: k-means over an evenly-strided sample unpacked from a few
+       chunks (the classic IVF subsample recipe);
+    2. count: one assignment sweep accumulating per-list sizes — fixes
+       the block layout (sizes / block_start / block2list are the only
+       host-visible values, O(nlist) ints);
+    3. place: per chunk, re-derive assignments (deterministic — same
+       program, same data), compute each row's within-list rank from a
+       chunk-local sort plus running per-list counters, and scatter
+       rows + ids straight into their final block slots. The big
+       arrays are DONATED through the per-chunk step, so XLA updates
+       them in place — peak HBM ~= blocks + ids + one chunk of
+       transients.
+
+    The layout is bit-identical to ``ivf_build_from_assign`` over the
+    same assignments (ranks are assigned in row order within each
+    list). A final counter check (``running == sizes``) guards the
+    determinism assumption between the two sweeps. ``centroids`` skips
+    phase 1 (the centroids-only warm boot: persisting [nlist, d] fp32
+    is ~MBs, while re-deriving assignments on device outruns fetching
+    an [N] sidecar through a slow host link at this scale).
+    ``timings`` (optional dict) receives per-phase wall seconds.
+    """
+    if n <= 0:
+        raise ValueError("cannot build an IVF over an empty corpus")
+    import time as _time
+
+    nlist = max(1, min(nlist, n))
+    cap = max(8, min(cap, n))
+    nchunks = -(-n // chunk_rows)
+    sizes_of = [
+        min(chunk_rows, n - i * chunk_rows) for i in range(nchunks)
+    ]
+
+    t0 = _time.perf_counter()
+    if centroids is None:
+        from .binary import binary_unpack
+        from .kmeans import kmeans
+
+        if train_rows is None:
+            train_rows = min(n, max(100_000, 64 * nlist))
+        sample_chunks = np.unique(
+            np.linspace(0, nchunks - 1, min(nchunks, 8)).astype(int)
+        )
+        per = -(-train_rows // len(sample_chunks))
+        parts = []
+        for ci in sample_chunks:
+            pk = chunk_fn(int(ci))[: sizes_of[ci]]
+            stride = max(1, sizes_of[ci] // per)
+            parts.append(binary_unpack(pk[::stride][:per], d))
+        train = jnp.concatenate(parts)[:train_rows]
+        centroids = kmeans(
+            train, nlist, key=jax.random.PRNGKey(seed),
+            iters=kmeans_iters,
+        )
+        centroids.block_until_ready()
+    else:
+        centroids = jnp.asarray(centroids, jnp.float32)
+        nlist = int(centroids.shape[0])
+    t1 = _time.perf_counter()
+
+    @jax.jit
+    def count_step(sizes, pk):
+        a = _assign_packed(
+            pk, centroids, d, block_size=assign_block
+        )
+        return sizes.at[a].add(jnp.int32(1))
+
+    sizes_dev = jnp.zeros((nlist,), jnp.int32)
+    for i in range(nchunks):
+        sizes_dev = count_step(sizes_dev, chunk_fn(i)[: sizes_of[i]])
+    sizes = np.asarray(sizes_dev)  # [nlist] ints — tiny host fetch
+    t2 = _time.perf_counter()
+
+    nblk = -(-sizes // cap)
+    nblocks = int(nblk.sum())
+    if nblocks * cap >= 2**31:
+        raise ValueError(
+            f"flat slot space {nblocks * cap} overflows int32 — "
+            "shard the corpus (parallel/) past ~2.1B slots"
+        )
+    block_start = np.concatenate(([0], np.cumsum(nblk)[:-1])).astype(
+        np.int32
+    )
+    block2list = np.repeat(np.arange(nlist, dtype=np.int32), nblk)
+    w = int(chunk_fn(0).shape[1])
+    bs_dev = jnp.asarray(block_start)
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2), static_argnames=("base",))
+    def place_step(blocks, ids, running, pk, base):
+        m = pk.shape[0]
+        a = _assign_packed(pk, centroids, d, block_size=assign_block)
+        order = jnp.argsort(a, stable=True)
+        sa = jnp.take(a, order)
+        csz = jnp.zeros((nlist,), jnp.int32).at[a].add(jnp.int32(1))
+        cstart = jnp.cumsum(csz) - csz
+        rank_sorted = jnp.arange(m, dtype=jnp.int32) - jnp.take(
+            cstart, sa
+        )
+        rank = jnp.zeros((m,), jnp.int32).at[order].set(rank_sorted)
+        slot = (
+            jnp.take(bs_dev, a) * jnp.int32(cap)
+            + jnp.take(running, a)
+            + rank
+        )
+        b_idx, s_idx = slot // cap, slot % cap
+        blocks = blocks.at[b_idx, s_idx].set(pk)
+        ids = ids.at[b_idx, s_idx].set(
+            jnp.int32(base) + jnp.arange(m, dtype=jnp.int32)
+        )
+        return blocks, ids, running + csz
+
+    blocks = jnp.zeros((nblocks, cap, w), jnp.uint32)
+    ids = jnp.full((nblocks, cap), -1, jnp.int32)
+    running = jnp.zeros((nlist,), jnp.int32)
+    for i in range(nchunks):
+        blocks, ids, running = place_step(
+            blocks, ids, running,
+            chunk_fn(i)[: sizes_of[i]], base=i * chunk_rows,
+        )
+    if not np.array_equal(np.asarray(running), sizes):
+        # the count and place sweeps disagreed on some row's nearest
+        # centroid — the determinism assumption broke (would silently
+        # overwrite block slots); refuse rather than serve a corrupt
+        # layout
+        raise RuntimeError(
+            "streaming IVF build: assignment sweeps diverged between "
+            "the count and place phases "
+            f"({int((np.asarray(running) != sizes).sum())} lists differ)"
+        )
+    t3 = _time.perf_counter()
+    if timings is not None:
+        timings.update(
+            train_s=t1 - t0, count_s=t2 - t1, place_s=t3 - t2
+        )
     return IVFIndex(
         centroids=centroids,
         blocks=blocks,

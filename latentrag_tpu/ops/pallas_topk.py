@@ -111,21 +111,14 @@ def _extract_k(values, indices, k):
     return jnp.concatenate(out_v, axis=1), jnp.concatenate(out_i, axis=1)
 
 
-def _fold_kernel(
-    q_ref,
-    c_ref,
-    csq_ref,
-    out_s_ref,
-    out_i_ref,
-    run_s_ref,
-    run_i_ref,
-    *,
-    k,
-    block_q,
-    block_n,
-    n_valid,
-    metric,
+def _fold_body(
+    s, out_s_ref, out_i_ref, run_s_ref, run_i_ref, *, k, block_q,
+    block_n, n_valid
 ):
+    """Shared fold merge: pack scores with tile-local cols, lane-fold,
+    extract the tile top-k and merge into the per-query-tile running
+    state (emitting on the final corpus tile). ``s`` is the [TQ, TN]
+    fp32 score tile from any front-end (dense matmul, packed unpack)."""
     j = pl.program_id(0)  # corpus tile (outer: each tile DMA'd once)
     i = pl.program_id(1)  # query tile (inner)
     rows = pl.ds(i * block_q, block_q)  # this q-tile's slice of scratch state
@@ -135,7 +128,6 @@ def _fold_kernel(
         run_s_ref[rows, :] = jnp.full((block_q, k), _MIN_I32, jnp.int32)
         run_i_ref[rows, :] = jnp.zeros((block_q, k), jnp.int32)
 
-    s = _scores_tile(q_ref, c_ref, csq_ref, metric)  # [TQ, TN] f32
     base = j * block_n
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     valid = (col + base) < n_valid
@@ -165,6 +157,26 @@ def _fold_kernel(
     def _emit():
         out_s_ref[:] = new_v
         out_i_ref[:] = new_i
+
+
+def _fold_kernel(
+    q_ref,
+    c_ref,
+    csq_ref,
+    out_s_ref,
+    out_i_ref,
+    run_s_ref,
+    run_i_ref,
+    *,
+    k,
+    block_q,
+    block_n,
+    n_valid,
+    metric,
+):
+    s = _scores_tile(q_ref, c_ref, csq_ref, metric)  # [TQ, TN] f32
+    _fold_body(s, out_s_ref, out_i_ref, run_s_ref, run_i_ref, k=k,
+               block_q=block_q, block_n=block_n, n_valid=n_valid)
 
 
 def _exact_kernel(
@@ -337,6 +349,163 @@ def pallas_topk_raw(
         jnp.bitwise_and(out_v, ~_IDX_MASK) if mode == "fold" else out_v
     )
     return scores[:nq], out_i[:nq]
+
+
+def _binary_fold_kernel(
+    q_ref,
+    c_ref,
+    out_s_ref,
+    out_i_ref,
+    run_s_ref,
+    run_i_ref,
+    *,
+    k,
+    block_q,
+    block_n,
+    n_valid,
+    d,
+):
+    """Packed-word stage 1: the corpus tile arrives as TRANSPOSED sign
+    words [W, TN] uint32 (8 B/row at d=64 — 1/8 the bf16 DMA), unpacks
+    to ±1 bf16 [d, TN] in VMEM with corpus rows on the 128-lane axis
+    (every shift/mask at full lane width), scores on the MXU, and folds
+    through the shared merge. The [N, d] unpacked corpus never exists
+    anywhere — not even in HBM."""
+    pk = c_ref[:]  # [W, TN] uint32
+    w, tn = pk.shape
+    # strictly 2D unpack: broadcasting one word row across 32 sublanes
+    # and shifting by a per-sublane iota keeps every op a plain [32, TN]
+    # vector op — a [W, 32, TN] broadcast + reshape would relayout
+    # across sublanes (measured 10x+ slower than the whole tile's MXU
+    # work). {0,1} routes through int32 -> f32 (Mosaic has no
+    # uint32 -> bf16 cast).
+    shifts = jax.lax.broadcasted_iota(jnp.uint32, (32, tn), 0)
+    parts = []
+    for wi in range(w):
+        bits = jax.lax.shift_right_logical(
+            jnp.broadcast_to(pk[wi : wi + 1], (32, tn)), shifts
+        ) & jnp.uint32(1)
+        parts.append(
+            (2 * bits.astype(jnp.int32) - 1)
+            .astype(jnp.float32)
+            .astype(jnp.bfloat16)
+        )
+    c = (parts[0] if w == 1 else jnp.concatenate(parts, axis=0))[:d]
+    s = jax.lax.dot_general(
+        q_ref[:],
+        c,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [TQ, TN]
+    _fold_body(s, out_s_ref, out_i_ref, run_s_ref, run_i_ref, k=k,
+               block_q=block_q, block_n=block_n, n_valid=n_valid)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "d", "block_q", "block_n", "interpret"),
+)
+def pallas_binary_topk(
+    queries: jax.Array,
+    packed_t: jax.Array,
+    *,
+    d: int,
+    k: int,
+    block_q: int = 128,
+    block_n: int = 4096,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused packed-binary top-k over a transposed sign-bit store.
+
+    ``packed_t`` is ``binary_quantize_t`` output ([W, N] uint32). Returns
+    (scores [Q, k] f32, ids [Q, k] i32) with scores EXACTLY rescored
+    (the fold's 19-bit quantization only picks the candidate set; the
+    [Q, k] winners are re-dotted against their unpacked rows). Same
+    estimator as ``ops.binary.binary_topk`` — dot(q, sign(c)).
+
+    The Mosaic attempt at the one plausibly-unfused niche left
+    (docs/ROOFLINE.md): XLA's packed sweep is unpack-rate-bound
+    (``dense.py`` packed tiers), and here the unpack runs tile-wise in
+    VMEM fused between the DMA and the MXU.
+    """
+    from .binary import binary_unpack
+
+    nq, dq = queries.shape
+    if dq != d:
+        raise ValueError(f"queries dim {dq} != d {d}")
+    w, n = packed_t.shape
+    k_eff = min(k, n)
+    if k_eff > _LANES:
+        raise ValueError(f"fold supports k <= {_LANES} (got {k_eff})")
+    if block_n > (1 << _IDX_BITS) or block_n % _LANES:
+        raise ValueError(f"block_n must be <=8192 and a multiple of 128")
+
+    q = queries.astype(jnp.bfloat16)
+    block_q = min(block_q, max(8, nq))
+    pad_q = (-nq) % block_q
+    if pad_q:
+        q = jnp.pad(q, ((0, pad_q), (0, 0)))
+    pad_n = (-n) % block_n
+    pk = jnp.pad(packed_t, ((0, 0), (0, pad_n))) if pad_n else packed_t
+    n_pad = pk.shape[1]
+
+    grid = (n_pad // block_n, q.shape[0] // block_q)
+    kernel = functools.partial(
+        _binary_fold_kernel,
+        k=k_eff, block_q=block_q, block_n=block_n, n_valid=n, d=d,
+    )
+    out_v, out_i = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_q, d), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, block_n), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_q, k_eff), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, k_eff), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((q.shape[0], k_eff), jnp.int32),
+            jax.ShapeDtypeStruct((q.shape[0], k_eff), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((q.shape[0], k_eff), jnp.int32),
+            pltpu.VMEM((q.shape[0], k_eff), jnp.int32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * q.shape[0] * n_pad * d,
+            bytes_accessed=(
+                q.shape[0] * d * 2 + n_pad * w * 4
+                + q.shape[0] * k_eff * 8
+            ),
+            transcendentals=0,
+        ),
+    )(q, pk)
+    out_i = out_i[:nq]
+
+    # exact rescore of the winners: gather their packed words, unpack,
+    # re-dot in fp32 (Q*k*d flops — noise) so returned scores are the
+    # exact sign-dots and in-set ranking is exact
+    cand = jnp.take(packed_t, out_i.reshape(-1), axis=1).T  # [Q*k, W]
+    rows = binary_unpack(cand, d).astype(jnp.float32).reshape(nq, k_eff, d)
+    # bf16-round queries first: the estimator everywhere else
+    # (binary_topk and this kernel's MXU tile) dots bf16 queries, so the
+    # rescored scores must be the same numbers
+    qf = queries.astype(jnp.bfloat16).astype(jnp.float32)
+    scores = jnp.einsum("qd,qkd->qk", qf, rows,
+                        precision=jax.lax.Precision.HIGHEST)
+    order = jnp.argsort(-scores, axis=1)
+    return (jnp.take_along_axis(scores, order, axis=1),
+            jnp.take_along_axis(out_i, order, axis=1))
 
 
 @functools.partial(

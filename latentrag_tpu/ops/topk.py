@@ -135,7 +135,8 @@ def _merge_topk(parts_s, parts_i, k):
     return top_s, jnp.take_along_axis(cat_i, sel, axis=1)
 
 
-def blocked_topk(block_fn, corpus, k, block_size, nq, *, unroll_limit=16):
+def blocked_topk(block_fn, corpus, k, block_size, nq, *, unroll_limit=16,
+                 axis=0):
     """Shared block-merge driver for every tiered top-k kernel (bf16
     ``approx_topk``, int8 ``sq8_topk``, 1-bit ``binary_topk``).
 
@@ -150,14 +151,17 @@ def blocked_topk(block_fn, corpus, k, block_size, nq, *, unroll_limit=16):
     the bf16 matmul at >=1M-row blocks (within 4%) and 35-55% FASTER for
     the binary unpack kernel (which passes ``unroll_limit=0``) — the
     round-1 "scan defeats fusion ~3x" figure was a dispatch artifact.
+
+    ``axis`` picks the corpus dimension that enumerates rows (1 for the
+    transposed packed stores, whose row ids ride the lane dim).
     """
-    n_total = corpus.shape[0]
+    n_total = corpus.shape[axis]
     if n_total <= unroll_limit * block_size:
         parts_s, parts_i = [], []
         b = 0
         while b < n_total:
             e = min(b + block_size, n_total)
-            blk = jax.lax.slice_in_dim(corpus, b, e, axis=0)
+            blk = jax.lax.slice_in_dim(corpus, b, e, axis=axis)
             s, i = block_fn(blk, b, min(k, e - b))
             parts_s.append(s)
             parts_i.append(i)
@@ -176,7 +180,9 @@ def blocked_topk(block_fn, corpus, k, block_size, nq, *, unroll_limit=16):
         # dynamic slice of the CLOSED-OVER corpus: a reshape-into-xs scan
         # operand forces XLA to materialise a full corpus copy (OOM at
         # 32M x 64 bf16 on one chip)
-        blk = jax.lax.dynamic_slice_in_dim(corpus, base, block_size, axis=0)
+        blk = jax.lax.dynamic_slice_in_dim(
+            corpus, base, block_size, axis=axis
+        )
         s, i = block_fn(blk, base, k)
         return _merge_topk([run_s, s], [run_i, i], k), None
 
@@ -187,7 +193,7 @@ def blocked_topk(block_fn, corpus, k, block_size, nq, *, unroll_limit=16):
     b = n_super * block_size
     while b < n_total:
         e = min(b + block_size, n_total)
-        blk = jax.lax.slice_in_dim(corpus, b, e, axis=0)
+        blk = jax.lax.slice_in_dim(corpus, b, e, axis=axis)
         s, i = block_fn(blk, b, min(k, e - b))
         parts_s.append(s)
         parts_i.append(i)

@@ -1,0 +1,276 @@
+"""Capacity flagship: build, persist, warm-boot and search a ~1B-vector
+binary IVF index on ONE chip.
+
+The repo's "~100M/chip, ~1B packed" capacity claim was extrapolated
+until this script measured it. The packed corpus NEVER exists as one
+array: ``ivf_build_binary_streaming`` (ops/ivf.py) consumes
+deterministic device-generated chunks (``chunk_fn`` re-derives chunk
+``i`` from the mixture PRNG — same recipe as scripts/ivf_bench.py), so
+the only full-size HBM residents are the OUTPUT blocks + ids
+(~12.4 GB at 1B x 64 vs the 16 GB v5e). Ground truth is a streamed
+exhaustive packed sweep over the same chunks.
+
+Persistence at this scale is centroids-only (MBs): re-deriving
+assignments on device (~an assignment sweep) beats fetching an [N]
+sidecar through the relay tunnel by orders of magnitude. Warm boot =
+load centroids -> count+place sweeps; layout identity vs the cold
+build is asserted by device-side checksums (sum + xor over blocks,
+sum over ids) because two full indexes cannot be resident at once.
+
+Stage-1 recall is reported two ways: id recall@k (pessimistic — at
+d=64 the sign-dot takes <=65 integer values, so the top-k boundary at
+1B rows is a huge tie set that any two exact scans break differently)
+and score-multiset match (tie-insensitive: the sorted top-k score
+vectors agree). Mixture spread picks the geometry regime
+(docs/ROOFLINE.md r4 forensics): published clustered tables use 0.08.
+
+  python scripts/capacity_bench.py --n 1000000000          # real chip
+  JAX_PLATFORMS=cpu python scripts/capacity_bench.py --n 2000003 \
+      --nlist 256 --chunk-rows 262144 --queries 8          # smoke
+
+Capacity role of the reference's IVF-PQ tier
+(reference retrieval/FAISSEmbeddingRetriever.py:100-102), redesigned
+for a single TPU's HBM instead of host RAM.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+import jax
+
+if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+
+from bench import bench_device, sync
+from latentrag_tpu.ops.binary import binary_quantize, binary_topk
+from latentrag_tpu.ops.ivf import (
+    auto_nprobe,
+    ivf_build_binary_streaming,
+    ivf_search,
+)
+from scripts.ivf_bench import _mixture, _recall
+
+
+@jax.jit
+def _digest(blocks, ids):
+    """Three device scalars that pin the full layout: wrap-around sum
+    and xor-reduce over the packed words, wrap-around sum over ids.
+    Collision odds for an accidental layout difference are ~2^-96."""
+    s = jnp.sum(blocks, dtype=jnp.uint32)
+    x = jax.lax.reduce(
+        blocks, jnp.uint32(0), jax.lax.bitwise_xor, (0, 1, 2)
+    )
+    i = jnp.sum(ids, dtype=jnp.int32)
+    return s, x, i
+
+
+def _score_match(scores, ref_scores):
+    """Tie-insensitive stage-1 agreement: fraction of per-query sorted
+    top-k score positions that agree with the exhaustive sweep."""
+    a = np.sort(np.asarray(scores), axis=1)
+    b = np.sort(np.asarray(ref_scores), axis=1)
+    return float(np.mean(a == b))
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--n", type=int, default=1_000_000_000)
+    p.add_argument("--d", type=int, default=64)
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--nlist", type=int, default=16384)
+    p.add_argument("--cap", type=int, default=1024)
+    p.add_argument("--chunk-rows", type=int, default=4_194_304)
+    p.add_argument("--assign-block", type=int, default=16384,
+                   help="rows per assignment tile — the [block, nlist] "
+                        "fp32 score transient must fit HBM headroom")
+    p.add_argument("--queries", type=int, nargs="+", default=[1, 256])
+    p.add_argument("--fractions", type=float, nargs="+",
+                   default=[0.001, 0.002, 0.005])
+    p.add_argument("--centers", type=int, default=0,
+                   help="mixture components (0 = 4*nlist)")
+    p.add_argument("--spread", type=float, default=0.08)
+    p.add_argument("--seed", type=int, default=2)
+    p.add_argument("--train-rows", type=int, default=2_000_000)
+    p.add_argument("--kmeans-iters", type=int, default=10)
+    p.add_argument("--r", type=int, nargs=2, default=[8, 40],
+                   metavar=("R_SMALL", "R_BIG"))
+    p.add_argument("--sidecar", default="/tmp/capacity_centroids.npy")
+    p.add_argument("--skip-warm", action="store_true")
+    p.add_argument("--skip-gt", action="store_true",
+                   help="timing-only run (no streamed ground truth)")
+    args = p.parse_args(argv)
+
+    backend = jax.default_backend()
+    centers = args.centers or 4 * args.nlist
+    print(f"[capacity] backend={backend} n={args.n} d={args.d} "
+          f"nlist={args.nlist} cap={args.cap} spread={args.spread} "
+          f"centers={centers} chunk_rows={args.chunk_rows}",
+          file=sys.stderr)
+    if backend != "cpu":
+        from bench import _relay_alive
+
+        if not _relay_alive(300.0):
+            print("[capacity] relay dark — aborting before dispatch",
+                  file=sys.stderr)
+            return 2
+
+    w = -(-args.d // 32)
+
+    def chunk_fn(i: int):
+        # deterministic per-chunk regeneration — the corpus IS the
+        # program + seed; trimming to the last chunk's true size is the
+        # builder's job
+        return binary_quantize(
+            _mixture(args.seed, args.chunk_rows, args.d, centers,
+                     args.spread, chunk=i)
+        )
+
+    timings: dict = {}
+    t0 = time.perf_counter()
+    idx = ivf_build_binary_streaming(
+        chunk_fn, args.n, args.d, args.nlist, args.cap,
+        chunk_rows=args.chunk_rows, seed=args.seed,
+        kmeans_iters=args.kmeans_iters, train_rows=args.train_rows,
+        assign_block=args.assign_block, timings=timings,
+    )
+    sync(idx.blocks)
+    build_s = time.perf_counter() - t0
+    nblocks = idx.nblocks
+    hbm_gb = (idx.blocks.nbytes + idx.block_ids.nbytes
+              + idx.centroids.nbytes) / 2**30
+    print(f"[capacity] built: nblocks={nblocks} in {build_s:.1f}s "
+          f"(train {timings.get('train_s', 0):.1f} / count "
+          f"{timings.get('count_s', 0):.1f} / place "
+          f"{timings.get('place_s', 0):.1f}) resident {hbm_gb:.2f} GiB",
+          file=sys.stderr)
+
+    cold_digest = tuple(int(v) for v in _digest(idx.blocks, idx.block_ids))
+    print(f"[capacity] cold digest {cold_digest}", file=sys.stderr)
+
+    # persist: centroids are the whole sidecar at this scale
+    t0 = time.perf_counter()
+    cent_host = np.asarray(idx.centroids)
+    np.save(args.sidecar, cent_host)
+    persist_s = time.perf_counter() - t0
+    print(f"[capacity] persisted {cent_host.nbytes / 2**20:.1f} MiB "
+          f"centroids in {persist_s:.1f}s -> {args.sidecar}",
+          file=sys.stderr)
+
+    out = {
+        "n": args.n, "d": args.d, "k": args.k, "nlist": args.nlist,
+        "cap": args.cap, "nblocks": nblocks, "backend": backend,
+        "centers": centers, "spread": args.spread,
+        "queries_draw": "in-distribution",
+        "chunk_rows": args.chunk_rows,
+        "build_s": round(build_s, 2),
+        "build_phases_s": {k: round(v, 2) for k, v in timings.items()},
+        "resident_gib": round(hbm_gb, 3),
+        "persist_mib": round(cent_host.nbytes / 2**20, 2),
+        "persist_s": round(persist_s, 2),
+        "rows": [],
+    }
+
+    nchunks = -(-args.n // args.chunk_rows)
+    r_small, r_big = args.r
+    for nq in args.queries:
+        q = _mixture(args.seed, nq, args.d, centers, args.spread,
+                     chunk=10_000 + nq)
+
+        row = {"queries": nq, "ivf": []}
+        gt_i = gt_s = None
+        if not args.skip_gt:
+            # streamed exhaustive packed sweep: per-chunk top-k, host
+            # merge with global id offsets — the same estimator the IVF
+            # stage 1 uses, so recall isolates the PRUNING loss
+            t0 = time.perf_counter()
+            ss, ii = [], []
+            for ci in range(nchunks):
+                rows_i = min(args.chunk_rows, args.n - ci * args.chunk_rows)
+                pk = chunk_fn(ci)[:rows_i]
+                s, i = binary_topk(q, pk, d=args.d,
+                                   k=min(args.k, rows_i))
+                ss.append(np.asarray(s))
+                ii.append(np.asarray(i) + ci * args.chunk_rows)
+            s_all = np.concatenate(ss, axis=1)
+            i_all = np.concatenate(ii, axis=1)
+            top = np.argsort(-s_all, axis=1, kind="stable")[:, : args.k]
+            gt_s = np.take_along_axis(s_all, top, axis=1)
+            gt_i = np.take_along_axis(i_all, top, axis=1)
+            gt_wall = time.perf_counter() - t0
+            row["exhaustive_streamed_wall_s"] = round(gt_wall, 2)
+            print(f"[capacity] Q={nq} streamed exhaustive sweep "
+                  f"{gt_wall:.1f}s wall ({nchunks} chunks, "
+                  "dispatch-inclusive)", file=sys.stderr)
+
+        for frac in args.fractions:
+            nprobe = auto_nprobe(nblocks, frac)
+
+            def iv_search(qq, ix, _np=nprobe):
+                return ivf_search(qq, ix, k=args.k, nprobe=_np,
+                                  dim=args.d)
+
+            dt, _, info = bench_device(iv_search, q, idx, r_small, r_big)
+            entry = {
+                "fraction": frac, "nprobe": nprobe,
+                "ms": round(dt * 1e3, 3),
+                "qps": round(nq / dt, 1),
+            }
+            if info["fallback"]:
+                entry["fallback"] = True
+            if gt_i is not None:
+                s_iv, i_iv = iv_search(q, idx)
+                entry["recall_ids"] = round(_recall(i_iv, gt_i), 4)
+                entry["score_match"] = round(_score_match(s_iv, gt_s), 4)
+            print(f"[capacity] Q={nq} nprobe={nprobe} ({frac:.2%}): "
+                  f"{entry['ms']}ms"
+                  + (f" recall_ids={entry['recall_ids']}"
+                     f" score_match={entry['score_match']}"
+                     if gt_i is not None else ""),
+                  file=sys.stderr)
+            row["ivf"].append(entry)
+        out["rows"].append(row)
+
+    if not args.skip_warm:
+        # warm boot: free the cold index, reload centroids, re-derive
+        # the layout — digests must match the cold build exactly
+        idx.blocks.delete()
+        idx.block_ids.delete()
+        cent_dev = jnp.asarray(np.load(args.sidecar))
+        warm_t: dict = {}
+        t0 = time.perf_counter()
+        idx2 = ivf_build_binary_streaming(
+            chunk_fn, args.n, args.d, args.nlist, args.cap,
+            chunk_rows=args.chunk_rows, centroids=cent_dev,
+            assign_block=args.assign_block, timings=warm_t,
+        )
+        sync(idx2.blocks)
+        warm_s = time.perf_counter() - t0
+        warm_digest = tuple(
+            int(v) for v in _digest(idx2.blocks, idx2.block_ids)
+        )
+        out["warm_boot_s"] = round(warm_s, 2)
+        out["warm_layout_identical"] = warm_digest == cold_digest
+        print(f"[capacity] warm boot {warm_s:.1f}s, layout identical: "
+              f"{out['warm_layout_identical']}", file=sys.stderr)
+        if not out["warm_layout_identical"]:
+            print(f"[capacity] WARM DIGEST MISMATCH {warm_digest} vs "
+                  f"{cold_digest}", file=sys.stderr)
+
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
