@@ -407,9 +407,13 @@ def ivf_build_binary_streaming(
             stride = max(1, sizes_of[ci] // per)
             parts.append(binary_unpack(pk[::stride][:per], d))
         train = jnp.concatenate(parts)[:train_rows]
+        # scale the assignment block to the list count: kmeans scores a
+        # [block, nlist] fp32 tile per step, and the 131072-row default
+        # is an 8.6 GB tile at nlist=16384 — cap the tile at ~512 MB
+        km_block = int(max(1024, min(131072, (1 << 27) // max(nlist, 1))))
         centroids = kmeans(
             train, nlist, key=jax.random.PRNGKey(seed),
-            iters=kmeans_iters,
+            iters=kmeans_iters, block_size=km_block,
         )
         centroids.block_until_ready()
     else:
@@ -444,8 +448,12 @@ def ivf_build_binary_streaming(
     w = int(chunk_fn(0).shape[1])
     bs_dev = jnp.asarray(block_start)
 
-    @partial(jax.jit, donate_argnums=(0, 1, 2), static_argnames=("base",))
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
     def place_step(blocks, ids, running, pk, base):
+        # ``base`` is a TRACED scalar: a static base would recompile the
+        # whole place program once per chunk (239 remote compiles at 1B
+        # through the relay — hours); traced, every full chunk shares one
+        # executable and only the trimmed tail chunk compiles again
         m = pk.shape[0]
         a = _assign_packed(pk, centroids, d, block_size=assign_block)
         order = jnp.argsort(a, stable=True)
@@ -474,7 +482,7 @@ def ivf_build_binary_streaming(
     for i in range(nchunks):
         blocks, ids, running = place_step(
             blocks, ids, running,
-            chunk_fn(i)[: sizes_of[i]], base=i * chunk_rows,
+            chunk_fn(i)[: sizes_of[i]], base=jnp.int32(i * chunk_rows),
         )
     if not np.array_equal(np.asarray(running), sizes):
         # the count and place sweeps disagreed on some row's nearest

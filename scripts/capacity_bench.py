@@ -128,14 +128,22 @@ def main(argv=None) -> int:
 
     w = -(-args.d // 32)
 
+    @jax.jit
+    def _gen_chunk(ci):
+        # one compiled program for EVERY chunk (ci traced): the fused
+        # take/add/normalize/sign chain materialises only the packed
+        # output, and chunk regeneration costs one dispatch, not ~8
+        # eager ops x 3 sweeps x nchunks through the relay
+        return binary_quantize(
+            _mixture(args.seed, args.chunk_rows, args.d, centers,
+                     args.spread, chunk=ci)
+        )
+
     def chunk_fn(i: int):
         # deterministic per-chunk regeneration — the corpus IS the
         # program + seed; trimming to the last chunk's true size is the
         # builder's job
-        return binary_quantize(
-            _mixture(args.seed, args.chunk_rows, args.d, centers,
-                     args.spread, chunk=i)
-        )
+        return _gen_chunk(jnp.int32(i))
 
     timings: dict = {}
     t0 = time.perf_counter()
@@ -191,23 +199,33 @@ def main(argv=None) -> int:
         row = {"queries": nq, "ivf": []}
         gt_i = gt_s = None
         if not args.skip_gt:
-            # streamed exhaustive packed sweep: per-chunk top-k, host
-            # merge with global id offsets — the same estimator the IVF
-            # stage 1 uses, so recall isolates the PRUNING loss
+            # streamed exhaustive packed sweep — same estimator the IVF
+            # stage 1 uses, so recall isolates the PRUNING loss. The
+            # running top-k merge lives ON DEVICE (one dispatch per
+            # chunk, ONE host fetch at the end): a host-side merge costs
+            # a relay round trip per chunk (239 at 1B — minutes of pure
+            # fetch latency per query batch)
+            @jax.jit
+            def gt_step(bs, bi, qq, ci):
+                pk = _gen_chunk(ci)
+                valid = jnp.arange(args.chunk_rows) < (
+                    jnp.int32(args.n) - ci * jnp.int32(args.chunk_rows)
+                )
+                s, i = binary_topk(qq, pk, d=args.d, k=args.k,
+                                   mask=valid)
+                cs = jnp.concatenate([bs, s], axis=1)
+                cidx = jnp.concatenate(
+                    [bi, i + ci * jnp.int32(args.chunk_rows)], axis=1
+                )
+                sel_s, sel = jax.lax.top_k(cs, args.k)
+                return sel_s, jnp.take_along_axis(cidx, sel, axis=1)
+
             t0 = time.perf_counter()
-            ss, ii = [], []
+            bs = jnp.full((nq, args.k), -jnp.inf, jnp.float32)
+            bi = jnp.full((nq, args.k), -1, jnp.int32)
             for ci in range(nchunks):
-                rows_i = min(args.chunk_rows, args.n - ci * args.chunk_rows)
-                pk = chunk_fn(ci)[:rows_i]
-                s, i = binary_topk(q, pk, d=args.d,
-                                   k=min(args.k, rows_i))
-                ss.append(np.asarray(s))
-                ii.append(np.asarray(i) + ci * args.chunk_rows)
-            s_all = np.concatenate(ss, axis=1)
-            i_all = np.concatenate(ii, axis=1)
-            top = np.argsort(-s_all, axis=1, kind="stable")[:, : args.k]
-            gt_s = np.take_along_axis(s_all, top, axis=1)
-            gt_i = np.take_along_axis(i_all, top, axis=1)
+                bs, bi = gt_step(bs, bi, q, jnp.int32(ci))
+            gt_s, gt_i = np.asarray(bs), np.asarray(bi)
             gt_wall = time.perf_counter() - t0
             row["exhaustive_streamed_wall_s"] = round(gt_wall, 2)
             print(f"[capacity] Q={nq} streamed exhaustive sweep "

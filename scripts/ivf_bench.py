@@ -67,9 +67,12 @@ from functools import partial
 
 
 @partial(
-    jax.jit, static_argnames=("n", "d", "n_centers", "spread", "chunk")
+    jax.jit, static_argnames=("n", "d", "n_centers", "spread")
 )
 def _mixture(seed, n, d, n_centers, spread, chunk=None):
+    # ``chunk`` is TRACED (None still specializes by pytree structure):
+    # a static chunk would compile one program PER CHUNK — 239 remote
+    # compiles for a 1B streamed build through the relay
     """Mixture-of-Gaussians rows, unit-normalized, generated ON DEVICE.
 
     One jitted program: run eagerly, the take/add/normalize chain keeps

@@ -47,6 +47,13 @@ def main(argv=None) -> int:
     p.add_argument("--encoder_dim", type=int, default=384,
                    help="must stay 384: the converted reference AEs "
                         "expect SBERT's dimensionality")
+    p.add_argument("--encoder_layers", type=int, default=2,
+                   help="tower depth; 6 = the full MiniLM-L6 geometry "
+                        "(VERDICT r4 weak-6: quality of a from-scratch "
+                        "6-layer tower vs the 2-layer parity tower)")
+    p.add_argument("--rows", nargs="*", default=None,
+                   help="subset of rows to run (none vae dae cae "
+                        "chunked bm25); default all")
     args = p.parse_args(argv)
 
     import jax
@@ -78,7 +85,7 @@ def main(argv=None) -> int:
         f"data.dataset=cloze:{corpus_json}",
         f"data.max_samples={args.queries}",
         "encoder.vocab_size=8000", f"encoder.hidden_dim={h}",
-        "encoder.num_layers=2", "encoder.num_heads=4",
+        f"encoder.num_layers={args.encoder_layers}", "encoder.num_heads=4",
         f"encoder.mlp_dim={2 * h}", "encoder.max_length=64",
         "encoder.dtype=float32",
         # reference AE geometry: 384 -> 512 -> 64
@@ -111,8 +118,11 @@ def main(argv=None) -> int:
         file=sys.stderr,
     )
 
+    want = set(args.rows) if args.rows else None
     rows = []
     for ae in ("none", "vae", "dae", "cae"):
+        if want is not None and ae not in want:
+            continue
         runner = PipelineRunner(cfg, ae_type=ae)
         res = runner.process(queries, corpus, relevant)
         rows.append((
@@ -125,27 +135,28 @@ def main(argv=None) -> int:
     # chunking + doc-level MaxSim on the real corpus (the reference's
     # long-input story: semantic sub-chunks, candidate_k = 3*top_k,
     # per-doc max aggregation — main.py:274-281 / chunk_utils.py:211-278)
-    ccfg = apply_overrides(cfg, [
-        "chunking.enabled=true", "chunking.mode=semantic",
-        "chunking.max_tokens=64", "chunking.min_tokens=24",
-        "chunking.stride=32",
-    ])
-    runner = PipelineRunner(ccfg, ae_type="none")
-    res = runner.process(queries, corpus, relevant)
-    rows.append((
-        f"none + semantic chunking/MaxSim ({res['n_chunks']} chunks)",
-        res["retrieval_metrics"],
-    ))
-    print(f"[refparity] chunked: {res['retrieval_metrics']}",
-          file=sys.stderr)
+    if want is None or "chunked" in want:
+        ccfg = apply_overrides(cfg, [
+            "chunking.enabled=true", "chunking.mode=semantic",
+            "chunking.max_tokens=64", "chunking.min_tokens=24",
+            "chunking.stride=32",
+        ])
+        runner = PipelineRunner(ccfg, ae_type="none")
+        res = runner.process(queries, corpus, relevant)
+        rows.append((
+            f"none + semantic chunking/MaxSim ({res['n_chunks']} chunks)",
+            res["retrieval_metrics"],
+        ))
+        print(f"[refparity] chunked: {res['retrieval_metrics']}",
+              file=sys.stderr)
 
-    bm = BM25Retriever()
-    bm.build_index(corpus)
-    _, bi = bm.search(queries, 10)
-    rows.append(
-
-        ("bm25", evaluate_retrieval([r.tolist() for r in bi],
-                                    list(relevant))))
+    if want is None or "bm25" in want:
+        bm = BM25Retriever()
+        bm.build_index(corpus)
+        _, bi = bm.search(queries, 10)
+        rows.append(
+            ("bm25", evaluate_retrieval([r.tolist() for r in bi],
+                                        list(relevant))))
 
     lines = [
         "# Reference-artifact parity",
