@@ -597,7 +597,7 @@ def ivf_append(
     jax.jit,
     static_argnames=(
         "k", "nprobe", "metric", "group_bytes", "exact_select", "dim",
-        "recall_target",
+        "recall_target", "max_list_blocks",
     ),
 )
 def ivf_search(
@@ -612,8 +612,14 @@ def ivf_search(
     exact_select: bool = False,
     dim: int = 0,
     recall_target: float = 0.95,
+    max_list_blocks: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Top-k over the ``nprobe`` best blocks per query.
+
+    ``max_list_blocks`` (static) is the build-time max blocks in any one
+    list — it sizes the per-list expansion of the wide-index probe path
+    (``np.bincount(block2list).max()`` host-side); None uses a 4x-average
+    bound that can clip a pathologically skewed list's tail.
 
     ``queries`` are prepared [Q, d] floats; ``scale`` is the global SQ8
     scale when ``index.blocks`` is int8 (scores return in float space,
@@ -664,22 +670,57 @@ def ivf_search(
     # every shard's block count to a uniform shape): they score NEG_INF
     # so no probe budget is ever spent on them
     b2l = index.block2list
-    bscore = jnp.take(
-        cscore, jnp.maximum(b2l, 0), axis=1
-    )  # [Q, nblocks]
-    bscore = jnp.where(b2l[None, :] >= 0, bscore, NEG_INF)
-    # exact top_k is a VPU sort — at >8k-wide score rows the TPU-KNN
-    # partial reduction is far cheaper and a slightly approximate PROBE
-    # ORDER only perturbs which marginal lists get scanned (measured:
-    # the wide exact selects, not HBM traffic, dominated v2's latency)
-    # (``exact_select=True`` pins exact top_k everywhere: with
-    # nprobe == nblocks that makes the whole search the exact oracle —
-    # the differential-test anchor)
     if nblocks > 8192 and not exact_select:
-        _, sel = jax.lax.approx_max_k(
-            bscore, nprobe, recall_target=recall_target
+        # rank LISTS exactly, then expand each selected list to its
+        # CONTIGUOUS block run. The previous design ranked the
+        # block-replicated score row ([Q, nblocks]) with approx_max_k —
+        # on TPU its bin reduction returns ~one block per contiguous
+        # equal-score run, so a list spanning B blocks contributed ~1/B
+        # of its rows (measured r5: 1B x 64, 60 blocks/list — stage-1
+        # recall 0.15 vs 1.0 from the same index with exact selection).
+        # Exact top_k over the [Q, nlist] list scores is NARROW (lists,
+        # not blocks) and probing whole lists is the classic IVF
+        # contract. Static probe geometry: L lists x Bmax block slots
+        # per query, invalid slots pointed at the ``nblocks`` sentinel
+        # (gather-filled rows score NEG_INF and ids -1 downstream).
+        nlist_real = index.centroids.shape[0]
+        blk_idx = jnp.arange(nblocks, dtype=jnp.int32)
+        real = b2l >= 0
+        safe_l = jnp.maximum(b2l, 0)
+        nblk_l = jnp.zeros((nlist_real,), jnp.int32).at[safe_l].add(
+            real.astype(jnp.int32)
         )
+        list_start = jnp.full((nlist_real,), nblocks, jnp.int32).at[
+            safe_l
+        ].min(jnp.where(real, blk_idx, nblocks))
+        avg_b = max(1.0, nblocks / nlist_real)
+        n_lists = max(1, min(nlist_real, int(round(nprobe / avg_b))))
+        if max_list_blocks is not None:
+            b_cap = int(max_list_blocks)
+        else:
+            # generous static bound; a pathologically skewed list loses
+            # its tail blocks — pass the build-time max to remove the cap
+            b_cap = min(nblocks, int(np.ceil(avg_b * 4)) + 8)
+        _, lsel = jax.lax.top_k(cscore, n_lists)  # [Q, L] exact
+        starts = jnp.take(list_start, lsel)
+        counts = jnp.take(nblk_l, lsel)
+        offs = jnp.arange(b_cap, dtype=jnp.int32)
+        bsel = starts[:, :, None] + offs[None, None, :]
+        ok_slot = offs[None, None, :] < counts[:, :, None]
+        sel = jnp.where(ok_slot, bsel, nblocks).reshape(
+            nq, n_lists * b_cap
+        )
+        nprobe = sel.shape[1]
     else:
+        # exact top_k over the block-replicated scores (ties break by
+        # low index, so equal-score runs select whole lists in order);
+        # ``exact_select=True`` pins this everywhere — with
+        # nprobe == nblocks that makes the whole search the exact
+        # oracle, the differential-test anchor
+        bscore = jnp.take(
+            cscore, jnp.maximum(b2l, 0), axis=1
+        )  # [Q, nblocks]
+        bscore = jnp.where(b2l[None, :] >= 0, bscore, NEG_INF)
         _, sel = jax.lax.top_k(bscore, nprobe)  # [Q, nprobe]
 
     if is_int8 or is_sq4:

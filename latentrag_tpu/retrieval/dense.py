@@ -1069,9 +1069,20 @@ class DenseRetriever:
                 scale=ivf_scale,
                 mask_shard=mask,
             )
+        # build-time max blocks-per-list sizes the wide-index probe
+        # expansion exactly (ivf_search would otherwise cap a skewed
+        # list at 4x the average); identity-cached on the block2list
+        # array so every rebuild/append/restore recomputes it once
+        cached = getattr(self, "_ivf_mlb", None)
+        if cached is None or cached[0] is not idx.block2list:
+            b2l_host = np.asarray(idx.block2list)
+            real = b2l_host[b2l_host >= 0]
+            mlb = int(np.bincount(real).max()) if real.size else 1
+            self._ivf_mlb = (idx.block2list, mlb)
         return ivf_search(
             q_prepared,
             idx,
+            max_list_blocks=self._ivf_mlb[1],
             k=min(k, self._corpus_n),
             nprobe=nprobe,
             metric=self.metric,

@@ -185,6 +185,12 @@ def main(argv=None) -> int:
     cold_digest = tuple(int(v) for v in _digest(idx.blocks, idx.block_ids))
     print(f"[capacity] cold digest {cold_digest}", file=sys.stderr)
 
+    b2l_host = np.asarray(idx.block2list)
+    mlb = int(np.bincount(b2l_host[b2l_host >= 0]).max())
+    out_mlb = mlb
+    print(f"[capacity] max blocks/list {mlb} (avg "
+          f"{nblocks / args.nlist:.1f})", file=sys.stderr)
+
     # persist: centroids are the whole sidecar at this scale
     t0 = time.perf_counter()
     cent_host = np.asarray(idx.centroids)
@@ -195,6 +201,7 @@ def main(argv=None) -> int:
           file=sys.stderr)
 
     out = {
+        "max_list_blocks": out_mlb,
         "n": args.n, "d": args.d, "k": args.k, "nlist": args.nlist,
         "cap": args.cap, "nblocks": nblocks, "backend": backend,
         "centers": centers, "spread": args.spread,
@@ -255,7 +262,7 @@ def main(argv=None) -> int:
 
             def iv_search(qq, ix, _np=nprobe):
                 return ivf_search(qq, ix, k=args.k, nprobe=_np,
-                                  dim=args.d)
+                                  dim=args.d, max_list_blocks=mlb)
 
             dt, _, info = bench_device(iv_search, q, idx, r_small, r_big)
             entry = {
@@ -275,7 +282,7 @@ def main(argv=None) -> int:
                 # the recall the pipeline actually sees
                 ok = min(args.oversample * args.k, args.n)
                 _, i_wide = ivf_search(q, idx, k=ok, nprobe=nprobe,
-                                       dim=args.d)
+                                       dim=args.d, max_list_blocks=mlb)
                 entry["recall_cascade"] = round(_recall(i_wide, gt_i), 4)
             print(f"[capacity] Q={nq} nprobe={nprobe} ({frac:.2%}): "
                   f"{entry['ms']}ms"
