@@ -102,3 +102,37 @@ def test_streaming_full_probe_equals_exhaustive(packed):
 def test_streaming_rejects_empty():
     with pytest.raises(ValueError, match="empty"):
         ivf_build_binary_streaming(lambda i: None, 0, D, nlist=4)
+
+
+def test_wide_index_probe_expands_whole_lists():
+    """>8192-block indexes take the list-rank + contiguous-expansion
+    probe path. Regression for the r5 1B finding: ranking the
+    block-replicated score row with approx_max_k returned ~one block
+    per contiguous equal-score run, collapsing batched stage-1 recall
+    to ~0.15 where exact selection answered 1.0. Probing ~12% of lists
+    on this clustered corpus must stay near the exhaustive sweep."""
+    n = 80_000  # cap clamps at 8, so >8192 blocks needs 80k rows
+    pk = binary_quantize(jnp.asarray(_clustered(n, D, seed=5)))
+    idx = ivf_build_binary_streaming(
+        lambda i: pk[i * CHUNK : (i + 1) * CHUNK], n, D, nlist=256,
+        cap=8, chunk_rows=CHUNK, kmeans_iters=5, train_rows=20_000,
+    )
+    assert idx.nblocks > 8192  # the path under test
+    b2l = np.asarray(idx.block2list)
+    mlb = int(np.bincount(b2l[b2l >= 0]).max())
+    q = jnp.asarray(_clustered(16, D, seed=11))
+    s_ref, i_ref = binary_topk(q, pk, d=D, k=K)
+    # ~30 lists' worth of blocks
+    nprobe = 30 * idx.nblocks // 256
+    s, i = ivf_search(q, idx, k=K, nprobe=nprobe, dim=D,
+                      max_list_blocks=mlb)
+    hits = sum(
+        len(set(map(int, a)) & set(map(int, b)))
+        for a, b in zip(np.asarray(i), np.asarray(i_ref))
+    )
+    recall = hits / i_ref.size
+    assert recall >= 0.9, recall
+    # the default (no max_list_blocks) 4x-average bound must behave
+    # identically on this balanced layout
+    s2, i2 = ivf_search(q, idx, k=K, nprobe=nprobe, dim=D)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i2))
