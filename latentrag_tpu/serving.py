@@ -153,6 +153,20 @@ class MicroBatcher:
             k = key[0]
             nprobe = key[2] if len(key) > 2 else None
             queries = [q for qs, *_ in group for q in qs]
+            # pad the coalesced batch UP to the next power of two: every
+            # distinct query count is a fresh compiled program on the
+            # chip (~30-80 s of remote compile through the relay — the
+            # r5 load test measured 76 s stalls the first time a novel
+            # size arrived), so live traffic must only ever touch
+            # O(log max_batch) shapes. Pad rows repeat the last query;
+            # the per-member result fan-out below never reads them.
+            n_real = len(queries)
+            bucket = 1
+            while bucket < n_real:
+                bucket <<= 1
+            bucket = min(bucket, max(self._max_batch, n_real))
+            if bucket > n_real:
+                queries = queries + [queries[-1]] * (bucket - n_real)
             # all members share the canonical filter key, so the first
             # member's spec is the group's spec
             spec = group[0][1]

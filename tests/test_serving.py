@@ -53,7 +53,10 @@ def test_microbatcher_coalesces_and_routes():
             assert list(r) == [f"hit:q{i}:5"]
         # coalescing happened: strictly fewer device calls than requests
         assert len(calls) < 8
-        assert sum(calls) == 8
+        # dispatched sizes are power-of-two buckets (compile-shape
+        # discipline), so pads may raise the total
+        assert sum(calls) >= 8
+        assert all(c & (c - 1) == 0 for c in calls), calls
     finally:
         b.close()
 
@@ -279,5 +282,29 @@ def test_microbatcher_cap_splits_but_serves_everyone():
             assert list(r) == [f"q{i}"]
         assert sum(calls) == 10
         assert all(c <= 3 for c in calls)  # the cap is a hard cap
+    finally:
+        b.close()
+
+
+def test_microbatcher_pads_to_power_of_two_buckets():
+    """Every dispatched batch is a power-of-two size (<= the pow2 ceil
+    of max_batch): novel coalesced counts must not mint novel compiled
+    shapes (r5 load test: a first-time size cost a 76 s remote
+    compile mid-traffic)."""
+    calls = []
+
+    def run_batch(queries, k, flt):
+        calls.append(len(queries))
+        time.sleep(0.02)
+        return [f"h:{q}" for q in queries]
+
+    b = MicroBatcher(run_batch, window_ms=40, max_batch=64)
+    try:
+        results = _fire(
+            3, lambda i: b.submit([f"q{i}"], 5, None, None)
+        )
+        for i, r in enumerate(results):
+            assert list(r) == [f"h:q{i}"]
+        assert all(c & (c - 1) == 0 for c in calls), calls
     finally:
         b.close()
