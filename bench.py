@@ -488,7 +488,12 @@ def _vs_prev_round(payload: dict, on_tpu: bool) -> None:
     if not on_tpu:
         return
     here = os.path.dirname(os.path.abspath(__file__))
-    prev = sorted(glob.glob(os.path.join(here, "BENCH_r0*.json")))
+    prev = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(
+            "".join(c for c in os.path.basename(p) if c.isdigit()) or 0
+        ),
+    )
     if not prev:
         return
     try:

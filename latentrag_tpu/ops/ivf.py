@@ -671,28 +671,41 @@ def ivf_search(
     # so no probe budget is ever spent on them
     b2l = index.block2list
     if nblocks > 8192 and not exact_select:
-        # rank LISTS exactly, then expand each selected list to its
-        # CONTIGUOUS block run. The previous design ranked the
-        # block-replicated score row ([Q, nblocks]) with approx_max_k —
-        # on TPU its bin reduction returns ~one block per contiguous
-        # equal-score run, so a list spanning B blocks contributed ~1/B
-        # of its rows (measured r5: 1B x 64, 60 blocks/list — stage-1
-        # recall 0.15 vs 1.0 from the same index with exact selection).
-        # Exact top_k over the [Q, nlist] list scores is NARROW (lists,
-        # not blocks) and probing whole lists is the classic IVF
-        # contract. Static probe geometry: L lists x Bmax block slots
-        # per query, invalid slots pointed at the ``nblocks`` sentinel
-        # (gather-filled rows score NEG_INF and ids -1 downstream).
+        # rank LISTS exactly, then expand each selected list to ALL of
+        # its blocks. The previous design ranked the block-replicated
+        # score row ([Q, nblocks]) with approx_max_k — on TPU its bin
+        # reduction returns ~one block per contiguous equal-score run,
+        # so a list spanning B blocks contributed ~1/B of its rows
+        # (measured r5: 1B x 64, 60 blocks/list — stage-1 recall 0.15
+        # vs 1.0 from the same index with exact selection). Exact top_k
+        # over the [Q, nlist] list scores is NARROW (lists, not blocks)
+        # and probing whole lists is the classic IVF contract.
+        #
+        # The expansion goes through a (list, storage-order) argsort of
+        # block2list rather than assuming each list's blocks are
+        # contiguous — ivf_append places a grown list's new blocks at
+        # the TAIL, so a start+offset window would skip appended rows
+        # and overrun into the next list. Static probe geometry:
+        # L lists x b_cap block slots per query; invalid slots point at
+        # the ``nblocks`` sentinel (gather-filled rows score NEG_INF
+        # and ids -1 downstream). Note the effective scanned budget is
+        # n_lists * b_cap slots — up to b_cap/avg_b more than the
+        # requested nprobe when the build is skewed (whole-list probing
+        # is the correctness contract; tune ``fraction``/nprobe, not
+        # partial lists).
         nlist_real = index.centroids.shape[0]
-        blk_idx = jnp.arange(nblocks, dtype=jnp.int32)
         real = b2l >= 0
         safe_l = jnp.maximum(b2l, 0)
         nblk_l = jnp.zeros((nlist_real,), jnp.int32).at[safe_l].add(
             real.astype(jnp.int32)
         )
-        list_start = jnp.full((nlist_real,), nblocks, jnp.int32).at[
-            safe_l
-        ].min(jnp.where(real, blk_idx, nblocks))
+        # stable sort by list id: pads (-1) first, then each list's
+        # blocks in storage order
+        order = jnp.argsort(b2l, stable=True).astype(jnp.int32)
+        n_pads = jnp.sum(~real).astype(jnp.int32)
+        start_sorted = (
+            n_pads + jnp.cumsum(nblk_l) - nblk_l
+        )  # [nlist] first sorted position of each list's run
         avg_b = max(1.0, nblocks / nlist_real)
         n_lists = max(1, min(nlist_real, int(round(nprobe / avg_b))))
         if max_list_blocks is not None:
@@ -702,11 +715,12 @@ def ivf_search(
             # its tail blocks — pass the build-time max to remove the cap
             b_cap = min(nblocks, int(np.ceil(avg_b * 4)) + 8)
         _, lsel = jax.lax.top_k(cscore, n_lists)  # [Q, L] exact
-        starts = jnp.take(list_start, lsel)
+        starts = jnp.take(start_sorted, lsel)
         counts = jnp.take(nblk_l, lsel)
         offs = jnp.arange(b_cap, dtype=jnp.int32)
-        bsel = starts[:, :, None] + offs[None, None, :]
+        pos = starts[:, :, None] + offs[None, None, :]
         ok_slot = offs[None, None, :] < counts[:, :, None]
+        bsel = jnp.take(order, jnp.minimum(pos, nblocks - 1), axis=0)
         sel = jnp.where(ok_slot, bsel, nblocks).reshape(
             nq, n_lists * b_cap
         )

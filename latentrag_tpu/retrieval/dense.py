@@ -489,7 +489,9 @@ class DenseRetriever:
             self._ivf_index is None
             and self._ivf_sidecar is not None
             and self.mesh is None
-            and self._ivf_append_budget(emb.shape[0])
+            and self._ivf_append_budget(
+                emb.shape[0], n_total=self._corpus_n + emb.shape[0]
+            )
         ):
             # warm boot -> add() before any search: materialise the IVF
             # from the persisted sidecar NOW (one device gather, no
@@ -740,12 +742,15 @@ class DenseRetriever:
         nprobe_est = auto_nprobe(max(1, rows // self.ivf_cap))
         return nq * nprobe_est * self.ivf_cap <= rows // 4
 
-    def _ivf_append_budget(self, m: int) -> bool:
+    def _ivf_append_budget(self, m: int, n_total: int | None = None) -> bool:
         """Allow an incremental IVF append? Each append accretes block
         padding (>= one cap-row block per touched list), so once the
         appended total passes a quarter of the corpus the next eligible
-        search rebuilds the layout fresh instead."""
-        return (self._ivf_appended + m) * 4 <= self._corpus_n
+        search rebuilds the layout fresh instead. ``n_total`` overrides
+        the corpus size for callers gating BEFORE the add lands, so the
+        pre-add and post-add gates agree on the same denominator."""
+        denom = self._corpus_n if n_total is None else n_total
+        return (self._ivf_appended + m) * 4 <= denom
 
     def _ensure_ivf(self, probe: bool = True):
         if self._ivf_index is None:
@@ -1018,7 +1023,10 @@ class DenseRetriever:
         from ..parallel.ivf import _ordered_shards, local_shard_index
 
         shards = _ordered_shards(self._corpus_dev)
-        if not shards or shards[0].index[0].start != 0:
+        # slice(None) starts (single-device / replicated leading dim)
+        # mean this process holds the whole array — that counts as
+        # owning shard 0, so treat a None start as 0
+        if not shards or (shards[0].index[0].start or 0) != 0:
             return None  # this process does not own shard 0
         idx0 = local_shard_index(sivf, 0)
         n0 = min(sivf.rows_per_shard, self._corpus_n)

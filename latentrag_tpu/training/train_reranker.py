@@ -77,11 +77,22 @@ class RerankerTrainer:
         module = scorer.module
 
         def loss_fn(params, batch):
-            b = batch["dup"].shape[0]
+            shape = batch["dup"].shape
             logits = module.apply(
                 {"params": params}, batch["ids"], batch["mask"],
                 batch["tt"],
-            ).reshape(b, b)
+            ).reshape(shape)
+            if "labels" in batch:
+                # mined-hard-negative mode: [B, 1+H] candidate lists,
+                # the positive in column 0; duplicate-of-positive
+                # columns are removed from the softmax, same discipline
+                # as the in-batch mode
+                logits = jnp.where(
+                    batch["dup"], -1e9, logits.astype(jnp.float32)
+                )
+                return optax.softmax_cross_entropy_with_integer_labels(
+                    logits, batch["labels"]
+                ).mean()
             return listwise_loss(logits, dup_mask=batch["dup"])
 
         @jax.jit
@@ -92,6 +103,35 @@ class RerankerTrainer:
 
         self._train_step = train_step
         self._eval_step = jax.jit(loss_fn)
+
+    def _hard_batch(self, queries, positives, negs):
+        """[B, 1+H] listwise batch: column 0 is the positive, columns
+        1..H are MINED hard negatives (stage-1 top candidates). Aligns
+        the training distribution with serving — the reranker's real
+        job is discriminating among near-neighbours, which random
+        in-batch negatives never show it (the r5 parity-corpus run
+        measured the in-batch recipe actively hurting a strong
+        stage 1)."""
+        b, h = len(queries), len(negs[0])
+        pq, pd = [], []
+        dup = np.zeros((b, 1 + h), bool)
+        for i in range(b):
+            docs_i = [positives[i]] + list(negs[i])
+            for j, dtext in enumerate(docs_i):
+                pq.append(queries[i])
+                pd.append(dtext)
+                if j > 0 and dtext == positives[i]:
+                    dup[i, j] = True
+        ids, mask, tt = encode_pairs(
+            self.scorer.tokenizer, pq, pd,
+            max_length=self.max_length,
+            query_max=self.scorer.query_max,
+        )
+        return {
+            "ids": jnp.asarray(ids), "mask": jnp.asarray(mask),
+            "tt": jnp.asarray(tt), "dup": jnp.asarray(dup),
+            "labels": jnp.zeros((b,), jnp.int32),
+        }
 
     def _pair_batch(self, queries: Sequence[str], docs: Sequence[str]):
         """All B x B (query, doc) pair tensors + the duplicate mask."""
@@ -117,7 +157,12 @@ class RerankerTrainer:
         val_fraction: float = 0.1,
         checkpoint_dir: str | None = None,
         resume: bool = False,
+        negatives: Sequence[Sequence[str]] | None = None,
     ) -> RerankerTrainResult:
+        """``negatives`` (optional): per-example MINED hard negatives
+        (e.g. stage-1 top candidates); when given, each step is a
+        [B, 1+H] candidate-list softmax with the positive at column 0
+        instead of the in-batch B x B matrix."""
         cfg = self.cfg
         if len(queries) < 8:
             raise ValueError(
@@ -127,23 +172,45 @@ class RerankerTrainer:
         n = len(queries)
         rng = np.random.default_rng(cfg.seed)
         order = rng.permutation(n)
-        # every step scores B^2 PAIRS in one forward — quadratic, unlike
-        # the linear trainers — so the config's (linear) batch_size must
-        # be capped: 16 -> 256 pair forwards/step; the config default of
-        # 128 would be a 16k-pair program (~50 GB of attention scores)
-        bs = min(cfg.batch_size, 16, max(2, n // 4))
-        if bs < cfg.batch_size:
-            log.info(
-                "[reranker] listwise batch capped at %d queries "
-                "(%d^2 = %d pairs/step; config asked %d)",
-                bs, bs, bs * bs, cfg.batch_size,
-            )
+        if negatives is not None:
+            h = min(len(g) for g in negatives)
+            if h < 1:
+                raise ValueError("every example needs >=1 mined negative")
+            negatives = [list(g)[:h] for g in negatives]
+            # pairs/step = bs * (1+h): keep the program within the same
+            # budget as the capped B^2 mode
+            bs = min(cfg.batch_size, max(2, 256 // (1 + h)),
+                     max(2, n // 4))
+
+            def make_batch(sel):
+                return self._hard_batch(
+                    [queries[i] for i in sel],
+                    [positives[i] for i in sel],
+                    [negatives[i] for i in sel],
+                )
+        else:
+            # every step scores B^2 PAIRS in one forward — quadratic,
+            # unlike the linear trainers — so the config's (linear)
+            # batch_size must be capped: 16 -> 256 pair forwards/step;
+            # the config default of 128 would be a 16k-pair program
+            # (~50 GB of attention scores)
+            bs = min(cfg.batch_size, 16, max(2, n // 4))
+            if bs < cfg.batch_size:
+                log.info(
+                    "[reranker] listwise batch capped at %d queries "
+                    "(%d^2 = %d pairs/step; config asked %d)",
+                    bs, bs, bs * bs, cfg.batch_size,
+                )
+
+            def make_batch(sel):
+                return self._pair_batch(
+                    [queries[i] for i in sel],
+                    [positives[i] for i in sel],
+                )
+
         n_val = max(bs, int(n * val_fraction))
         val_idx, train_idx = order[:n_val], order[n_val:]
-        val_batch = self._pair_batch(
-            [queries[i] for i in val_idx[:bs]],
-            [positives[i] for i in val_idx[:bs]],
-        )
+        val_batch = make_batch(val_idx[:bs])
 
         params = self.scorer.params
         opt_state = self.tx.init(params)
@@ -166,11 +233,7 @@ class RerankerTrainer:
             rng.shuffle(train_idx)
             losses = []
             for s in range(0, len(train_idx) - bs + 1, bs):
-                sel = train_idx[s:s + bs]
-                batch = self._pair_batch(
-                    [queries[i] for i in sel],
-                    [positives[i] for i in sel],
-                )
+                batch = make_batch(train_idx[s:s + bs])
                 params, opt_state, lv = self._train_step(
                     params, opt_state, batch
                 )

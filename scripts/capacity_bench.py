@@ -236,8 +236,11 @@ def main(argv=None) -> int:
                 valid = jnp.arange(args.chunk_rows) < (
                     jnp.int32(args.n) - ci * jnp.int32(args.chunk_rows)
                 )
+                # recall_target=1.0: the GT oracle must be exact —
+                # at the default 0.95 the per-block approx_max_k could
+                # drop true top-k members and corrupt the recall columns
                 s, i = binary_topk(qq, pk, d=args.d, k=args.k,
-                                   mask=valid)
+                                   mask=valid, recall_target=1.0)
                 cs = jnp.concatenate([bs, s], axis=1)
                 cidx = jnp.concatenate(
                     [bi, i + ci * jnp.int32(args.chunk_rows)], axis=1

@@ -54,6 +54,9 @@ def main(argv=None) -> int:
     p.add_argument("--reranker_batch", type=int, default=16)
     p.add_argument("--max_length", type=int, default=96)
     p.add_argument("--candidates", type=int, default=40)
+    p.add_argument("--hard_negatives", type=int, default=15,
+                   help="stage-1 top candidates mined as training "
+                        "negatives per pair")
     args = p.parse_args(argv)
 
     import jax
@@ -133,6 +136,39 @@ def main(argv=None) -> int:
     tokenizer = resolve_tokenizer(
         cfg.paths.data_dir, cfg.encoder.vocab_size, tp
     )
+
+    # mine HARD negatives with the trained stage-1 encoder: the
+    # reranker's serving job is discriminating among stage-1's top
+    # candidates, so that is the distribution it must train on (the
+    # in-batch-random recipe measured an active quality LOSS on this
+    # corpus — docs/RESULTS.md r5)
+    import numpy as np
+
+    from latentrag_tpu.models.encoder.convert import load_params
+    from latentrag_tpu.models.encoder.minilm import SentenceEncoder
+
+    enc = SentenceEncoder(
+        tokenizer, cfg.encoder,
+        params=load_params(os.path.join(
+            cfg.paths.checkpoints_dir, "encoder.msgpack")),
+    )
+    emb_c = np.asarray(enc.encode_batch(texts), np.float32)
+    emb_q = np.asarray(enc.encode_batch(tq), np.float32)
+    sims = emb_q @ emb_c.T  # [n_train, n_corpus]
+    h = args.hard_negatives
+    negs = []
+    for i in range(len(tq)):
+        cand = np.argsort(-sims[i])
+        row = []
+        for c in cand:
+            if texts[c] != tp[i]:
+                row.append(texts[c])
+                if len(row) == h:
+                    break
+        negs.append(row)
+    print(f"[rerank] mined {h} stage-1 hard negatives per pair",
+          file=sys.stderr)
+
     scorer = CrossEncoderScorer(tokenizer, cfg.encoder, seed=3)
     tcfg = dataclasses.replace(
         cfg.training, epochs=args.reranker_epochs,
@@ -140,7 +176,7 @@ def main(argv=None) -> int:
     )
     t0 = time.time()
     trainer = RerankerTrainer(scorer, tcfg, max_length=args.max_length)
-    res = trainer.fit(tq, tp, checkpoint_dir=os.path.join(
+    res = trainer.fit(tq, tp, negatives=negs, checkpoint_dir=os.path.join(
         cfg.paths.checkpoints_dir, "reranker_train"))
     save_params(res.params, reranker_checkpoint_path(cfg))
     save_reranker_meta(cfg, tokenizer, args.max_length, scorer.query_max)

@@ -73,7 +73,9 @@ def test_streaming_layout_bit_identical_to_from_assign(packed):
     np.testing.assert_array_equal(
         np.asarray(idx.blocks), np.asarray(ref.blocks)
     )
-    assert timings["train_s"] == 0 or "train_s" in timings
+    # centroids supplied: the "train" phase is just an asarray, never
+    # a k-means run (which takes >=10 s at this size on CPU)
+    assert timings.get("train_s", 0.0) < 1.0
     assert timings["count_s"] > 0 and timings["place_s"] > 0
 
 

@@ -284,3 +284,37 @@ def test_benchmark_rerank_system(tmp_path):
     # pairwise delta exists for the pair
     some_metric = next(iter(out["_deltas"].values()))
     assert "sbert-rerank" in some_metric
+
+
+def test_reranker_hard_negative_mode(tok, ecfg):
+    """fit(negatives=...) trains on [B, 1+H] mined candidate lists (the
+    serving distribution) and still learns positive-above-negative."""
+    from latentrag_tpu.models.encoder.cross import CrossEncoderScorer
+    from latentrag_tpu.training.train_reranker import RerankerTrainer
+    from latentrag_tpu.utils.config import TrainingConfig
+
+    queries, docs, negs = [], [], []
+    for i, c in enumerate(CORPUS):
+        kw = c.split()[1]
+        for j in range(4):
+            queries.append(f"what about {kw} number {j}")
+            docs.append(c)
+            # mined "hard" negatives: the other corpus passages, plus a
+            # duplicate-of-positive that the dup mask must drop
+            negs.append([CORPUS[(i + 1) % len(CORPUS)], c])
+    scorer = CrossEncoderScorer(tok, ecfg, seed=1)
+    trainer = RerankerTrainer(
+        scorer,
+        TrainingConfig(batch_size=4, epochs=6, learning_rate=2e-3),
+        max_length=32,
+    )
+    res = trainer.fit(queries, docs, val_fraction=0.2, negatives=negs)
+    first_val = res.history[0][2]
+    assert res.best_val_loss < first_val
+    s_pos = scorer.score_pairs(
+        ["what about observes number 9"], [CORPUS[0]]
+    )[0]
+    s_neg = scorer.score_pairs(
+        ["what about observes number 9"], [CORPUS[2]]
+    )[0]
+    assert s_pos > s_neg
