@@ -7,24 +7,25 @@ measures the quality uplift on the reference's 2,835 shipped chunk texts
 evaluates), with the two-stage config an operator would actually run:
 `retrieval.top_k=10`, `retrieval.rerank_candidates=40`.
 
-Protocol (all offline; chip latency for the same candidate budget is a
-separate ROOFLINE row):
+Protocol:
 
 1. train the parity encoder (2-layer 384-d tower) on the corpus — the
    same recipe as scripts/reference_parity.py;
-2. train the cross-encoder reranker on cloze (snippet, source-doc) pairs
-   drawn with a DIFFERENT rng seed than the eval queries, with any
-   exact question collisions against the eval set dropped — the eval
-   snippets are unseen text spans;
+2. MINE each training pair's stage-1 top candidates as hard negatives
+   (the serving distribution; the in-batch-random recipe measured an
+   active quality LOSS against a 0.98-recall stage 1 — docs/RESULTS.md
+   r5 run 1) and train the cross-encoder on [B, 1+H] candidate lists.
+   Training pairs use a DIFFERENT cloze rng seed than the eval queries,
+   with exact question collisions dropped — eval snippets are unseen;
 3. evaluate Recall@10 / MRR@10 / nDCG@10 with rerank=none vs
    rerank=cross for stage-1 = raw 384-d and stage-1 = the reference's
    OWN converted VAE-64 weights (the compressed tier whose stage-1
    recall has the most headroom — the framework's latent-compression +
    rerank story end to end).
 
-  python scripts/rerank_parity.py                  # full (CPU, ~30-60min)
-  python scripts/rerank_parity.py --queries 60 --encoder_epochs 1 \
-      --reranker_epochs 2 --train_pairs 200        # smoke
+  python scripts/rerank_parity.py                  # chip, ~45 min
+  JAX_PLATFORMS=cpu python scripts/rerank_parity.py --queries 60 \
+      --encoder_epochs 1 --reranker_epochs 2 --train_pairs 200  # smoke
 """
 
 from __future__ import annotations
