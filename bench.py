@@ -499,6 +499,14 @@ def _vs_prev_round(payload: dict, on_tpu: bool) -> None:
     try:
         with open(prev[-1]) as f:
             last = json.load(f)
+        if "value" not in last and "tail" in last:
+            # the round driver wraps bench stdout: the JSON line is the
+            # last {...} line inside "tail"
+            for line in reversed(str(last["tail"]).splitlines()):
+                line = line.strip()
+                if line.startswith("{") and '"value"' in line:
+                    last = json.loads(line)
+                    break
         if last.get("relay_dark") or "value" not in last:
             return
         ratio = payload["value"] / float(last["value"])
