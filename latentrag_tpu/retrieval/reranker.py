@@ -131,7 +131,13 @@ def build_reranker(cfg, tokenizer) -> CrossEncoderReranker:
                 "pipeline does, so rerun it in this workspace)"
             )
         trained_len = int(meta.get("max_length", ecfg.max_length))
-        if trained_len < ecfg.max_length:
+        if trained_len != ecfg.max_length:
+            # the trained pair length IS the model's input contract —
+            # serve at exactly it, in BOTH directions: shorter wastes
+            # trained capacity, and capping at the bi-encoder's
+            # (unrelated) max_length silently truncated the passage out
+            # of long-pair rerankers (r5: a 192-token reranker served
+            # at the stage-1 encoder's 64 never saw the evidence)
             ecfg = dataclasses.replace(ecfg, max_length=trained_len)
         query_max = int(meta.get("query_max", query_max))
     else:

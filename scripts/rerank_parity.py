@@ -55,6 +55,10 @@ def main(argv=None) -> int:
     p.add_argument("--reranker_batch", type=int, default=16)
     p.add_argument("--max_length", type=int, default=96)
     p.add_argument("--candidates", type=int, default=40)
+    p.add_argument("--reranker_lr", type=float, default=None,
+                   help="override training.learning_rate for the "
+                        "reranker only (from-scratch cross-encoders "
+                        "need ~2e-3 to learn in a few k steps)")
     p.add_argument("--hard_negatives", type=int, default=15,
                    help="stage-1 top candidates mined as training "
                         "negatives per pair")
@@ -148,10 +152,13 @@ def main(argv=None) -> int:
     from latentrag_tpu.models.encoder.convert import load_params
     from latentrag_tpu.models.encoder.minilm import SentenceEncoder
 
+    probe = SentenceEncoder(tokenizer, cfg.encoder, seed=0)
     enc = SentenceEncoder(
         tokenizer, cfg.encoder,
-        params=load_params(os.path.join(
-            cfg.paths.checkpoints_dir, "encoder.msgpack")),
+        params=load_params(
+            os.path.join(cfg.paths.checkpoints_dir, "encoder.msgpack"),
+            probe.params,
+        ),
     )
     emb_c = np.asarray(enc.encode_batch(texts), np.float32)
     emb_q = np.asarray(enc.encode_batch(tq), np.float32)
@@ -174,6 +181,8 @@ def main(argv=None) -> int:
     tcfg = dataclasses.replace(
         cfg.training, epochs=args.reranker_epochs,
         batch_size=args.reranker_batch,
+        **({"learning_rate": args.reranker_lr}
+           if args.reranker_lr else {}),
     )
     t0 = time.time()
     trainer = RerankerTrainer(scorer, tcfg, max_length=args.max_length)
